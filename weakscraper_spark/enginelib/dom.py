@@ -1,0 +1,151 @@
+"""HTML → plain-dict DOM trees via the stdlib ``html.parser.HTMLParser``
+(SURVEY.md §3A A1/A2; reference: weakscraper/htmlparser.py ≈15-110 and
+weakscraper/templateparser.py ≈10-70 — approximate cites, SURVEY §0).
+
+Node shape (exactly the reference's):
+    tag  node: {'nodetype': 'tag',  'name': str, 'attrs': {str: str},
+                'children': [node, ...]}
+    text node: {'nodetype': 'text', 'content': str}
+
+Behavioral pins (these define the byte-identical-text contract):
+- ``convert_charrefs=True`` — entities (&amp;, &#65;) are decoded into
+  the text stream by the stdlib parser before we see them.
+- Whitespace-only text nodes are dropped at parse time.
+- Tag names and attribute names are lowercased by HTMLParser.
+- Attributes with no value (e.g. ``<input disabled>``) get ``''``.
+- HTML5 void elements (br, img, meta, ...) never take children even
+  without an explicit '/>'.
+- Stray end tags are ignored; unclosed tags are closed implicitly at
+  EOF (stack unwinds to the synthetic root).
+
+The page parser (``parse_html``) and template parser
+(``parse_template_html``) build the same shape; the template parser
+additionally preserves ``wp-*`` attributes and accepts the pseudo-tags
+``<wp-ignore/>`` and ``<wp-nugget ...>...</wp-nugget>`` as ordinary
+nodes (they are interpreted at compile time, spec.py).
+
+lxml/bs4 are deliberately NOT used: the stdlib parser's exact
+tokenization/entity behavior is part of the parity contract and the
+sandbox does not ship lxml (SURVEY §7 environment pins).
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from typing import Any
+
+Node = dict[str, Any]
+
+# WHATWG void elements: may not have children, need no end tag.
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+
+def tag_node(name: str, attrs: dict[str, str]) -> Node:
+    return {"nodetype": "tag", "name": name, "attrs": attrs, "children": []}
+
+
+def text_node(content: str) -> Node:
+    return {"nodetype": "text", "content": content}
+
+
+def is_tag(node: Node) -> bool:
+    return node["nodetype"] == "tag"
+
+
+def is_text(node: Node) -> bool:
+    return node["nodetype"] == "text"
+
+
+class _DomBuilder(HTMLParser):
+    """Stack-based tree builder. The synthetic root node collects all
+    top-level children; callers receive the root's children list wrapped
+    in a 'root' tag node so single- and multi-rooted documents look alike.
+    """
+
+    #: tags whose start implies no children (overridden per subclass)
+    void_elements: frozenset[str] = VOID_ELEMENTS
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root: Node = tag_node("root", {})
+        self._stack: list[Node] = [self.root]
+
+    # -- HTMLParser callbacks ------------------------------------------
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        node = tag_node(tag, {k: (v if v is not None else "") for k, v in attrs})
+        self._stack[-1]["children"].append(node)
+        if tag not in self.void_elements:
+            self._stack.append(node)
+
+    def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        node = tag_node(tag, {k: (v if v is not None else "") for k, v in attrs})
+        self._stack[-1]["children"].append(node)
+
+    def handle_endtag(self, tag: str) -> None:
+        # Unwind to the nearest matching open tag; ignore strays.
+        for i in range(len(self._stack) - 1, 0, -1):
+            if self._stack[i]["name"] == tag:
+                del self._stack[i:]
+                return
+
+    def handle_data(self, data: str) -> None:
+        if data.strip():
+            self._stack[-1]["children"].append(text_node(data))
+
+    # comments, PIs, declarations are dropped (reference behavior: no
+    # handle_comment override → HTMLParser discards them).
+
+
+class _TemplateDomBuilder(_DomBuilder):
+    """Same tree build, but ``<wp-ignore>`` is treated as void (the
+    template pseudo-tag is written ``<wp-ignore/>`` or ``<wp-ignore>``
+    with no children) while ``<wp-nugget>`` wraps text normally.
+    """
+
+    void_elements = VOID_ELEMENTS | {"wp-ignore"}
+
+
+def parse_html(html: str) -> Node:
+    """Parse a page into a DOM tree rooted at a synthetic 'root' node."""
+    builder = _DomBuilder()
+    builder.feed(html)
+    builder.close()
+    return builder.root
+
+
+def parse_template_html(html: str) -> Node:
+    """Parse a template (wp-* markers preserved as ordinary attrs/tags)."""
+    builder = _TemplateDomBuilder()
+    builder.feed(html)
+    builder.close()
+    return builder.root
+
+
+def serialize_node(node: Node) -> str:
+    """Canonical HTML-ish serialization of a subtree (used by the
+    wp-recursive capture, SURVEY A9). Deterministic: attrs sorted by
+    name, text emitted verbatim (post entity-decode), void elements
+    self-closed.
+    """
+    if is_text(node):
+        return node["content"]
+    attrs = "".join(f' {k}="{v}"' for k, v in sorted(node["attrs"].items()))
+    name = node["name"]
+    if not node["children"] and name in VOID_ELEMENTS:
+        return f"<{name}{attrs}/>"
+    inner = "".join(serialize_node(c) for c in node["children"])
+    return f"<{name}{attrs}>{inner}</{name}>"
+
+
+def node_to_plain(node: Node) -> Any:
+    """JSON-able copy of a subtree (for wp-recursive json mode / debug)."""
+    if is_text(node):
+        return {"nodetype": "text", "content": node["content"]}
+    return {
+        "nodetype": "tag",
+        "name": node["name"],
+        "attrs": dict(node["attrs"]),
+        "children": [node_to_plain(c) for c in node["children"]],
+    }

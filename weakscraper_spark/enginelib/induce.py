@@ -1,0 +1,144 @@
+"""Template induction (SURVEY.md §3A note + §3C C12; mandated by the
+north-star spec BASELINE.json:6 — "a template-induction stage learns a
+wildcard-annotated DOM skeleton ... by tree-aligning template pages").
+
+Not present in the reference (the human writes templates by hand);
+this generalizes that: align k sample pages of one site and emit a
+compiled Spec directly:
+
+- positions where every sample agrees → literal structure/text;
+- single-text-child nodes whose text diverges → atomic capture slot
+  (``wp-name`` equivalent, auto-named ``slot_1..n``);
+- text runs in mixed content that diverge → nugget capture slots;
+- child lists with the same single repeated tag but different counts
+  → ``wp-list`` (items induced from the union of all samples' items);
+- attrs that diverge → dropped from the literal set (template-subset
+  attr semantics make this safe) ;
+- structurally irreconcilable children → ``wp-ignore-content``.
+
+Guarantee tested in tests/test_induce.py: the induced template
+re-extracts every one of its own samples with status=ok (SURVEY §8
+Build Plan step 5), and captures exactly the diverging texts.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Iterator
+
+from .dom import Node, is_tag, is_text, parse_html
+from .errors import TemplateError
+from .spec import Spec, _captures
+from .textnorm import normalize_text
+
+
+def _mk_tag_spec(tag: str, attrs: dict[str, str]) -> Spec:
+    return {
+        "kind": "tag", "tag": tag, "attrs": attrs,
+        "capture": None, "capture_attrs": None,
+        "recursive": False, "list": False, "optional": False,
+        "function": None, "function_attrs": None,
+        "ignore_attrs": False, "ignore_content": False,
+        "nested": False, "children": [],
+    }
+
+
+def _signature(children: list[Node]) -> tuple:
+    return tuple(
+        ("tag", c["name"]) if is_tag(c) else ("text",) for c in children
+    )
+
+
+def _common_attrs(nodes: list[Node]) -> dict[str, str]:
+    """Attrs present with identical values in every sample."""
+    common = dict(nodes[0]["attrs"])
+    for n in nodes[1:]:
+        for k in list(common):
+            if n["attrs"].get(k) != common[k]:
+                del common[k]
+    return common
+
+
+def _all_single_text_child(nodes: list[Node]) -> bool:
+    return all(
+        len(n["children"]) == 1 and is_text(n["children"][0]) for n in nodes
+    )
+
+
+def _induce_tag(nodes: list[Node], slots: Iterator[int], prefix: str) -> Spec:
+    names = {n["name"] for n in nodes}
+    if len(names) != 1:
+        raise TemplateError(f"cannot align diverging tags {sorted(names)}")
+    spec = _mk_tag_spec(names.pop(), _common_attrs(nodes))
+
+    # Atomic-capture case first (A7 shape): every sample has exactly one
+    # text child. Diverging text ⇒ capture slot; equal ⇒ literal.
+    if _all_single_text_child(nodes):
+        texts = {normalize_text(n["children"][0]["content"]) for n in nodes}
+        if len(texts) == 1:
+            spec["children"] = [{"kind": "text", "content": texts.pop()}]
+        else:
+            spec["capture"] = f"{prefix}_{next(slots)}"
+        return spec
+
+    sigs = {_signature(n["children"]) for n in nodes}
+    if len(sigs) == 1:
+        # Positionally aligned children: recurse per position.
+        sig = sigs.pop()
+        for i, kind in enumerate(sig):
+            column = [n["children"][i] for n in nodes]
+            if kind == ("text",):
+                texts = {normalize_text(c["content"]) for c in column}
+                if len(texts) == 1:
+                    spec["children"].append(
+                        {"kind": "text", "content": texts.pop()})
+                else:
+                    spec["children"].append({
+                        "kind": "nugget",
+                        "capture": f"{prefix}_{next(slots)}",
+                        "function": None, "optional": False,
+                    })
+            else:
+                spec["children"].append(_induce_tag(column, slots, prefix))
+        spec["nested"] = any(_captures(c) for c in spec["children"])
+        return spec
+
+    # Diverging structure: repeated-single-tag ⇒ wp-list.
+    item_names = {c["name"] for n in nodes for c in n["children"] if is_tag(c)}
+    only_tags = all(is_tag(c) for n in nodes for c in n["children"])
+    if only_tags and len(item_names) == 1:
+        items = [c for n in nodes for c in n["children"]]
+        item_spec = _induce_tag(items, slots, prefix)
+        item_spec["list"] = True
+        if not item_spec["capture"]:
+            if _captures(item_spec):
+                item_spec["capture"] = f"{prefix}_{next(slots)}"
+            elif _all_single_text_child(items):
+                item_spec["capture"] = f"{prefix}_{next(slots)}"
+            else:
+                # Irregular items: capture serialized subtrees.
+                item_spec["capture"] = f"{prefix}_{next(slots)}"
+                item_spec["recursive"] = True
+                item_spec["children"] = []
+        item_spec["nested"] = any(_captures(c) for c in item_spec["children"])
+        spec["children"] = [item_spec]
+        spec["nested"] = _captures(item_spec)
+        return spec
+
+    # Fallback: structure cannot be reconciled — ignore this subtree.
+    spec["ignore_content"] = True
+    spec["children"] = []
+    return spec
+
+
+def induce_template(sample_htmls: list[str], slot_prefix: str = "slot") -> Spec:
+    """Tree-align k sample pages → compiled Spec (root).
+
+    Driver-side only (small k); the result is broadcast like any
+    hand-written compiled template.
+    """
+    if len(sample_htmls) < 2:
+        raise TemplateError("induction needs >= 2 sample pages")
+    roots = [parse_html(h) for h in sample_htmls]
+    slots = itertools.count(1)
+    return _induce_tag(roots, slots, slot_prefix)
