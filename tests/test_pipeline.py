@@ -1,0 +1,136 @@
+"""Pipeline ring 2 (SURVEY.md §6.2): synthesized CC-style table on
+local Spark → full C1→C10 pipeline. Asserts:
+- per-url byte-identical text vs the rendered ground truth (the
+  BASELINE.json:6 acceptance bar, at pipeline level);
+- mismatch/malformed rows surface as status rows, never failures;
+- exactly-once resume (partial write → rerun → no duplicates, C9);
+- salting invariance (same aggregates with S=1 vs S=16, C8);
+- per-partition lineage metrics reconcile with output counts (C13).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from weakscraper_spark.plans.pipeline import (
+    build_extract_plan,
+    dedup_latest,
+    host_stats_salted,
+    partition_metrics,
+    run_pipeline,
+)
+from weakscraper_spark.sources.synth import (
+    compiled_specs,
+    synth_pages,
+    synth_templates,
+)
+
+N_PAGES = 400
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pages = synth_pages(spark, N_PAGES).cache()
+    templates = synth_templates(spark)
+    specs = compiled_specs()
+    return pages, templates, specs
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, corpus):
+    pages, templates, specs = corpus
+    return build_extract_plan(pages, templates, specs).cache()
+
+
+def test_row_accounting(spark, corpus, extracted):
+    pages, _, _ = corpus
+    n_urls = pages.select("url").distinct().count()
+    assert extracted.count() == n_urls  # dedup C3: one row per url
+
+
+def test_byte_identical_text(spark, corpus, extracted):
+    """Every ok row's text equals the ground truth rendered into the
+    page; every ground-truth-bearing url is extracted ok."""
+    pages, _, _ = corpus
+    latest = dedup_latest(pages).select("url", F.col("text").alias("want"))
+    joined = extracted.join(latest, "url").cache()
+
+    ok = joined.filter(F.col("status") == "ok")
+    n_ok = ok.count()
+    assert n_ok > 0.9 * N_PAGES * 0.94  # ~6% synthetic failures
+    assert ok.filter(F.col("text") != F.col("want")).count() == 0
+
+    # failure parity: rows with ground truth must not mismatch, rows
+    # without (synthetic bad pages) must not be ok.
+    assert joined.filter((F.col("want") != "") &
+                         (F.col("status") != "ok")).count() == 0
+    assert joined.filter((F.col("want") == "") &
+                         (F.col("status") == "ok")).count() == 0
+
+
+def test_status_taxonomy(extracted):
+    statuses = {r["status"] for r in
+                extracted.select("status").distinct().collect()}
+    assert "ok" in statuses
+    assert any(s.startswith("mismatch:") for s in statuses)
+    # no template-less hosts in the synth registry
+    assert "error:NoTemplate" not in statuses
+
+
+def test_fields_json_exact(spark, extracted):
+    """fields_json is canonical JSON with the captured slots."""
+    import json
+
+    row = (extracted.filter((F.col("status") == "ok") &
+                            F.col("template_id").eqNullSafe("t_article"))
+           .select("fields_json", "text").first())
+    fields = json.loads(row["fields_json"])
+    assert fields["text"] == row["text"]
+    assert "title" in fields and "tags" in fields
+    assert isinstance(fields["tags"], list)
+
+
+def test_salting_invariance(spark, corpus):
+    """C8: aggregates are identical under S=1 and S=16 (deterministic
+    salting changes layout, never results)."""
+    pages, _, _ = corpus
+    staged = pages.withColumn("host", F.parse_url("url", F.lit("HOST")))
+    a = {r["host"]: (r["n_pages"], r["bytes_in"])
+         for r in host_stats_salted(staged, n_salts=1).collect()}
+    b = {r["host"]: (r["n_pages"], r["bytes_in"])
+         for r in host_stats_salted(staged, n_salts=16).collect()}
+    assert a == b
+    # skew exists: head host carries ~30%
+    total = sum(n for n, _ in a.values())
+    head = max(n for n, _ in a.values())
+    assert head / total > 0.2
+
+
+def test_resume_exactly_once(spark, corpus, tmp_path):
+    """C9: run on half the corpus, then on the full corpus into the
+    same sink → every url exactly once, second run only adds the
+    missing urls."""
+    pages, templates, specs = corpus
+    out_dir = str(tmp_path / "sink")
+
+    first_half = pages.filter(F.xxhash64("url") % 2 == 0)
+    r1 = run_pipeline(spark, first_half, templates, specs, out_dir,
+                      run_id="r1")
+    r2 = run_pipeline(spark, pages, templates, specs, out_dir,
+                      run_id="r2")
+
+    out = spark.read.parquet(r2["pages_out"])
+    n_urls = pages.select("url").distinct().count()
+    assert out.count() == n_urls
+    assert out.groupBy("url").count().filter("count > 1").count() == 0
+    assert r1["rows"] + (r2["rows"] - r1["rows"]) == n_urls
+
+
+def test_partition_metrics_reconcile(spark, extracted):
+    m = partition_metrics(extracted, "runX")
+    agg = m.agg(F.sum("n_pages").alias("p"), F.sum("n_ok").alias("ok"),
+                F.sum("n_fail").alias("f")).first()
+    assert agg["p"] == extracted.count()
+    assert agg["ok"] == extracted.filter("status = 'ok'").count()
+    assert agg["f"] == agg["p"] - agg["ok"]
+    # extraction ran spread over partitions, not funneled into one
+    assert m.count() > 1

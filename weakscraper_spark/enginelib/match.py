@@ -269,21 +269,31 @@ def extract(spec: Spec, html: str, functions: Functions | None = None,
             text_key: str = "text") -> dict[str, Any]:
     """Status-row extraction used by the Spark batch operator: never
     raises on mismatch; returns
-    ``{status, error, fields (dict|None), text (str|None)}``.
+    ``{status, error, fields (dict|None), text (str|None), n_nodes}``.
 
     ``text`` is the value captured under ``text_key`` if present, else
     the '\\n'-join of all scalar string captures in capture (document)
     order — the byte-identical-text contract column.
     """
+    functions = functions or {}
+    n_nodes = 0
     try:
-        fields = match_document(spec, html, functions)
+        page_root = parse_html(html)
+        n_nodes = count_nodes(page_root) - 1  # exclude synthetic root
+        results: Results = {}
+        align_children(spec["children"], page_root["children"], results,
+                       functions, ())
+        fields = results
     except CompareError as e:
-        return {"status": e.status, "error": str(e), "fields": None, "text": None}
+        return {"status": e.status, "error": str(e), "fields": None,
+                "text": None, "n_nodes": n_nodes}
     except RecursionError:
         return {"status": "mismatch:RecursionError",
-                "error": "document nesting too deep", "fields": None, "text": None}
+                "error": "document nesting too deep", "fields": None,
+                "text": None, "n_nodes": n_nodes}
     if text_key in fields and isinstance(fields[text_key], str):
         text = fields[text_key]
     else:
         text = "\n".join(v for v in fields.values() if isinstance(v, str))
-    return {"status": "ok", "error": "", "fields": fields, "text": text}
+    return {"status": "ok", "error": "", "fields": fields, "text": text,
+            "n_nodes": n_nodes}

@@ -1,0 +1,107 @@
+"""C6 ``extract`` — the core operator (SURVEY.md §3C):
+``mapInPandas(extract_batch, schema)`` with the compiled template
+spec(s) broadcast to executors.
+
+Execution model (SURVEY §4.2 flagship trace):
+- The ONLY JVM↔Python crossing in the pipeline: Arrow record batches
+  in, Arrow record batches out. No per-row ``F.udf`` anywhere
+  (BASELINE.json:15 mandate).
+- Specs travel as JSON strings inside a ``sc.broadcast`` and are
+  deserialized ONCE PER PYTHON WORKER via a module-level cache keyed
+  by content hash (pays off because ``spark.python.worker.reuse=true``
+  — SURVEY §5).
+- One bad document can never fail a batch: ``enginelib.match.extract``
+  maps every CompareError/RecursionError to a status row (A13).
+- C13 lineage: each output row carries its ``partition_id`` (from
+  TaskContext), so per-partition lineage/metrics are a cheap JVM-side
+  groupBy downstream — no second Python pass.
+
+Output schema is FIXED (dynamic captures live in ``fields_json``,
+SURVEY §2.1):
+    url, template_id, status, error, text, fields_json, n_nodes,
+    parse_ms, partition_id
+"""
+
+from __future__ import annotations
+
+import json
+from time import perf_counter
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame
+
+from ..enginelib.match import extract as _extract_doc
+from ..enginelib.spec import Spec, spec_from_json
+
+EXTRACT_SCHEMA = (
+    "url string, template_id string, status string, error string, "
+    "text string, fields_json string, n_nodes int, parse_ms double, "
+    "partition_id int"
+)
+
+# Per-worker compiled-spec cache (worker reuse makes this amortize).
+_SPEC_CACHE: dict[str, Spec] = {}
+
+
+def _spec_for(spec_json: str) -> Spec:
+    spec = _SPEC_CACHE.get(spec_json)
+    if spec is None:
+        spec = spec_from_json(spec_json)
+        _SPEC_CACHE[spec_json] = spec
+    return spec
+
+
+def extract_pages(df: DataFrame,
+                  spec_json_by_tid: dict[str, str],
+                  functions: dict[str, Callable] | None = None,
+                  text_key: str = "text") -> DataFrame:
+    """Apply broadcast compiled templates to ``(url, template_id,
+    html)`` rows. ``df`` must contain those three columns; extra
+    columns are dropped (column pruning: don't ship what the Python
+    worker won't read)."""
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(spec_json_by_tid)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
+        specs = bc.value
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "url": pdf["url"].tolist(),
+                "template_id": pdf["template_id"].tolist(),
+                "status": [""] * n, "error": [""] * n,
+                "text": [None] * n, "fields_json": [None] * n,
+                "n_nodes": [0] * n, "parse_ms": [0.0] * n,
+                "partition_id": [pid] * n,
+            }
+            htmls = pdf["html"].tolist()
+            for j in range(n):
+                tid = out["template_id"][j]
+                spec_json = specs.get(tid) if tid is not None else None
+                if spec_json is None:
+                    out["status"][j] = "error:NoTemplate"
+                    out["error"][j] = f"no compiled template for {tid!r}"
+                    continue
+                raw = htmls[j]
+                html = (raw if isinstance(raw, str)
+                        else bytes(raw).decode("utf-8", errors="replace"))
+                t0 = perf_counter()
+                row = _extract_doc(_spec_for(spec_json), html,
+                                   functions, text_key)
+                out["parse_ms"][j] = (perf_counter() - t0) * 1e3
+                out["status"][j] = row["status"]
+                out["error"][j] = row["error"]
+                out["text"][j] = row["text"]
+                out["n_nodes"][j] = row["n_nodes"]
+                if row["fields"] is not None:
+                    out["fields_json"][j] = json.dumps(
+                        row["fields"], sort_keys=True, ensure_ascii=False,
+                        default=str)
+            yield pd.DataFrame(out)
+
+    return df.select("url", "template_id", "html").mapInPandas(
+        run, EXTRACT_SCHEMA)

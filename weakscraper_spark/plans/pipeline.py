@@ -1,0 +1,233 @@
+"""End-to-end extraction pipeline — C1..C13 of SURVEY.md §3C,
+composed exactly as the flagship trace in SURVEY §4.2:
+
+    scan → resume-anti-join → dedup-latest → filter/project →
+    attach-template (broadcast) → salt/repartition → mapInPandas
+    extract → sink + per-partition lineage metrics.
+
+Scale notes (designed for 10^12 rows / 1000 executors, tested local):
+- Every stage is declarative DataFrame code → Catalyst does pushdown/
+  pruning; the parquet scan must only read (url, warc_ts, html, lang)
+  — ``text`` (ground truth) is never shipped to the extract worker.
+- The template registry is tiny → ``F.broadcast`` join (C5), never a
+  shuffle of the pages side.
+- Skew: head hosts are salted DETERMINISTICALLY with
+  ``pmod(xxhash64(url), S)`` (no rand(): resume-stable, SURVEY §8
+  risk register) before the Python stage, so one host ≈30% of the
+  corpus cannot flatline a single core (C8).
+- Resume: left_anti join against already-written urls (C9) makes the
+  sink append idempotent at url granularity — the checkpoint is the
+  sink itself (Iceberg commit in prod; parquet dir in sandbox).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.extract import extract_pages
+from ..sources.synth import compiled_specs, synth_pages, synth_templates
+
+
+# --------------------------------------------------------------------------
+# C2 — filter + project (+host derivation, JVM-side)
+# --------------------------------------------------------------------------
+
+def prepare_pages(pages: DataFrame, langs: list[str] | None = None) -> DataFrame:
+    """Filter to extractable rows and derive the host key. All
+    JVM-side built-ins (pushed to the scan where possible)."""
+    out = pages.filter(F.length("html") > 0)
+    if langs:
+        out = out.filter(F.col("lang").isin(langs))
+    return out.withColumn("host", F.parse_url("url", F.lit("HOST")))
+
+
+# --------------------------------------------------------------------------
+# C3 — latest-snapshot dedup per url
+# --------------------------------------------------------------------------
+
+def dedup_latest(pages: DataFrame) -> DataFrame:
+    """Keep the newest ``warc_ts`` snapshot per url (deterministic
+    tie-break on html bytes length then hash is unnecessary: warc_ts
+    is unique per url in CC-style inputs)."""
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    return (pages.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+# --------------------------------------------------------------------------
+# C5 — attach template via broadcast join on host
+# --------------------------------------------------------------------------
+
+def attach_template(pages: DataFrame, templates: DataFrame) -> DataFrame:
+    """Broadcast equi-join pages ⨝ template registry. The registry is
+    O(#hosts-with-templates) — always the broadcast side. Pages with
+    no registered template are kept (left join) and surface as
+    ``error:NoTemplate`` status rows downstream (audit-friendly)."""
+    reg = templates.select(
+        F.col("host_pattern").alias("host"), "template_id")
+    return pages.join(F.broadcast(reg), "host", "left")
+
+
+# --------------------------------------------------------------------------
+# C8 — deterministic skew salting
+# --------------------------------------------------------------------------
+
+def salt_repartition(df: DataFrame, num_partitions: int,
+                     n_salts: int = 16) -> DataFrame:
+    """Repartition on (host, salt) where salt = pmod(xxhash64(url), S).
+    Deterministic (resume-safe) and spreads any single head host over
+    up to ``n_salts`` partitions while keeping co-residence for the
+    downstream per-partition metrics."""
+    return df.repartition(
+        num_partitions,
+        F.col("host"),
+        F.pmod(F.xxhash64("url"), F.lit(n_salts)),
+    )
+
+
+# --------------------------------------------------------------------------
+# C9 — checkpoint resume via anti join
+# --------------------------------------------------------------------------
+
+def resume_filter(pages: DataFrame, done_urls: DataFrame | None) -> DataFrame:
+    if done_urls is None:
+        return pages
+    return pages.join(done_urls.select("url"), "url", "left_anti")
+
+
+# --------------------------------------------------------------------------
+# C4 — host stats with explicit two-phase salted aggregation
+# --------------------------------------------------------------------------
+
+def host_stats_salted(pages: DataFrame, n_salts: int = 16) -> DataFrame:
+    """groupBy(host) with a skewed head host → two-phase: partial agg
+    on (host, salt), final agg on host. Result is salt-invariant
+    (tested); the partial stage spreads the head host's map-side
+    combine over ``n_salts`` reducers."""
+    partial = (
+        pages
+        .withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(n_salts)))
+        .groupBy("host", "_salt")
+        .agg(F.count("*").alias("_n"),
+             F.sum(F.length("html")).alias("_bytes"))
+    )
+    return (partial.groupBy("host")
+            .agg(F.sum("_n").alias("n_pages"),
+                 F.sum("_bytes").alias("bytes_in")))
+
+
+# --------------------------------------------------------------------------
+# C11 — worst-host report
+# --------------------------------------------------------------------------
+
+def host_report(out: DataFrame, k: int = 10) -> DataFrame:
+    per_host = (
+        out.withColumn("host", F.parse_url("url", F.lit("HOST")))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_pages"),
+             F.sum(F.when(F.col("status") == "ok", 0).otherwise(1))
+             .alias("n_fail"))
+        .withColumn("fail_rate", F.col("n_fail") / F.col("n_pages"))
+    )
+    return per_host.orderBy(F.desc("fail_rate"), F.desc("n_pages"),
+                            "host").limit(k)
+
+
+# --------------------------------------------------------------------------
+# C13 — per-partition lineage/metrics (from the partition_id the
+# extract stage stamped on every row; pure JVM-side aggregation)
+# --------------------------------------------------------------------------
+
+def partition_metrics(out: DataFrame, run_id: str) -> DataFrame:
+    return (
+        out.groupBy("partition_id")
+        .agg(F.count("*").alias("n_pages"),
+             F.sum(F.when(F.col("status") == "ok", 1).otherwise(0))
+             .alias("n_ok"),
+             F.sum(F.when(F.col("status") != "ok", 1).otherwise(0))
+             .alias("n_fail"),
+             F.sum("n_nodes").alias("n_nodes"),
+             F.sum("parse_ms").alias("cpu_ms"))
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("ts", F.current_timestamp())
+    )
+
+
+# --------------------------------------------------------------------------
+# The full pipeline
+# --------------------------------------------------------------------------
+
+def build_extract_plan(pages: DataFrame, templates: DataFrame,
+                       specs: dict[str, str],
+                       langs: list[str] | None = None,
+                       done_urls: DataFrame | None = None,
+                       num_partitions: int | None = None,
+                       n_salts: int = 16) -> DataFrame:
+    """Compose C1→C6 lazily (no action). Column pruning is explicit:
+    only (url, template_id, html) reach the Arrow boundary."""
+    spark = pages.sparkSession
+    num_partitions = num_partitions or max(
+        spark.sparkContext.defaultParallelism * 2, 8)
+    staged = prepare_pages(pages, langs)
+    staged = resume_filter(staged, done_urls)
+    staged = dedup_latest(staged)
+    staged = attach_template(staged, templates)
+    staged = salt_repartition(staged, num_partitions, n_salts)
+    return extract_pages(staged, specs)
+
+
+def run_pipeline(spark: SparkSession, pages: DataFrame,
+                 templates: DataFrame, specs: dict[str, str],
+                 out_dir: str, run_id: str = "run0",
+                 langs: list[str] | None = None,
+                 n_salts: int = 16,
+                 num_partitions: int | None = None) -> dict:
+    """Execute the pipeline with checkpoint-resume semantics against a
+    parquet sink (Iceberg ``writeTo(...).append()`` in prod — sandbox
+    has no Iceberg jars, SURVEY §8)."""
+    pages_out = os.path.join(out_dir, "pages_out")
+    metrics_out = os.path.join(out_dir, "metrics")
+
+    done = None
+    if _dir_has_parquet(pages_out):
+        done = spark.read.parquet(pages_out).select("url")
+
+    plan = build_extract_plan(pages, templates, specs, langs=langs,
+                              done_urls=done, n_salts=n_salts,
+                              num_partitions=num_partitions)
+    t0 = time.perf_counter()
+    plan.write.mode("append").parquet(pages_out)
+    wall_s = time.perf_counter() - t0
+
+    out = spark.read.parquet(pages_out)
+    metrics = partition_metrics(out, run_id)
+    metrics.write.mode("append").parquet(metrics_out)
+
+    n_total = out.count()
+    n_ok = out.filter(F.col("status") == "ok").count()
+    return {"rows": n_total, "ok": n_ok, "wall_s": wall_s,
+            "pages_out": pages_out, "metrics_out": metrics_out}
+
+
+def _dir_has_parquet(path: str) -> bool:
+    if not os.path.isdir(path):
+        return False
+    return any(f.endswith(".parquet") for f in os.listdir(path))
+
+
+# --------------------------------------------------------------------------
+# Convenience: synthesized end-to-end run (used by entry() and bench)
+# --------------------------------------------------------------------------
+
+def synth_and_extract(spark: SparkSession, n_pages: int,
+                      n_salts: int = 16,
+                      num_partitions: int | None = None) -> DataFrame:
+    pages = synth_pages(spark, n_pages)
+    templates = synth_templates(spark)
+    return build_extract_plan(pages, templates, compiled_specs(),
+                              n_salts=n_salts,
+                              num_partitions=num_partitions)

@@ -1,0 +1,249 @@
+"""Deterministic synthesis of the Common-Crawl-style pages table
+(FIXTURES.md §2; input contract BASELINE.json:15: ``url string,
+warc_ts timestamp, html binary, text string, lang string``).
+
+Design for scale: rows are generated DISTRIBUTED via
+``spark.range(n).mapInPandas`` — every row is a pure function of its
+index (keyed BLAKE2 hashes, no RNG state), so synthesis is
+order-independent, partition-count-independent, and reproducible at
+any scale without a driver-side materialization. The same property
+makes resume tests exact (re-synthesizing yields identical rows).
+
+Distribution shape (exercises the pipeline's skew machinery):
+- 1 head host carries ~30% of rows; ~Zipf(1.2) tail over the rest
+  (C8 salting is a correctness-of-benchmark feature, SURVEY §5);
+- ~10% of urls get 3 snapshots with distinct ``warc_ts`` (C3 dedup);
+- ~5% structurally non-matching pages + ~1% malformed HTML (A13
+  status handling);
+- ``text`` column carries the ground-truth main text rendered into
+  the page — the byte-identical recovery target.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from hashlib import blake2b
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..enginelib.spec import compile_template, spec_to_json
+
+# ---------------------------------------------------------------------------
+# Site templates (wp-annotated) and their matching page renderers. The
+# renderer and the template share one skeleton so extraction recovers
+# the slots exactly.
+# ---------------------------------------------------------------------------
+
+SITE_TEMPLATES: dict[str, str] = {
+    "t_article": (
+        '<html><head><title wp-name="head_title">x</title></head><body>'
+        '<h1 wp-name="title">x</h1>'
+        '<div class="byline"><span wp-name="author">x</span></div>'
+        '<div class="content" wp-name="text">x</div>'
+        '<ul class="tags"><li wp-list wp-name="tags">x</li></ul>'
+        "<wp-ignore/></body></html>"
+    ),
+    "t_product": (
+        '<html><body><div class="product">'
+        '<h2 wp-name="name">x</h2>'
+        "<p><b>Price</b><wp-nugget wp-name=\"price\"/><b>USD</b></p>"
+        '<div class="desc" wp-name="text">x</div>'
+        "</div><wp-ignore/></body></html>"
+    ),
+    "t_forum": (
+        "<html><body>"
+        '<h1 wp-name="title">x</h1>'
+        '<div class="posts">'
+        '<div class="post" wp-list wp-name="posts">'
+        '<span class="u" wp-name="user">x</span><p wp-name="msg">y</p></div>'
+        "</div>"
+        '<div class="main" wp-name="text">x</div>'
+        "</body></html>"
+    ),
+}
+
+TEMPLATE_IDS = sorted(SITE_TEMPLATES)  # [t_article, t_forum, t_product]
+
+_WORDS = (
+    "data spark table shuffle template page crawl extract web scale host "
+    "text token batch arrow vector plan query join salt skew merge tree "
+    "node align match slot capture field record column row range"
+).split()
+
+
+def _h(key: str, mod: int = 1 << 32) -> int:
+    """Deterministic keyed hash → [0, mod)."""
+    return int.from_bytes(blake2b(key.encode(), digest_size=8).digest(),
+                          "big") % mod
+
+
+def _words(key: str, n: int) -> str:
+    return " ".join(_WORDS[_h(f"{key}:{j}", len(_WORDS))] for j in range(n))
+
+
+def host_cdf(n_hosts: int = 50, head_share: float = 0.30) -> list[float]:
+    """CDF over hosts: host_00 = head_share, Zipf(1.2) tail."""
+    tail = [1.0 / (k ** 1.2) for k in range(1, n_hosts)]
+    z = sum(tail)
+    probs = [head_share] + [(1.0 - head_share) * t / z for t in tail]
+    cdf, acc = [], 0.0
+    for p in probs:
+        acc += p
+        cdf.append(acc)
+    cdf[-1] = 1.0
+    return cdf
+
+
+_LANGS = ["en", "es", "de", "zh", "fr"]
+_LANG_CDF = [0.50, 0.65, 0.80, 0.90, 1.0]
+
+# tz-naive, interpreted as UTC (session timezone is pinned to UTC).
+_EPOCH = dt.datetime(2026, 1, 1)
+
+
+def _pick(cdf: list[float], u: float) -> int:
+    for idx, c in enumerate(cdf):
+        if u < c:
+            return idx
+    return len(cdf) - 1
+
+
+def render_page(template_id: str, slots: dict) -> tuple[str, str]:
+    """Render (html, ground_truth_text) for one page."""
+    if template_id == "t_article":
+        lis = "".join(f"<li>{t}</li>" for t in slots["tags"])
+        html = (
+            f"<html><head><title>{slots['title']}</title></head><body>"
+            f"<h1>{slots['title']}</h1>"
+            f'<div class="byline"><span>{slots["author"]}</span></div>'
+            f'<div class="content">{slots["text"]}</div>'
+            f'<ul class="tags">{lis}</ul>'
+            f"<footer>{slots['junk']}</footer></body></html>"
+        )
+    elif template_id == "t_product":
+        html = (
+            f'<html><body><div class="product">'
+            f"<h2>{slots['name']}</h2>"
+            f"<p><b>Price</b> {slots['price']} <b>USD</b></p>"
+            f'<div class="desc">{slots["text"]}</div>'
+            f"</div><nav>{slots['junk']}</nav></body></html>"
+        )
+    else:  # t_forum
+        posts = "".join(
+            f'<div class="post"><span class="u">{u}</span><p>{m}</p></div>'
+            for u, m in slots["posts"]
+        )
+        html = (
+            f"<html><body><h1>{slots['title']}</h1>"
+            f'<div class="posts">{posts}</div>'
+            f'<div class="main">{slots["text"]}</div></body></html>'
+        )
+    return html, slots["text"]
+
+
+def make_slots(template_id: str, key: str) -> dict:
+    text = _words(f"{key}:text", 8 + _h(f"{key}:tl", 40))
+    slots = {"text": text, "junk": _words(f"{key}:junk", 12)}
+    if template_id == "t_article":
+        slots["title"] = _words(f"{key}:title", 4)
+        slots["author"] = _words(f"{key}:author", 2)
+        slots["tags"] = [_words(f"{key}:tag{j}", 1)
+                         for j in range(_h(f"{key}:ntag", 5))]
+    elif template_id == "t_product":
+        slots["name"] = _words(f"{key}:name", 3)
+        slots["price"] = f"${_h(f'{key}:price', 9000) / 100 + 1:.2f}"
+    else:
+        slots["title"] = _words(f"{key}:title", 4)
+        slots["posts"] = [
+            (_words(f"{key}:pu{j}", 1), _words(f"{key}:pm{j}", 6))
+            for j in range(1 + _h(f"{key}:np", 4))
+        ]
+    return slots
+
+
+def rows_for_index(i: int, n_hosts: int, head_share: float, seed: int):
+    """All synthetic rows for page index i (1 or 3 snapshots)."""
+    key = f"{seed}:{i}"
+    u_host = _h(f"{key}:host") / 2**32
+    hidx = _pick(host_cdf(n_hosts, head_share), u_host)
+    host = f"host{hidx:02d}.example.com"
+    template_id = TEMPLATE_IDS[hidx % len(TEMPLATE_IDS)]
+    url = f"https://{host}/p/{i}"
+    lang = _LANGS[_pick(_LANG_CDF, _h(f"{key}:lang") / 2**32)]
+    kind = _h(f"{key}:kind", 100)
+    n_snaps = 3 if _h(f"{key}:snap", 10) == 0 else 1
+
+    out = []
+    for s in range(n_snaps):
+        skey = f"{key}:{s}"
+        slots = make_slots(template_id, skey)
+        html, text = render_page(template_id, slots)
+        if kind < 5:  # structural mismatch: alien skeleton
+            html = (f"<html><body><table><tr><td>{slots['text']}"
+                    f"</td></tr></table></body></html>")
+            text = ""
+        elif kind < 6:
+            # malformed: truncate at the required heading and leave a
+            # dangling open tag — exercises parser tolerance AND is
+            # guaranteed unmatchable (every site template requires its
+            # heading), so ground-truth text = "" stays consistent.
+            cut = html.find("<h1")
+            if cut < 0:
+                cut = html.find("<h2")
+            html = html[:cut] + '<h1 class="trunc'
+            text = ""
+        # snapshot s=0 is the LATEST (dedup keeps it)
+        ts = _EPOCH + dt.timedelta(seconds=i * 7) - dt.timedelta(days=s)
+        out.append((url, ts, html.encode("utf-8"), text, lang))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark-side generation
+# ---------------------------------------------------------------------------
+
+PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
+                "text string, lang string")
+
+
+def synth_pages(spark: SparkSession, n_pages: int, n_hosts: int = 50,
+                head_share: float = 0.30, seed: int = 42,
+                partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic pages table: one task per index range,
+    no driver materialization, no RNG state (scales to any n)."""
+    partitions = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                rows.extend(rows_for_index(int(i), n_hosts, head_share, seed))
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return (
+        spark.range(0, n_pages, numPartitions=partitions)
+        .mapInPandas(gen, PAGES_SCHEMA)
+    )
+
+
+def synth_templates(spark: SparkSession, n_hosts: int = 50) -> DataFrame:
+    """Template registry (SURVEY §2.1): host_pattern → template_id +
+    compiled spec JSON. Small dim table — always broadcast (C5)."""
+    rows = []
+    compiled = {tid: spec_to_json(compile_template(html))
+                for tid, html in SITE_TEMPLATES.items()}
+    for hidx in range(n_hosts):
+        tid = TEMPLATE_IDS[hidx % len(TEMPLATE_IDS)]
+        rows.append((f"host{hidx:02d}.example.com", tid, compiled[tid]))
+    pdf = pd.DataFrame(rows,
+                       columns=["host_pattern", "template_id", "template_json"])
+    return spark.createDataFrame(pdf).withColumn(
+        "created_ts", F.lit(_EPOCH))
+
+
+def compiled_specs() -> dict[str, str]:
+    """template_id → spec JSON (the broadcastable matcher payloads)."""
+    return {tid: spec_to_json(compile_template(html))
+            for tid, html in SITE_TEMPLATES.items()}
