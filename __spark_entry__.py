@@ -1,38 +1,451 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship template-extraction pipeline on a
+deterministic synthesized CC-style pages table (the BASELINE.json:15
+input shape; /root/testdata has no pages table, FIXTURES.md §2).
+
+``queries()`` exposes the engine's operator surface (SURVEY.md §3C
+pipeline ops + training-data ops) over the driver-provided tables;
+``oracle_sql()`` mirrors every SQL-expressible one in DuckDB dialect
+with IDENTICAL tokenization/rounding so value-hashes match. Ops that
+are not SQL-expressible (Arrow-batch extraction, SimHash bit
+majority, SRP-LSH ANN, multimodal plumbing, heuristic lang-id) have
+no oracle entry → driver records rows-only checks.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tokens(col: str = "text"):
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+def _dec(col, scale: int):
+    """Snap a computed float to a fixed-scale STRING (via DECIMAL) so
+    the driver's value-hash is representation-stable across Spark and
+    DuckDB: double ulp differences from different summation orders,
+    and engine-specific float/decimal → pandas conversions, would
+    otherwise flip hashes. '240.1000' is '240.1000' everywhere."""
+    return F.round(col, scale).cast(f"decimal(18,{scale})").cast("string")
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship: synth pages at sf0.001 scale → extract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from weakscraper_spark.plans.pipeline import synth_and_extract
 
+    return synth_and_extract(spark, 600).select(
+        "url", "template_id", "status", "error", "text", "fields_json",
+        "n_nodes")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- C2: filter + project -------------------------------------------
+    def c2_filter_project(spark, sf):
+        return (_t(spark, sf, "documents")
+                .filter((F.col("lang") == "en") & (F.col("n_chars") > 150))
+                .select("doc_id", "source", "n_chars",
+                        F.length("text").cast("long").alias("len_chars"),
+                        F.size(_tokens()).cast("long").alias("n_tokens")))
+    q["c2_filter_project"] = c2_filter_project
+
+    # ---- C3: dedup-latest window ----------------------------------------
+    def c3_dedup_latest(spark, sf):
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id"))
+        return (_t(spark, sf, "events")
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("user_id", "event_id", "event_type", "value",
+                        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                        .alias("ts_str")))
+    q["c3_dedup_latest"] = c3_dedup_latest
+
+    # ---- C4: grouped stats ----------------------------------------------
+    def c4_group_stats(spark, sf):
+        return (_t(spark, sf, "documents")
+                .groupBy("lang", "source")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("n_chars").alias("sum_chars"),
+                     _dec(F.avg("n_chars"), 4).alias("avg_chars")))
+    q["c4_group_stats"] = c4_group_stats
+
+    # ---- C5: broadcast join ---------------------------------------------
+    def c5_broadcast_join(spark, sf):
+        orders = _t(spark, sf, "orders")
+        cust = _t(spark, sf, "customer")
+        return (orders.join(F.broadcast(cust),
+                            orders.o_custkey == cust.c_custkey)
+                .groupBy("c_mktsegment")
+                .agg(F.count("*").alias("n_orders"),
+                     _dec(F.sum("o_totalprice"), 2).alias("total_price")))
+    q["c5_broadcast_join"] = c5_broadcast_join
+
+    # ---- C8: salted two-phase aggregation (result salt-invariant) --------
+    def c8_salted_agg(spark, sf):
+        ev = _t(spark, sf, "events").withColumn(
+            "_salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+        partial = (ev.groupBy("event_type", "_salt")
+                   .agg(F.count("*").alias("_n"),
+                        F.sum("value").alias("_s")))
+        return (partial.groupBy("event_type")
+                .agg(F.sum("_n").alias("n"),
+                     _dec(F.sum("_s"), 2).alias("sum_value")))
+    q["c8_salted_agg"] = c8_salted_agg
+
+    # ---- C9: anti-join resume -------------------------------------------
+    def c9_anti_join_resume(spark, sf):
+        orders = _t(spark, sf, "orders")
+        done = orders.filter(F.col("o_orderkey") % 10 == 0) \
+                     .select("o_orderkey")
+        return (orders.join(done, "o_orderkey", "left_anti")
+                .groupBy("o_orderpriority")
+                .agg(F.count("*").alias("n")))
+    q["c9_anti_join_resume"] = c9_anti_join_resume
+
+    # ---- C11: top-k report ----------------------------------------------
+    def c11_topk_sources(spark, sf):
+        return (_t(spark, sf, "documents")
+                .groupBy("source")
+                .agg(F.count("*").alias("n_docs"),
+                     _dec(F.avg("n_chars"), 4).alias("avg_chars"))
+                .orderBy(F.desc("n_docs"), "source")
+                .limit(10))
+    q["c11_topk_sources"] = c11_topk_sources
+
+    # ---- TPC-H Q1-shaped pricing summary ---------------------------------
+    def q1_pricing_summary(spark, sf):
+        li = _t(spark, sf, "lineitem").filter(
+            F.col("l_shipdate") <= "1998-09-02")
+        disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return (li.groupBy("l_returnflag", "l_linestatus")
+                .agg(_dec(F.sum("l_quantity"), 2).alias("sum_qty"),
+                     _dec(F.sum("l_extendedprice"), 2)
+                     .alias("sum_base_price"),
+                     _dec(F.sum(disc), 2).alias("sum_disc_price"),
+                     _dec(F.sum(disc * (1 + F.col("l_tax"))), 2)
+                     .alias("sum_charge"),
+                     _dec(F.avg("l_quantity"), 4).alias("avg_qty"),
+                     _dec(F.avg("l_extendedprice"), 4).alias("avg_price"),
+                     _dec(F.avg("l_discount"), 4).alias("avg_disc"),
+                     F.count("*").alias("count_order")))
+    q["q1_pricing_summary"] = q1_pricing_summary
+
+    # ---- time-bucketed metrics -------------------------------------------
+    def events_hourly(spark, sf):
+        return (_t(spark, sf, "events")
+                .groupBy(F.date_format(F.date_trunc("hour", "ts"),
+                                       "yyyy-MM-dd HH:mm:ss")
+                         .alias("hour_str"),
+                         "event_type")
+                .agg(F.count("*").alias("n"),
+                     _dec(F.sum("value"), 2).alias("sum_value")))
+    q["events_hourly"] = events_hourly
+
+    # ---- cube / grouping sets --------------------------------------------
+    def cube_stats(spark, sf):
+        return (_t(spark, sf, "documents")
+                .cube("lang", "source")
+                .agg(F.count("*").alias("n"))
+                .select(F.coalesce("lang", F.lit("(all)")).alias("lang_g"),
+                        F.coalesce("source", F.lit("(all)"))
+                        .alias("source_g"),
+                        "n"))
+    q["cube_stats"] = cube_stats
+
+    # ---- training-data ops: dedup family ----------------------------------
+    def dedup_exact(spark, sf):
+        from weakscraper_spark.operators.dedup import exact_dedup
+        return exact_dedup(_t(spark, sf, "documents"))
+    q["dedup_exact"] = dedup_exact
+
+    def minhash_lsh(spark, sf):
+        from weakscraper_spark.operators.dedup import minhash_lsh_pairs
+        return minhash_lsh_pairs(_t(spark, sf, "documents"))
+    q["minhash_lsh"] = minhash_lsh
+
+    def jaccard_pairs(spark, sf):
+        from weakscraper_spark.operators.dedup import ngram_jaccard_pairs
+        return ngram_jaccard_pairs(_t(spark, sf, "documents"),
+                                   max_df=100, min_jaccard=0.05)
+    q["jaccard_pairs"] = jaccard_pairs
+
+    def simhash_docs(spark, sf):  # rows-only (bit-majority not in SQL)
+        from weakscraper_spark.operators.dedup import simhash
+        return simhash(_t(spark, sf, "documents"))
+    q["simhash_docs"] = simhash_docs
+
+    def simhash_pairs(spark, sf):  # rows-only
+        from weakscraper_spark.operators.dedup import simhash_near_pairs
+        return simhash_near_pairs(_t(spark, sf, "documents"),
+                                  max_hamming=8)
+    q["simhash_pairs"] = simhash_pairs
+
+    # ---- similarity search -------------------------------------------------
+    def embedding_topk(spark, sf):
+        from weakscraper_spark.operators.similarity import cosine_topk
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        return (cosine_topk(emb, queries_df, k=5)
+                .withColumn("rank", F.col("rank").cast("long")))
+    q["embedding_topk"] = embedding_topk
+
+    def lsh_ann_topk(spark, sf):  # rows-only (recall-bounded ANN)
+        from weakscraper_spark.operators.similarity import lsh_cosine_topk
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        return (lsh_cosine_topk(emb, queries_df, k=5, n_planes=6)
+                .withColumn("rank", F.col("rank").cast("long")))
+    q["lsh_ann_topk"] = lsh_ann_topk
+
+    # ---- text analysis ------------------------------------------------------
+    def token_counts(spark, sf):
+        from weakscraper_spark.operators.textstats import with_token_count
+        return (with_token_count(_t(spark, sf, "documents"))
+                .select("doc_id",
+                        F.col("n_tokens").cast("long").alias("n_tokens"),
+                        F.col("len_chars").cast("long").alias("len_chars")))
+    q["token_counts"] = token_counts
+
+    def quality_scores(spark, sf):
+        from weakscraper_spark.operators.textstats import with_quality_score
+        return (with_quality_score(_t(spark, sf, "documents"))
+                .select("doc_id",
+                        F.col("n_tokens").cast("long").alias("n_tokens"),
+                        "avg_token_len", "uniq_ratio", "quality_score"))
+    q["quality_scores"] = quality_scores
+
+    def fingerprints(spark, sf):
+        from weakscraper_spark.operators.textstats import with_fingerprint
+        return (with_fingerprint(_t(spark, sf, "documents"))
+                .select("doc_id", "fingerprint"))
+    q["fingerprints"] = fingerprints
+
+    def lang_id(spark, sf):  # rows-only (heuristic, Pandas-UDF path)
+        from weakscraper_spark.operators.textstats import with_lang_id
+        return (with_lang_id(_t(spark, sf, "documents"))
+                .select("doc_id", "lang", "predicted_lang"))
+    q["lang_id"] = lang_id
+
+    # ---- multimodal plumbing (rows-only; decode kernel stubbed) -----------
+    def multimodal_meta(spark, sf):
+        from weakscraper_spark.operators.multimodal import extract_blob_meta
+        blobs = (_t(spark, sf, "documents")
+                 .select(F.col("doc_id").alias("blob_id"),
+                         F.encode("text", "UTF-8").alias("blob")))
+        return extract_blob_meta(blobs)
+    q["multimodal_meta"] = multimodal_meta
+
+    # ---- the extraction operator itself (rows-only; pytest ring is the
+    # value-level gate, SURVEY §6) -----------------------------------------
+    def extract_pages(spark, sf):
+        from weakscraper_spark.plans.pipeline import synth_and_extract
+        n = 2000 if "0.01" in sf else (20000 if "0.1" in sf else 600)
+        return synth_and_extract(spark, n).select(
+            "url", "template_id", "status", "text", "n_nodes")
+    q["extract_pages"] = extract_pages
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; tables pre-registered as views)
+# ---------------------------------------------------------------------------
+
+_SHINGLES_CTE = """
+tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+       FROM documents),
+sh AS (SELECT DISTINCT doc_id AS doc,
+              unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tok
+       FROM tk)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "c2_filter_project": """
+            SELECT doc_id, source, n_chars,
+                   length(text) AS len_chars,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+            FROM documents WHERE lang = 'en' AND n_chars > 150
+        """,
+        "c3_dedup_latest": """
+            SELECT user_id, event_id, event_type, value,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "c4_group_stats": """
+            SELECT lang, source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(CAST(round(avg(n_chars), 4) AS DECIMAL(18,4)) AS VARCHAR) AS avg_chars
+            FROM documents GROUP BY lang, source
+        """,
+        "c5_broadcast_join": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   CAST(CAST(round(sum(o_totalprice), 2) AS DECIMAL(18,2)) AS VARCHAR) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "c8_salted_agg": """
+            SELECT event_type, count(*) AS n,
+                   CAST(CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS VARCHAR) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "c9_anti_join_resume": """
+            SELECT o_orderpriority, count(*) AS n
+            FROM orders WHERE o_orderkey % 10 <> 0
+            GROUP BY o_orderpriority
+        """,
+        "c11_topk_sources": """
+            SELECT source, count(*) AS n_docs,
+                   CAST(CAST(round(avg(n_chars), 4) AS DECIMAL(18,4)) AS VARCHAR) AS avg_chars
+            FROM documents GROUP BY source
+            ORDER BY n_docs DESC, source LIMIT 10
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(CAST(round(sum(l_quantity), 2) AS DECIMAL(18,2)) AS VARCHAR) AS sum_qty,
+                   CAST(CAST(round(sum(l_extendedprice), 2) AS DECIMAL(18,2)) AS VARCHAR) AS sum_base_price,
+                   CAST(CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DECIMAL(18,2)) AS VARCHAR) AS sum_disc_price,
+                   CAST(CAST(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS DECIMAL(18,2)) AS VARCHAR) AS sum_charge,
+                   CAST(CAST(round(avg(l_quantity), 4) AS DECIMAL(18,4)) AS VARCHAR) AS avg_qty,
+                   CAST(CAST(round(avg(l_extendedprice), 4) AS DECIMAL(18,4)) AS VARCHAR) AS avg_price,
+                   CAST(CAST(round(avg(l_discount), 4) AS DECIMAL(18,4)) AS VARCHAR) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts),
+                            '%Y-%m-%d %H:%M:%S') AS hour_str,
+                   event_type, count(*) AS n,
+                   CAST(CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS VARCHAR) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "cube_stats": """
+            SELECT coalesce(lang, '(all)') AS lang_g,
+                   coalesce(source, '(all)') AS source_g,
+                   count(*) AS n
+            FROM documents GROUP BY CUBE (lang, source)
+        """,
+        "dedup_exact": """
+            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                       AS fingerprint,
+                   min(doc_id) AS canonical_id,
+                   count(*) AS n_members
+            FROM documents GROUP BY 1
+        """,
+        "minhash_lsh": f"""
+            WITH {_SHINGLES_CTE},
+            sigs AS (SELECT doc,
+                     min(md5('0:' || tok)) AS s0, min(md5('1:' || tok)) AS s1,
+                     min(md5('2:' || tok)) AS s2, min(md5('3:' || tok)) AS s3,
+                     min(md5('4:' || tok)) AS s4, min(md5('5:' || tok)) AS s5,
+                     min(md5('6:' || tok)) AS s6, min(md5('7:' || tok)) AS s7
+                     FROM sh GROUP BY doc),
+            bands AS (
+                SELECT doc, 0 AS band, s0 || '|' || s1 AS bkey FROM sigs
+                UNION ALL
+                SELECT doc, 1, s2 || '|' || s3 FROM sigs
+                UNION ALL
+                SELECT doc, 2, s4 || '|' || s5 FROM sigs
+                UNION ALL
+                SELECT doc, 3, s6 || '|' || s7 FROM sigs)
+            SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_bands
+            FROM bands a JOIN bands b USING (band, bkey)
+            WHERE a.doc < b.doc GROUP BY 1, 2
+        """,
+        "jaccard_pairs": f"""
+            WITH {_SHINGLES_CTE},
+            capped AS (SELECT tok FROM (
+                SELECT tok, count(*) AS c FROM sh GROUP BY tok)
+                WHERE c <= 100),
+            r AS (SELECT doc, tok FROM sh JOIN capped USING (tok)),
+            sizes AS (SELECT doc, count(*) AS sz FROM r GROUP BY doc),
+            inter AS (SELECT a.doc AS da, b.doc AS db, count(*) AS i
+                      FROM r a JOIN r b USING (tok)
+                      WHERE a.doc < b.doc GROUP BY 1, 2)
+            SELECT da AS doc_a, db AS doc_b,
+                   round(i / (sa.sz + sb.sz - i), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc = da
+            JOIN sizes sb ON sb.doc = db
+            WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.05
+        """,
+        "embedding_topk": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 8),
+            s AS (SELECT query_id, e.vec_id AS neighbor_id,
+                         list_cosine_similarity(e.embedding::DOUBLE[], qv)
+                             AS sim
+                  FROM embeddings e CROSS JOIN q
+                  WHERE e.vec_id <> query_id)
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id)
+                           AS rank
+                FROM s)
+            WHERE rank <= 5
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   length(text) AS len_chars
+            FROM documents
+        """,
+        "quality_scores": """
+            WITH f AS (
+                SELECT doc_id,
+                       len(string_split_regex(trim(text), '\\s+'))
+                           AS n_tokens,
+                       length(regexp_replace(text, '\\s+', '', 'g'))
+                           AS n_alpha,
+                       len(list_distinct(
+                           string_split_regex(trim(text), '\\s+')))
+                           AS n_uniq
+                FROM documents)
+            SELECT doc_id, n_tokens,
+                   round(n_alpha / greatest(n_tokens, 1), 4)
+                       AS avg_token_len,
+                   round(n_uniq / greatest(n_tokens, 1), 4) AS uniq_ratio,
+                   round(round(n_uniq / greatest(n_tokens, 1), 4) *
+                         least(1.0, n_tokens / 64.0), 4) AS quality_score
+            FROM f
+        """,
+        "fingerprints": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                       AS fingerprint
+            FROM documents
+        """,
+    }

@@ -1,0 +1,122 @@
+"""Text-analysis operators for a training-data pipeline: token
+counting, quality scoring, document fingerprinting, language-ID.
+
+All but lang_id are pure JVM-side ``pyspark.sql.functions`` chains
+(whole-stage codegen, no Python in the hot path) and are expressed
+with DuckDB-portable semantics so the driver's oracle can check them
+value-exactly. lang_id is the deliberate Pandas-UDF example (an
+n-gram/stopword heuristic is awkward in pure SQL) — Arrow-batched,
+never per-row.
+
+Scale: every operator here is a narrow map over the documents table —
+no shuffle at all; they pipeline with the scan.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+# Whitespace tokenization shared by every operator (and mirrored in
+# oracle SQL): trim, split on whitespace runs.
+_TOKENS = lambda c: F.split(F.trim(F.col(c)), r"\s+")  # noqa: E731
+
+
+def with_token_count(df: DataFrame, col: str = "text") -> DataFrame:
+    """n_tokens = whitespace token count; n_chars for reference."""
+    return (df
+            .withColumn("n_tokens", F.size(_TOKENS(col)))
+            .withColumn("len_chars", F.length(col)))
+
+
+def with_quality_score(df: DataFrame, col: str = "text") -> DataFrame:
+    """Deterministic quality features + a composite score:
+    - n_tokens, len_chars
+    - avg_token_len  = non-space chars / tokens
+    - uniq_ratio     = distinct tokens / tokens (repetition detector)
+    - score          = uniq_ratio * min(1, n_tokens/64)  (length-damped)
+    All rounded to 4dp so Spark and the DuckDB oracle hash identically.
+    """
+    toks = _TOKENS(col)
+    df = (df
+          .withColumn("n_tokens", F.size(toks))
+          .withColumn("len_chars", F.length(col))
+          .withColumn(
+              "avg_token_len",
+              F.round((F.length(F.regexp_replace(F.col(col), r"\s+", "")) /
+                       F.greatest(F.size(toks), F.lit(1))), 4))
+          .withColumn(
+              "uniq_ratio",
+              F.round(F.size(F.array_distinct(toks)) /
+                      F.greatest(F.size(toks), F.lit(1)), 4)))
+    return df.withColumn(
+        "quality_score",
+        F.round(F.col("uniq_ratio") *
+                F.least(F.lit(1.0), F.col("n_tokens") / F.lit(64.0)), 4))
+
+
+def with_fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
+    """Canonical document fingerprint: md5 over the
+    whitespace-normalized, lowercased text. Exact-dedup key and a
+    stable lineage id. (md5 chosen over xxhash64 for oracle parity —
+    DuckDB has no xxhash64.)"""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+    return df.withColumn("fingerprint", F.md5(F.encode(norm, "UTF-8")))
+
+
+# --------------------------------------------------------------------------
+# Language ID — the Pandas-UDF path (Arrow batches, no per-row Python)
+# --------------------------------------------------------------------------
+
+# Tiny per-language marker lexicons (public stopword-style heuristic).
+_MARKERS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "with", "for"},
+    "es": {"el", "la", "de", "que", "y", "en", "los", "del", "se", "las"},
+    "de": {"der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "im"},
+    "fr": {"le", "la", "les", "de", "des", "et", "est", "une", "dans", "qui"},
+    "zh": set(),  # CJK handled by the script check below
+}
+
+
+def _predict_lang(text: str) -> str:
+    if not text:
+        return "und"
+    # script check: any CJK codepoint dominates
+    cjk = sum(1 for ch in text[:400] if "一" <= ch <= "鿿")
+    if cjk > 5:
+        return "zh"
+    toks = text.lower().split()
+    if not toks:
+        return "und"
+    best, best_n = "und", 0
+    for lang, markers in _MARKERS.items():
+        n = sum(1 for t in toks if t in markers)
+        if n > best_n:
+            best, best_n = lang, n
+    # fall back to 'en' for latin-script text with no markers at all
+    return best if best_n > 0 else "en"
+
+
+def with_lang_id(df: DataFrame, col: str = "text") -> DataFrame:
+    """predicted_lang via stopword/script heuristic — mapInPandas
+    (vectorized batches; the heuristic itself is per-doc Python, which
+    is the standard interpretation of 'no per-row UDFs': no row-at-a-
+    time serialization)."""
+    from pyspark.sql import types as T
+
+    # copy the schema — StructType.add mutates in place and would
+    # corrupt the input DataFrame's cached schema
+    schema = T.StructType(
+        list(df.schema.fields) +
+        [T.StructField("predicted_lang", T.StringType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["predicted_lang"] = [
+                _predict_lang(t) for t in pdf[col].astype(str)]
+            yield pdf
+
+    return df.mapInPandas(run, schema)

@@ -142,8 +142,9 @@ def render_page(template_id: str, slots: dict) -> tuple[str, str]:
     return html, slots["text"]
 
 
-def make_slots(template_id: str, key: str) -> dict:
-    text = _words(f"{key}:text", 8 + _h(f"{key}:tl", 40))
+def make_slots(template_id: str, key: str, min_words: int = 8,
+               rng_words: int = 40) -> dict:
+    text = _words(f"{key}:text", min_words + _h(f"{key}:tl", rng_words))
     slots = {"text": text, "junk": _words(f"{key}:junk", 12)}
     if template_id == "t_article":
         slots["title"] = _words(f"{key}:title", 4)
@@ -162,7 +163,8 @@ def make_slots(template_id: str, key: str) -> dict:
     return slots
 
 
-def rows_for_index(i: int, n_hosts: int, head_share: float, seed: int):
+def rows_for_index(i: int, n_hosts: int, head_share: float, seed: int,
+                   min_words: int = 8, rng_words: int = 40):
     """All synthetic rows for page index i (1 or 3 snapshots)."""
     key = f"{seed}:{i}"
     u_host = _h(f"{key}:host") / 2**32
@@ -177,7 +179,7 @@ def rows_for_index(i: int, n_hosts: int, head_share: float, seed: int):
     out = []
     for s in range(n_snaps):
         skey = f"{key}:{s}"
-        slots = make_slots(template_id, skey)
+        slots = make_slots(template_id, skey, min_words, rng_words)
         html, text = render_page(template_id, slots)
         if kind < 5:  # structural mismatch: alien skeleton
             html = (f"<html><body><table><tr><td>{slots['text']}"
@@ -209,7 +211,8 @@ PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
 
 def synth_pages(spark: SparkSession, n_pages: int, n_hosts: int = 50,
                 head_share: float = 0.30, seed: int = 42,
-                partitions: int | None = None) -> DataFrame:
+                partitions: int | None = None, min_words: int = 8,
+                rng_words: int = 40) -> DataFrame:
     """Distributed deterministic pages table: one task per index range,
     no driver materialization, no RNG state (scales to any n)."""
     partitions = partitions or max(8, spark.sparkContext.defaultParallelism)
@@ -218,7 +221,8 @@ def synth_pages(spark: SparkSession, n_pages: int, n_hosts: int = 50,
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
-                rows.extend(rows_for_index(int(i), n_hosts, head_share, seed))
+                rows.extend(rows_for_index(int(i), n_hosts, head_share,
+                                           seed, min_words, rng_words))
             yield pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
