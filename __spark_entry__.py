@@ -173,6 +173,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "n"))
     q["cube_stats"] = cube_stats
 
+    # ---- window running aggregate ------------------------------------------
+    def running_sum(spark, sf):
+        w = (Window.partitionBy("user_id")
+             .orderBy("ts", "event_id")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        return (_t(spark, sf, "events")
+                .select("event_id", "user_id",
+                        _dec(F.sum("value").over(w), 2)
+                        .alias("running_value")))
+    q["running_sum"] = running_sum
+
+    # ---- semi join -----------------------------------------------------------
+    def semi_join_customers(spark, sf):
+        orders = _t(spark, sf, "orders")
+        cust = _t(spark, sf, "customer")
+        big = orders.filter(F.col("o_totalprice") > 100000) \
+                    .select("o_custkey")
+        return (cust.join(big, cust.c_custkey == big.o_custkey,
+                          "left_semi")
+                .groupBy("c_mktsegment")
+                .agg(F.count("*").alias("n_customers")))
+    q["semi_join_customers"] = semi_join_customers
+
+    # ---- pivot via portable conditional aggregation ------------------------
+    def pivot_event_values(spark, sf):
+        ev = _t(spark, sf, "events")
+        types = ["click", "view", "error", "purchase"]
+        aggs = [
+            _dec(F.sum(F.when(F.col("event_type") == t,
+                              F.col("value")).otherwise(0.0)), 2)
+            .alias(f"sum_{t}")
+            for t in types
+        ]
+        return ev.groupBy("user_id").agg(*aggs)
+    q["pivot_event_values"] = pivot_event_values
+
     # ---- training-data ops: dedup family ----------------------------------
     def dedup_exact(spark, sf):
         from weakscraper_spark.operators.dedup import exact_dedup
@@ -355,6 +391,38 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(source, '(all)') AS source_g,
                    count(*) AS n
             FROM documents GROUP BY CUBE (lang, source)
+        """,
+        "running_sum": """
+            SELECT event_id, user_id,
+                   CAST(CAST(round(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       2) AS DECIMAL(18,2)) AS VARCHAR) AS running_value
+            FROM events
+        """,
+        "semi_join_customers": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_totalprice > 100000)
+            GROUP BY c_mktsegment
+        """,
+        "pivot_event_values": """
+            SELECT user_id,
+                   CAST(CAST(round(sum(CASE WHEN event_type = 'click'
+                       THEN value ELSE 0.0 END), 2) AS DECIMAL(18,2))
+                       AS VARCHAR) AS sum_click,
+                   CAST(CAST(round(sum(CASE WHEN event_type = 'view'
+                       THEN value ELSE 0.0 END), 2) AS DECIMAL(18,2))
+                       AS VARCHAR) AS sum_view,
+                   CAST(CAST(round(sum(CASE WHEN event_type = 'error'
+                       THEN value ELSE 0.0 END), 2) AS DECIMAL(18,2))
+                       AS VARCHAR) AS sum_error,
+                   CAST(CAST(round(sum(CASE WHEN event_type = 'purchase'
+                       THEN value ELSE 0.0 END), 2) AS DECIMAL(18,2))
+                       AS VARCHAR) AS sum_purchase
+            FROM events GROUP BY user_id
         """,
         "dedup_exact": """
             SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))

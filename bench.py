@@ -22,6 +22,24 @@ import sys
 import time
 
 
+def _stop_hard(spark) -> None:
+    """stop() alone leaves the py4j gateway JVM alive in this process
+    (observed burning ~90% CPU during later timing subprocesses);
+    shut it down explicitly so phases can't pollute each other."""
+    sc = spark.sparkContext
+    spark.stop()
+    try:
+        sc._gateway.shutdown()
+    except Exception:
+        pass
+    try:
+        from pyspark import SparkContext
+        SparkContext._gateway = None
+        SparkContext._jvm = None
+    except Exception:
+        pass
+
+
 def _run_queries(sf_dir: str, cpus: int) -> tuple[dict, float]:
     from weakscraper_spark.plans.session import get_spark
     import __spark_entry__ as entrymod
@@ -43,7 +61,7 @@ def _run_queries(sf_dir: str, cpus: int) -> tuple[dict, float]:
         dt = round(time.perf_counter() - t0, 3)
         times[name] = dt
         total += dt
-    spark.stop()
+    _stop_hard(spark)
     return times, round(total, 3)
 
 
@@ -52,34 +70,49 @@ def _synth_bench_pages(n_pages: int, cpus: int, out: str) -> None:
     from weakscraper_spark.sources.synth import synth_pages
 
     spark = get_spark("bench_synth", master=f"local[{cpus}]")
-    # heavier pages than the test corpus (~200-word bodies) so the
-    # Python parse stage, not job fixed costs, dominates the timing
-    synth_pages(spark, n_pages, min_words=150, rng_words=100) \
+    # CC-realistic pages: ~100-200-word main text buried in ~800 words
+    # of wp-ignored boilerplate (html ≈ 6 KB, extracted output ≪ html,
+    # parse-dominated — matches the production cost profile)
+    synth_pages(spark, n_pages, min_words=100, rng_words=100,
+                junk_words=800) \
         .write.mode("overwrite").parquet(out)
-    spark.stop()
+    _stop_hard(spark)
 
 
-def _scaling(n_pages: int, n_lo: int, n_hi: int, workdir: str) -> dict:
+def _scaling(n_pages: int, n_lo: int, n_hi: int, workdir: str,
+             rounds: int = 3) -> dict:
+    """Same job + same pre-synthesized input at local[n_lo] vs
+    local[n_hi], each level run ``rounds`` times INTERLEAVED with the
+    other, min wall per level. The sandbox VM shows bursty
+    steal/noisy-neighbor interference (measured: identical runs vary
+    ~2x), so min-of-interleaved is the low-interference estimate."""
     pages_path = os.path.join(workdir, "bench_pages")
     _synth_bench_pages(n_pages, n_hi, pages_path)
-    results = {}
-    for n in (n_lo, n_hi):
-        proc = subprocess.run(
-            [sys.executable, "-m", "weakscraper_spark.plans.bench_job",
-             f"local[{n}]", pages_path],
-            capture_output=True, text=True, cwd=os.path.dirname(
-                os.path.abspath(__file__)))
-        line = [ln for ln in proc.stdout.splitlines()
-                if ln.startswith("{")][-1]
-        results[n] = json.loads(line)
-    p_lo = results[n_lo]["pages_per_s"]
-    p_hi = results[n_hi]["pages_per_s"]
+    walls: dict[int, list[float]] = {n_lo: [], n_hi: []}
+    pages_n = 0
+    for _ in range(rounds):
+        for n in (n_hi, n_lo):
+            proc = subprocess.run(
+                [sys.executable, "-m",
+                 "weakscraper_spark.plans.bench_job",
+                 f"local[{n}]", pages_path],
+                capture_output=True, text=True, cwd=os.path.dirname(
+                    os.path.abspath(__file__)))
+            line = [ln for ln in proc.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            r = json.loads(line)
+            walls[n].append(r["wall_s"])
+            pages_n = r["pages"]
+    w_lo, w_hi = min(walls[n_lo]), min(walls[n_hi])
+    p_lo = round(pages_n / w_lo, 1)
+    p_hi = round(pages_n / w_hi, 1)
     return {
         f"pages_per_s_local{n_lo}": p_lo,
         f"pages_per_s_local{n_hi}": p_hi,
-        f"wall_s_local{n_lo}": results[n_lo]["wall_s"],
-        f"wall_s_local{n_hi}": results[n_hi]["wall_s"],
-        "pages": results[n_hi]["pages"],
+        f"wall_s_local{n_lo}": w_lo,
+        f"wall_s_local{n_hi}": w_hi,
+        "all_walls": {str(k): v for k, v in walls.items()},
+        "pages": pages_n,
         "scaling_efficiency": round((p_hi / p_lo) / (n_hi / n_lo), 3),
     }
 
@@ -89,14 +122,22 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
-    times, total = _run_queries(sf_dir, cpus)
-
     workdir = "/tmp/ws_bench"
     os.makedirs(workdir, exist_ok=True)
     n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES",
-                                 "120000" if sf == "0.1" else "8000"))
-    scaling = _scaling(n_pages, max(cpus // 4, 2), cpus, workdir)
+                                 "300000" if sf == "0.1" else "8000"))
+    # N vs 4N sized so BOTH levels fit the ~16 PHYSICAL cores (32
+    # logical are SMT): in local mode each task keeps a JVM feed
+    # thread AND a Python worker busy (2N threads), so local[2] vs
+    # local[8] is the proxy that measures data-parallel scaling
+    # rather than SMT/core competition — see bench_job docstring and
+    # BASELINE.md. Overridable.
+    n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
+    n_hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
+    scaling = _scaling(n_pages, n_lo, n_hi, workdir)
     shutil.rmtree(workdir, ignore_errors=True)
+
+    times, total = _run_queries(sf_dir, cpus)
 
     print(json.dumps({
         "metric": "headline query wall-clock + extraction scaling",

@@ -89,6 +89,18 @@ def test_fields_json_exact(spark, extracted):
     assert isinstance(fields["tags"], list)
 
 
+def test_salted_plan_same_results(spark, corpus, extracted):
+    """C8 at plan level: the salted-repartition variant (for
+    host-clustered inputs) must produce the identical result set."""
+    pages, templates, specs = corpus
+    salted = build_extract_plan(pages, templates, specs, n_salts=8)
+    base = {(r["url"], r["status"], r["text"])
+            for r in extracted.select("url", "status", "text").collect()}
+    got = {(r["url"], r["status"], r["text"])
+           for r in salted.select("url", "status", "text").collect()}
+    assert got == base
+
+
 def test_salting_invariance(spark, corpus):
     """C8: aggregates are identical under S=1 and S=16 (deterministic
     salting changes layout, never results)."""

@@ -1,0 +1,105 @@
+"""Physical-plan assertions (the .explain discipline from SURVEY §5):
+these lock in the scale-critical plan shapes so a refactor can't
+silently reintroduce a full-width shuffle, drop a broadcast, or lose
+column pruning.
+
+Plan parsing note: ``explain("formatted")`` lists nodes as
+``(<id>) <Name>`` with LEAVES FIRST (id 1 = scan, max id = root), and
+repeats names in the details section — assertions therefore parse the
+numbered node list, not raw substrings.
+"""
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from weakscraper_spark.plans.pipeline import build_extract_plan
+from weakscraper_spark.sources.synth import (
+    compiled_specs, synth_pages, synth_templates)
+
+
+def _plan_nodes(df) -> list[tuple[int, str]]:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    nodes = []
+    for line in buf.getvalue().splitlines():
+        m = re.match(r"^\s*[*+-]*\s*\((\d+)\)\s+(\w+)", line)
+        if m:
+            nodes.append((int(m.group(1)), m.group(2)))
+    return sorted(set(nodes))
+
+
+@pytest.fixture(scope="module")
+def parquet_pages(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "pages")
+    synth_pages(spark, 50).write.parquet(p)
+    return spark.read.parquet(p)
+
+
+@pytest.fixture(scope="module")
+def nodes(spark, parquet_pages):
+    return _plan_nodes(build_extract_plan(
+        parquet_pages, synth_templates(spark), compiled_specs()))
+
+
+def test_template_join_is_broadcast(nodes):
+    names = {n for _, n in nodes}
+    assert "BroadcastHashJoin" in names
+    assert "SortMergeJoin" not in names
+
+
+def test_single_python_stage(nodes):
+    mips = [i for i, n in nodes if n == "MapInPandas"]
+    assert len(mips) == 1, nodes  # exactly one Arrow crossing
+    assert all(n != "BatchEvalPython" for _, n in nodes)  # no row UDF
+
+
+def test_heavy_path_is_map_only(nodes):
+    """Dataflow order = ascending node id (leaves first). Every
+    Exchange must come AFTER the extract MapInPandas — the only
+    shuffle is the narrow post-extract dedup; the html-bearing prefix
+    of the plan is map-only."""
+    extract_id = max(i for i, n in nodes if n == "MapInPandas")
+    early_exchanges = [
+        (i, n) for i, n in nodes
+        if n == "Exchange" and i < extract_id]
+    assert not early_exchanges, nodes
+
+
+def test_dedup_has_mapside_toplimit(nodes):
+    """Spark 4 plants WindowGroupLimit below the dedup Exchange —
+    superseded snapshots are pruned map-side before shuffling. Guard
+    it: losing this doubles the dedup shuffle volume."""
+    exchange_ids = [i for i, n in nodes if n == "Exchange"]
+    wgl_ids = [i for i, n in nodes if n == "WindowGroupLimit"]
+    assert exchange_ids and wgl_ids
+    assert min(wgl_ids) < max(exchange_ids)
+
+
+def test_parquet_scan_prunes_ground_truth_column(spark, parquet_pages):
+    """The scan must not read the ground-truth ``text`` column
+    (column pruning through the whole plan)."""
+    df = build_extract_plan(parquet_pages, synth_templates(spark),
+                            compiled_specs())
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    scan_lines = [ln for ln in buf.getvalue().splitlines()
+                  if "ReadSchema" in ln]
+    assert scan_lines
+    assert "text" not in scan_lines[0]
+    assert "html" in scan_lines[0]
+
+
+def test_filter_pushdown_reaches_scan(spark, parquet_pages):
+    df = build_extract_plan(parquet_pages, synth_templates(spark),
+                            compiled_specs(), langs=["en"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    pushed = [ln for ln in buf.getvalue().splitlines()
+              if "PushedFilters" in ln]
+    assert pushed and "lang" in pushed[0]

@@ -36,9 +36,9 @@ from ..enginelib.match import extract as _extract_doc
 from ..enginelib.spec import Spec, spec_from_json
 
 EXTRACT_SCHEMA = (
-    "url string, template_id string, status string, error string, "
-    "text string, fields_json string, n_nodes int, parse_ms double, "
-    "partition_id int"
+    "url string, warc_ts timestamp, template_id string, status string, "
+    "error string, text string, fields_json string, n_nodes int, "
+    "parse_ms double, partition_id int"
 )
 
 # Per-worker compiled-spec cache (worker reuse makes this amortize).
@@ -57,10 +57,12 @@ def extract_pages(df: DataFrame,
                   spec_json_by_tid: dict[str, str],
                   functions: dict[str, Callable] | None = None,
                   text_key: str = "text") -> DataFrame:
-    """Apply broadcast compiled templates to ``(url, template_id,
-    html)`` rows. ``df`` must contain those three columns; extra
-    columns are dropped (column pruning: don't ship what the Python
-    worker won't read)."""
+    """Apply broadcast compiled templates to ``(url, warc_ts,
+    template_id, html)`` rows. Extra columns are dropped (column
+    pruning: don't ship what the Python worker won't read);
+    ``warc_ts`` is echoed through so the snapshot dedup can run on the
+    NARROW output rows after extraction (shuffle-minimal pipeline,
+    plans/pipeline.py)."""
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast(spec_json_by_tid)
 
@@ -72,6 +74,7 @@ def extract_pages(df: DataFrame,
             n = len(pdf)
             out = {
                 "url": pdf["url"].tolist(),
+                "warc_ts": pdf["warc_ts"].tolist(),
                 "template_id": pdf["template_id"].tolist(),
                 "status": [""] * n, "error": [""] * n,
                 "text": [None] * n, "fields_json": [None] * n,
@@ -103,5 +106,5 @@ def extract_pages(df: DataFrame,
                         default=str)
             yield pd.DataFrame(out)
 
-    return df.select("url", "template_id", "html").mapInPandas(
+    return df.select("url", "warc_ts", "template_id", "html").mapInPandas(
         run, EXTRACT_SCHEMA)

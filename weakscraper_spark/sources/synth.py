@@ -59,7 +59,7 @@ SITE_TEMPLATES: dict[str, str] = {
         '<span class="u" wp-name="user">x</span><p wp-name="msg">y</p></div>'
         "</div>"
         '<div class="main" wp-name="text">x</div>'
-        "</body></html>"
+        "<wp-ignore/></body></html>"
     ),
 }
 
@@ -137,15 +137,19 @@ def render_page(template_id: str, slots: dict) -> tuple[str, str]:
         html = (
             f"<html><body><h1>{slots['title']}</h1>"
             f'<div class="posts">{posts}</div>'
-            f'<div class="main">{slots["text"]}</div></body></html>'
+            f'<div class="main">{slots["text"]}</div>'
+            f"<aside>{slots['junk']}</aside></body></html>"
         )
     return html, slots["text"]
 
 
 def make_slots(template_id: str, key: str, min_words: int = 8,
-               rng_words: int = 40) -> dict:
+               rng_words: int = 40, junk_words: int = 12) -> dict:
+    """``junk_words`` sizes the boilerplate (nav/footer/aside) that the
+    templates wp-ignore — real CC pages are boilerplate-dominated, so
+    the bench corpus uses junk ≫ text (extracted output ≪ html)."""
     text = _words(f"{key}:text", min_words + _h(f"{key}:tl", rng_words))
-    slots = {"text": text, "junk": _words(f"{key}:junk", 12)}
+    slots = {"text": text, "junk": _words(f"{key}:junk", junk_words)}
     if template_id == "t_article":
         slots["title"] = _words(f"{key}:title", 4)
         slots["author"] = _words(f"{key}:author", 2)
@@ -164,7 +168,8 @@ def make_slots(template_id: str, key: str, min_words: int = 8,
 
 
 def rows_for_index(i: int, n_hosts: int, head_share: float, seed: int,
-                   min_words: int = 8, rng_words: int = 40):
+                   min_words: int = 8, rng_words: int = 40,
+                   junk_words: int = 12):
     """All synthetic rows for page index i (1 or 3 snapshots)."""
     key = f"{seed}:{i}"
     u_host = _h(f"{key}:host") / 2**32
@@ -179,7 +184,8 @@ def rows_for_index(i: int, n_hosts: int, head_share: float, seed: int,
     out = []
     for s in range(n_snaps):
         skey = f"{key}:{s}"
-        slots = make_slots(template_id, skey, min_words, rng_words)
+        slots = make_slots(template_id, skey, min_words, rng_words,
+                           junk_words)
         html, text = render_page(template_id, slots)
         if kind < 5:  # structural mismatch: alien skeleton
             html = (f"<html><body><table><tr><td>{slots['text']}"
@@ -212,7 +218,7 @@ PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
 def synth_pages(spark: SparkSession, n_pages: int, n_hosts: int = 50,
                 head_share: float = 0.30, seed: int = 42,
                 partitions: int | None = None, min_words: int = 8,
-                rng_words: int = 40) -> DataFrame:
+                rng_words: int = 40, junk_words: int = 12) -> DataFrame:
     """Distributed deterministic pages table: one task per index range,
     no driver materialization, no RNG state (scales to any n)."""
     partitions = partitions or max(8, spark.sparkContext.defaultParallelism)
@@ -222,7 +228,8 @@ def synth_pages(spark: SparkSession, n_pages: int, n_hosts: int = 50,
             rows = []
             for i in pdf["id"]:
                 rows.extend(rows_for_index(int(i), n_hosts, head_share,
-                                           seed, min_words, rng_words))
+                                           seed, min_words, rng_words,
+                                           junk_words))
             yield pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
