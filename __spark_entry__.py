@@ -209,6 +209,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ev.groupBy("user_id").agg(*aggs)
     q["pivot_event_values"] = pivot_event_values
 
+    # ---- sessionization (lag + gap cutoff + session agg) -------------------
+    def sessionize_events(spark, sf):
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gapped = ev.withColumn(
+            "_prev", F.lag("ts").over(w)
+        ).withColumn(
+            "_new",
+            F.when(F.col("_prev").isNull() |
+                   (F.unix_timestamp("ts") -
+                    F.unix_timestamp("_prev") > 1800), 1).otherwise(0))
+        sess = gapped.withColumn(
+            "session_no", F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+        return (sess.groupBy("user_id", "session_no")
+                .agg(F.count("*").alias("n_events"),
+                     _dec(F.sum("value"), 2).alias("session_value")))
+    q["sessionize_events"] = sessionize_events
+
+    # ---- template induction round-trip (C12; rows-only — engine op) -------
+    def induce_roundtrip(spark, sf):
+        from weakscraper_spark.enginelib import induce_template
+        from weakscraper_spark.enginelib.match import extract
+        from weakscraper_spark.sources.synth import (
+            make_slots, render_page)
+        samples = [render_page("t_article",
+                               make_slots("t_article", f"ind:{i}"))[0]
+                   for i in range(4)]
+        spec = induce_template(samples)
+        rows = []
+        for i, html in enumerate(samples):
+            r = extract(spec, html)
+            rows.append((i, r["status"],
+                         len(r["fields"] or {}), r["text"]))
+        return spark.createDataFrame(
+            rows, "sample_id long, status string, n_slots long, "
+                  "text string")
+    q["induce_roundtrip"] = induce_roundtrip
+
     # ---- training-data ops: dedup family ----------------------------------
     def dedup_exact(spark, sf):
         from weakscraper_spark.operators.dedup import exact_dedup
@@ -391,6 +430,33 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(source, '(all)') AS source_g,
                    count(*) AS n
             FROM documents GROUP BY CUBE (lang, source)
+        """,
+        "sessionize_events": """
+            WITH g AS (
+                SELECT user_id, ts, event_id, value,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+                FROM events),
+            m AS (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN prev IS NULL
+                                 OR CAST(floor(epoch(ts)) AS BIGINT)
+                                    - CAST(floor(epoch(prev)) AS BIGINT)
+                                    > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                FROM g),
+            s AS (
+                SELECT user_id, value,
+                       CAST(sum(new_s) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS BIGINT)
+                           AS session_no
+                FROM m)
+            SELECT user_id, session_no, count(*) AS n_events,
+                   CAST(CAST(round(sum(value), 2) AS DECIMAL(18,2))
+                        AS VARCHAR) AS session_value
+            FROM s GROUP BY user_id, session_no
         """,
         "running_sum": """
             SELECT event_id, user_id,
