@@ -1,0 +1,67 @@
+"""Property-based ring (hypothesis, no Spark): the executor-safety
+contract — ``extract`` must NEVER raise, for ANY input document — and
+determinism/round-trip invariants. These are the properties that keep
+one hostile page from failing a 100 TB job's Arrow batch."""
+
+from hypothesis import given, settings, strategies as st
+
+from weakscraper_spark.enginelib import (
+    TemplateScraper, spec_from_json, spec_to_json)
+from weakscraper_spark.enginelib.dom import parse_html, serialize_node
+from weakscraper_spark.enginelib.match import extract
+from weakscraper_spark.enginelib.textnorm import normalize_text
+from weakscraper_spark.sources.synth import (
+    SITE_TEMPLATES, make_slots, render_page)
+
+SCRAPER = TemplateScraper(
+    '<html><body><h1 wp-name="t">x</h1>'
+    '<ul><li wp-list wp-name="xs">i</li></ul>'
+    '<div wp-recursive wp-name="r">x</div><wp-ignore/></body></html>')
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=2000))
+def test_extract_never_raises_on_arbitrary_text(doc):
+    row = SCRAPER.extract(doc)
+    assert row["status"] == "ok" or row["status"].startswith("mismatch:")
+    assert isinstance(row["n_nodes"], int)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="<>/=\"' abceihlmtu&#;!-", max_size=400))
+def test_parse_never_raises_on_taggy_garbage(doc):
+    root = parse_html(doc)
+    assert root["nodetype"] == "tag"
+    # serialization of whatever tree came out must also never raise
+    serialize_node(root)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=500))
+def test_normalize_idempotent(s):
+    once = normalize_text(s)
+    assert normalize_text(once) == once
+    assert "  " not in once and once == once.strip()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.sampled_from(sorted(SITE_TEMPLATES)), st.integers(0, 10**9))
+def test_render_extract_roundtrip(tid, seed):
+    """Any rendered page of a site template extracts ok and recovers
+    the main text byte-identically (the pipeline invariant, fuzzed
+    over the slot-value space)."""
+    slots = make_slots(tid, f"prop:{seed}")
+    html, truth = render_page(tid, slots)
+    scraper = TemplateScraper(SITE_TEMPLATES[tid])
+    row = scraper.extract(html)
+    assert row["status"] == "ok", row["error"]
+    assert row["text"] == truth
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(0, 10**9))
+def test_spec_json_roundtrip_stable(seed):
+    tid = sorted(SITE_TEMPLATES)[seed % 3]
+    scraper = TemplateScraper(SITE_TEMPLATES[tid])
+    js = spec_to_json(scraper.spec)
+    assert spec_to_json(spec_from_json(js)) == js  # canonical fixpoint
