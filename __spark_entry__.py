@@ -196,18 +196,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count("*").alias("n_customers")))
     q["semi_join_customers"] = semi_join_customers
 
-    # ---- pivot via portable conditional aggregation ------------------------
+    # ---- pivot (native Spark pivot; oracle mirrors via CASE) ---------------
     def pivot_event_values(spark, sf):
         ev = _t(spark, sf, "events")
         types = ["click", "view", "error", "purchase"]
-        aggs = [
-            _dec(F.sum(F.when(F.col("event_type") == t,
-                              F.col("value")).otherwise(0.0)), 2)
-            .alias(f"sum_{t}")
-            for t in types
-        ]
-        return ev.groupBy("user_id").agg(*aggs)
+        wide = (ev.groupBy("user_id")
+                .pivot("event_type", types)
+                .agg(F.sum("value")))
+        cols = [F.col("user_id")] + [
+            _dec(F.coalesce(F.col(t), F.lit(0.0)), 2).alias(f"sum_{t}")
+            for t in types]
+        return wide.select(*cols)
     q["pivot_event_values"] = pivot_event_values
+
+    # ---- tumbling event-time windows (F.window ~ time_bucket) -------------
+    def events_tumbling(spark, sf):
+        ev = _t(spark, sf, "events")
+        return (ev.groupBy(F.window("ts", "15 minutes").alias("w"),
+                           "event_type")
+                .agg(F.count("*").alias("n"),
+                     _dec(F.sum("value"), 2).alias("sum_value"))
+                .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                        .alias("w_start"), "event_type", "n",
+                        "sum_value"))
+    q["events_tumbling"] = events_tumbling
+
+    # ---- set ops: EXCEPT ---------------------------------------------------
+    def except_orders(spark, sf):
+        orders = _t(spark, sf, "orders").select(
+            "o_orderkey", "o_orderpriority")
+        done = orders.filter(F.col("o_orderkey") % 7 == 0)
+        return orders.exceptAll(done)
+    q["except_orders"] = except_orders
+
+    # ---- captured fields → long format (C6 flattening; rows-only:
+    # synthesized pages have no DuckDB twin) ---------------------------------
+    def fields_long(spark, sf):
+        from pyspark.sql import types as T
+        from weakscraper_spark.plans.pipeline import synth_and_extract
+        out = synth_and_extract(spark, 400).filter("status = 'ok'")
+        fields = F.from_json(
+            "fields_json", T.MapType(T.StringType(), T.StringType()))
+        return (out.select("url", F.explode(fields).alias("key", "val"))
+                .filter(F.col("key") != "text"))
+    q["fields_long"] = fields_long
 
     # ---- sessionization (lag + gap cutoff + session agg) -------------------
     def sessionize_events(spark, sf):
@@ -457,6 +489,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(round(sum(value), 2) AS DECIMAL(18,2))
                         AS VARCHAR) AS session_value
             FROM s GROUP BY user_id, session_no
+        """,
+        "events_tumbling": """
+            SELECT strftime(time_bucket(INTERVAL '15 minutes', ts),
+                            '%Y-%m-%d %H:%M:%S') AS w_start,
+                   event_type, count(*) AS n,
+                   CAST(CAST(round(sum(value), 2) AS DECIMAL(18,2))
+                        AS VARCHAR) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "except_orders": """
+            SELECT o_orderkey, o_orderpriority FROM orders
+            EXCEPT ALL
+            SELECT o_orderkey, o_orderpriority FROM orders
+            WHERE o_orderkey % 7 = 0
         """,
         "running_sum": """
             SELECT event_id, user_id,
