@@ -80,12 +80,14 @@ def _synth_bench_pages(n_pages: int, cpus: int, out: str) -> None:
 
 
 def _scaling(n_pages: int, n_lo: int, n_hi: int, workdir: str,
-             rounds: int = 3) -> dict:
+             rounds: int | None = None) -> dict:
     """Same job + same pre-synthesized input at local[n_lo] vs
     local[n_hi], each level run ``rounds`` times INTERLEAVED with the
     other, min wall per level. The sandbox VM shows bursty
     steal/noisy-neighbor interference (measured: identical runs vary
     ~2x), so min-of-interleaved is the low-interference estimate."""
+    rounds = rounds or int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS",
+                                          "2"))
     pages_path = os.path.join(workdir, "bench_pages")
     _synth_bench_pages(n_pages, n_hi, pages_path)
     walls: dict[int, list[float]] = {n_lo: [], n_hi: []}
@@ -125,7 +127,7 @@ def main() -> None:
     workdir = "/tmp/ws_bench"
     os.makedirs(workdir, exist_ok=True)
     n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES",
-                                 "300000" if sf == "0.1" else "8000"))
+                                 "200000" if sf == "0.1" else "8000"))
     # N vs 4N sized so BOTH levels fit the ~16 PHYSICAL cores (32
     # logical are SMT): in local mode each task keeps a JVM feed
     # thread AND a Python worker busy (2N threads), so local[2] vs
