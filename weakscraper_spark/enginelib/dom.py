@@ -71,17 +71,23 @@ class _DomBuilder(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.root: Node = tag_node("root", {})
         self._stack: list[Node] = [self.root]
+        #: nodes appended (tags + kept text) — counted during the parse
+        #: so callers never need a second tree walk (hot path: one
+        #: extra walk cost ~6% of per-doc time, measured)
+        self.n_nodes: int = 0
 
     # -- HTMLParser callbacks ------------------------------------------
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         node = tag_node(tag, {k: (v if v is not None else "") for k, v in attrs})
         self._stack[-1]["children"].append(node)
+        self.n_nodes += 1
         if tag not in self.void_elements:
             self._stack.append(node)
 
     def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         node = tag_node(tag, {k: (v if v is not None else "") for k, v in attrs})
         self._stack[-1]["children"].append(node)
+        self.n_nodes += 1
 
     def handle_endtag(self, tag: str) -> None:
         # Unwind to the nearest matching open tag; ignore strays.
@@ -91,8 +97,11 @@ class _DomBuilder(HTMLParser):
                 return
 
     def handle_data(self, data: str) -> None:
-        if data.strip():
+        # isspace() instead of strip(): no new string allocation on the
+        # hot path; semantics identical (drop whitespace-only nodes)
+        if data and not data.isspace():
             self._stack[-1]["children"].append(text_node(data))
+            self.n_nodes += 1
 
     # comments, PIs, declarations are dropped (reference behavior: no
     # handle_comment override → HTMLParser discards them).
@@ -113,6 +122,15 @@ def parse_html(html: str) -> Node:
     builder.feed(html)
     builder.close()
     return builder.root
+
+
+def parse_html_counted(html: str) -> tuple[Node, int]:
+    """Like :func:`parse_html`, also returning the node count gathered
+    during the parse (no second tree walk — extract hot path)."""
+    builder = _DomBuilder()
+    builder.feed(html)
+    builder.close()
+    return builder.root, builder.n_nodes
 
 
 def parse_template_html(html: str) -> Node:

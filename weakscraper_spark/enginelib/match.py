@@ -26,7 +26,8 @@ from __future__ import annotations
 
 from typing import Any, Callable
 
-from .dom import Node, is_tag, is_text, parse_html, serialize_node
+from .dom import (Node, is_tag, is_text, parse_html, parse_html_counted,
+                  serialize_node)
 from .errors import (
     AttrsError,
     CompareError,
@@ -278,8 +279,7 @@ def extract(spec: Spec, html: str, functions: Functions | None = None,
     functions = functions or {}
     n_nodes = 0
     try:
-        page_root = parse_html(html)
-        n_nodes = count_nodes(page_root) - 1  # exclude synthetic root
+        page_root, n_nodes = parse_html_counted(html)
         results: Results = {}
         align_children(spec["children"], page_root["children"], results,
                        functions, ())
