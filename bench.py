@@ -72,9 +72,15 @@ def _synth_bench_pages(n_pages: int, cpus: int, out: str) -> None:
     spark = get_spark("bench_synth", master=f"local[{cpus}]")
     # CC-realistic pages: ~100-200-word main text buried in ~800 words
     # of wp-ignored boilerplate (html ≈ 6 KB, extracted output ≪ html,
-    # parse-dominated — matches the production cost profile)
+    # parse-dominated — matches the production cost profile).
+    # MANY balanced files (one per ~3k page indexes): parquet writes
+    # one row group per file here, and row groups are the real split
+    # unit — 8 fat files gave the extract stage only 8 tasks, no
+    # load-balance slack at local[8], measured efficiency ~0.6 from
+    # stragglers alone (bench_job.py docstring).
+    n_files = max(64, n_pages // 3000)
     synth_pages(spark, n_pages, min_words=100, rng_words=100,
-                junk_words=800) \
+                junk_words=800, partitions=n_files) \
         .write.mode("overwrite").parquet(out)
     _stop_hard(spark)
 
@@ -87,7 +93,7 @@ def _scaling(n_pages: int, n_lo: int, n_hi: int, workdir: str,
     steal/noisy-neighbor interference (measured: identical runs vary
     ~2x), so min-of-interleaved is the low-interference estimate."""
     rounds = rounds or int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS",
-                                          "2"))
+                                          "3"))
     pages_path = os.path.join(workdir, "bench_pages")
     _synth_bench_pages(n_pages, n_hi, pages_path)
     walls: dict[int, list[float]] = {n_lo: [], n_hi: []}
@@ -126,8 +132,12 @@ def main() -> None:
 
     workdir = "/tmp/ws_bench"
     os.makedirs(workdir, exist_ok=True)
+    # 400k pages ≈ 57 s of parallel extract work at local[2]: large
+    # enough that residual per-job constants (<1 s post-warmup) and
+    # sandbox noise are <5% of either wall (r02 measurement ledger in
+    # BENCH/BASELINE.md).
     n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES",
-                                 "200000" if sf == "0.1" else "8000"))
+                                 "400000" if sf == "0.1" else "8000"))
     # N vs 4N sized so BOTH levels fit the ~16 PHYSICAL cores (32
     # logical are SMT): in local mode each task keeps a JVM feed
     # thread AND a Python worker busy (2N threads), so local[2] vs
