@@ -362,7 +362,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         blobs = (_t(spark, sf, "documents")
                  .select(F.col("doc_id").alias("blob_id"),
                          F.encode("text", "UTF-8").alias("blob")))
-        return extract_blob_meta(blobs)
+        # feat is array<float>: stringify for the harness — the
+        # driver's canonicalizer sorts object columns and a Python
+        # list isn't hashable/sortable (r01 red row).
+        return (extract_blob_meta(blobs)
+                .withColumn("feat_json", F.to_json("feat"))
+                .drop("feat"))
     q["multimodal_meta"] = multimodal_meta
 
     # ---- the extraction operator itself (rows-only; pytest ring is the
@@ -551,14 +556,18 @@ def oracle_sql() -> dict[str, str]:
                      min(md5('4:' || tok)) AS s4, min(md5('5:' || tok)) AS s5,
                      min(md5('6:' || tok)) AS s6, min(md5('7:' || tok)) AS s7
                      FROM sh GROUP BY doc),
-            bands AS (
+            bands_all AS (
                 SELECT doc, 0 AS band, s0 || '|' || s1 AS bkey FROM sigs
                 UNION ALL
                 SELECT doc, 1, s2 || '|' || s3 FROM sigs
                 UNION ALL
                 SELECT doc, 2, s4 || '|' || s5 FROM sigs
                 UNION ALL
-                SELECT doc, 3, s6 || '|' || s7 FROM sigs)
+                SELECT doc, 3, s6 || '|' || s7 FROM sigs),
+            -- mirror of the Spark-side max_bucket=64 bucket-size cap
+            bands AS (
+                SELECT doc, band, bkey FROM bands_all
+                QUALIFY count(*) OVER (PARTITION BY band, bkey) <= 64)
             SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_bands
             FROM bands a JOIN bands b USING (band, bkey)
             WHERE a.doc < b.doc GROUP BY 1, 2

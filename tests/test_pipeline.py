@@ -120,7 +120,8 @@ def test_salting_invariance(spark, corpus):
 def test_resume_exactly_once(spark, corpus, tmp_path):
     """C9: run on half the corpus, then on the full corpus into the
     same sink → every url exactly once, second run only adds the
-    missing urls."""
+    missing urls (re-presented superseded snapshots are skipped by
+    the (url, done_ts) resume predicate)."""
     pages, templates, specs = corpus
     out_dir = str(tmp_path / "sink")
 
@@ -134,7 +135,54 @@ def test_resume_exactly_once(spark, corpus, tmp_path):
     n_urls = pages.select("url").distinct().count()
     assert out.count() == n_urls
     assert out.groupBy("url").count().filter("count > 1").count() == 0
-    assert r1["rows"] + (r2["rows"] - r1["rows"]) == n_urls
+    assert r1["rows_written"] + r2["rows_written"] == n_urls
+
+    # metrics are per-increment: summing the metrics table equals the
+    # sink count exactly (no double counting across resume runs)
+    m = spark.read.parquet(r2["metrics_out"])
+    assert m.agg(F.sum("n_pages")).first()[0] == n_urls
+    # same-run_id retry overwrites its own partition with the same
+    # rows (resume excludes the current run from the done-set, so a
+    # retry of a partial write re-processes its own share) — the sink
+    # stays exactly-once per url
+    r2b = run_pipeline(spark, pages, templates, specs, out_dir,
+                       run_id="r2")
+    assert r2b["rows_written"] == r2["rows_written"]
+    out_b = spark.read.parquet(r2b["pages_out"])
+    assert out_b.count() == n_urls
+    assert out_b.groupBy("url").count().filter("count > 1").count() == 0
+
+
+def test_resume_newer_snapshot_wins(spark, corpus, tmp_path):
+    """Snapshot-granular resume: a warc_ts NEWER than the sink's
+    latest for a url is re-extracted on a later run, and the
+    latest-per-url serving view prefers it (url-granular resume
+    silently discarded it — ADVICE r01)."""
+    import datetime as dtmod
+    import os
+
+    from weakscraper_spark.sources.synth import (
+        PAGES_SCHEMA, make_slots, render_page)
+
+    pages, templates, specs = corpus
+    out_dir = str(tmp_path / "sink")
+    run_pipeline(spark, pages, templates, specs, out_dir, run_id="r1")
+
+    sink_path = os.path.join(out_dir, "pages_out")
+    row = (spark.read.parquet(sink_path).filter("status = 'ok'")
+           .select("url", "warc_ts", "template_id").first())
+    html, text = render_page(
+        row["template_id"], make_slots(row["template_id"], "newer:snap"))
+    newer = spark.createDataFrame(
+        [(row["url"], row["warc_ts"] + dtmod.timedelta(days=1),
+          html.encode("utf-8"), text, "en")], PAGES_SCHEMA)
+
+    r2 = run_pipeline(spark, newer, templates, specs, out_dir,
+                      run_id="r2")
+    assert r2["rows_written"] == 1
+    served = dedup_latest(spark.read.parquet(sink_path))
+    got = served.filter(F.col("url") == row["url"]).first()
+    assert got["text"] == text and got["status"] == "ok"
 
 
 def test_partition_metrics_reconcile(spark, extracted):

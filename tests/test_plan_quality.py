@@ -79,6 +79,22 @@ def test_dedup_has_mapside_toplimit(nodes):
     assert min(wgl_ids) < max(exchange_ids)
 
 
+def test_entry_plan_is_map_only_before_extract(spark):
+    """The DRIVER-FACING plan (entry()'s actual DataFrame) must be the
+    map-only plan the pipeline docstring promises — r01 shipped
+    entry() with a default-salt full-width repartition while this
+    suite asserted the unsalted variant. Guard the real thing: no
+    Exchange before the LAST MapInPandas (synth is itself a
+    MapInPandas leaf; the extract stage is the last one)."""
+    import __spark_entry__ as entrymod
+
+    nodes = _plan_nodes(entrymod.entry(spark))
+    extract_id = max(i for i, n in nodes if n == "MapInPandas")
+    early = [(i, n) for i, n in nodes
+             if n == "Exchange" and i < extract_id]
+    assert not early, nodes
+
+
 def test_parquet_scan_prunes_ground_truth_column(spark, parquet_pages):
     """The scan must not read the ground-truth ``text`` column
     (column pruning through the whole plan)."""

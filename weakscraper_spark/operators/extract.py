@@ -8,8 +8,10 @@ Execution model (SURVEY §4.2 flagship trace):
   (BASELINE.json:15 mandate).
 - Specs travel as JSON strings inside a ``sc.broadcast`` and are
   deserialized ONCE PER PYTHON WORKER via a module-level cache keyed
-  by content hash (pays off because ``spark.python.worker.reuse=true``
-  — SURVEY §5).
+  by content hash. The cache amortizes when workers are reused
+  (cluster mode, and the bench job, set
+  ``spark.python.worker.reuse=true``); under session.py's local-mode
+  default (reuse off) it still dedups within a worker's task.
 - One bad document can never fail a batch: ``enginelib.match.extract``
   maps every CompareError/RecursionError to a status row (A13).
 - C13 lineage: each output row carries its ``partition_id`` (from

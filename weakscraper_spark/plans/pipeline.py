@@ -108,10 +108,25 @@ def salt_repartition(df: DataFrame, num_partitions: int,
 # C9 — checkpoint resume via anti join
 # --------------------------------------------------------------------------
 
-def resume_filter(pages: DataFrame, done_urls: DataFrame | None) -> DataFrame:
-    if done_urls is None:
+def resume_filter(pages: DataFrame, done: DataFrame | None) -> DataFrame:
+    """Drop input rows already represented in the sink.
+
+    ``done`` is either a bare url set (plain left_anti) or, from
+    ``run_pipeline``, ``(url, done_ts)`` with done_ts = the newest
+    extracted ``warc_ts`` per url. The composite form keeps
+    latest-snapshot semantics under INCREMENTAL input: a snapshot
+    newer than anything already extracted for that url is processed
+    (the serving view ``dedup_latest(sink)`` then prefers it), while
+    superseded snapshots are still skipped — an anti-join on the
+    predicate ``url known AND warc_ts <= done_ts``."""
+    if done is None:
         return pages
-    return pages.join(done_urls.select("url"), "url", "left_anti")
+    if "done_ts" not in done.columns:
+        return pages.join(done.select("url"), "url", "left_anti")
+    return (pages.join(done.select("url", "done_ts"), "url", "left")
+            .filter(F.col("done_ts").isNull() |
+                    (F.col("warc_ts") > F.col("done_ts")))
+            .drop("done_ts"))
 
 
 # --------------------------------------------------------------------------
@@ -207,35 +222,72 @@ def run_pipeline(spark: SparkSession, pages: DataFrame,
                  num_partitions: int | None = None) -> dict:
     """Execute the pipeline with checkpoint-resume semantics against a
     parquet sink (Iceberg ``writeTo(...).append()`` in prod — sandbox
-    has no Iceberg jars, SURVEY §8)."""
+    has no Iceberg jars, SURVEY §8).
+
+    Sink layout: one hive-style partition per run
+    (``pages_out/run_id=<id>/``), written with per-run OVERWRITE — a
+    retried/duplicate run_id replaces its own partition instead of
+    double-appending, so the sink append is idempotent (the parquet
+    stand-in for an Iceberg transactional commit). Consumers read
+    ``pages_out`` whole; latest-per-url serving view =
+    ``dedup_latest(sink)``.
+
+    Resume: the done-set (url, max extracted warc_ts) is computed
+    from the sink and MATERIALIZED via ``localCheckpoint(eager=True)``
+    before the write starts — the append job must not re-list the
+    directory it is appending to (self-referential read/write; Iceberg
+    snapshot isolation solves this in prod).
+
+    Metrics are computed from the just-written increment partition
+    only — never a re-scan of the cumulative sink (at production
+    scale the sink is the whole corpus)."""
     pages_out = os.path.join(out_dir, "pages_out")
     metrics_out = os.path.join(out_dir, "metrics")
+    inc_path = os.path.join(pages_out, f"run_id={run_id}")
 
     done = None
     if _dir_has_parquet(pages_out):
-        done = spark.read.parquet(pages_out).select("url")
+        # exclude THIS run's partition from the done-set: a retry of a
+        # partially-written run must re-process its own rows (the
+        # overwrite below replaces the partial partition), while still
+        # resuming against every other run's output. Partition pruning
+        # makes the exclusion a metadata-only filter.
+        done = (spark.read.parquet(pages_out)
+                .filter(F.col("run_id") != run_id)
+                .groupBy("url").agg(F.max("warc_ts").alias("done_ts"))
+                .localCheckpoint(eager=True))
 
     plan = build_extract_plan(pages, templates, specs, langs=langs,
                               done_urls=done, n_salts=n_salts,
                               num_partitions=num_partitions)
     t0 = time.perf_counter()
-    plan.write.mode("append").parquet(pages_out)
+    plan.write.mode("overwrite").parquet(inc_path)
     wall_s = time.perf_counter() - t0
 
-    out = spark.read.parquet(pages_out)
-    metrics = partition_metrics(out, run_id)
-    metrics.write.mode("append").parquet(metrics_out)
+    # explicit schema: a fully-resumed run writes a 0-row increment,
+    # which has no parquet footer to infer from
+    inc = spark.read.schema(plan.schema).parquet(inc_path)
+    metrics = partition_metrics(inc, run_id)
+    # same per-run overwrite idempotence as the sink (run_id comes
+    # back as the hive partition key on read)
+    metrics.drop("run_id").write.mode("overwrite").parquet(
+        os.path.join(metrics_out, f"run_id={run_id}"))
 
-    n_total = out.count()
-    n_ok = out.filter(F.col("status") == "ok").count()
-    return {"rows": n_total, "ok": n_ok, "wall_s": wall_s,
+    counts = inc.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
+    ).first()
+    return {"rows_written": counts["n"], "ok_written": counts["ok"] or 0,
+            "wall_s": wall_s,
             "pages_out": pages_out, "metrics_out": metrics_out}
 
 
 def _dir_has_parquet(path: str) -> bool:
-    if not os.path.isdir(path):
-        return False
-    return any(f.endswith(".parquet") for f in os.listdir(path))
+    """True if the sink tree (incl. run_id=* partitions) has data."""
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
 
 
 # --------------------------------------------------------------------------
@@ -243,8 +295,14 @@ def _dir_has_parquet(path: str) -> bool:
 # --------------------------------------------------------------------------
 
 def synth_and_extract(spark: SparkSession, n_pages: int,
-                      n_salts: int = 16,
+                      n_salts: int = 0,
                       num_partitions: int | None = None) -> DataFrame:
+    """``n_salts=0`` (map-only heavy path) is the default here exactly
+    as in ``build_extract_plan`` — this is the plan ``entry()`` and the
+    bench headline run, and it must BE the plan the module docstring
+    promises (no corpus-width exchange before the Python stage;
+    asserted on entry()'s DataFrame in tests/test_plan_quality.py).
+    Salting stays opt-in for host-clustered input layouts."""
     pages = synth_pages(spark, n_pages)
     templates = synth_templates(spark)
     return build_extract_plan(pages, templates, compiled_specs(),
