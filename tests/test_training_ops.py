@@ -73,6 +73,49 @@ def test_simhash_near_pairs(docs):
     assert not any(4 in p for p in pairs)
 
 
+def test_simhash_banding_recall_at_high_hamming(spark):
+    """Recall guard (r01 bug): a pair at Hamming 6 whose differing
+    bits straddle all four former 16-bit chunks must be found with
+    max_hamming=8 — requires chunk count derived from max_hamming
+    (k = max_hamming + 1), not a fixed 4-way split."""
+    from weakscraper_spark.operators.dedup import simhash_band_pairs
+
+    base = 0x0123456789ABCDEF
+    flips = (1 << 0) | (1 << 17) | (1 << 18) | (1 << 33) \
+        | (1 << 49) | (1 << 63)
+    flipped = base ^ flips
+
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    sh = spark.createDataFrame(
+        [(1, signed(base)), (2, signed(flipped))],
+        "doc long, simhash long")
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in simhash_band_pairs(sh, max_hamming=8).collect()}
+    assert pairs == {(1, 2): 6}
+
+
+def test_minhash_bucket_cap_drops_giant_cluster(spark):
+    """max_bucket: a dup cluster larger than the cap produces NO LSH
+    pairs (it belongs to exact dedup), while small clusters still
+    pair — the guard that keeps the band self-join from going O(c²)
+    on a boilerplate cluster."""
+    from weakscraper_spark.operators.dedup import minhash_lsh_pairs
+    giant = [(i, BASE, "en", "s", len(BASE)) for i in range(10)]
+    small = [(100 + i, "tiny unrelated piece of text repeated verbatim "
+              "across exactly two documents for the pair check",
+              "en", "s", 90) for i in range(2)]
+    df = spark.createDataFrame(
+        giant + small,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    pairs = {(r.doc_a, r.doc_b)
+             for r in minhash_lsh_pairs(df, max_bucket=8).collect()}
+    assert (100, 101) in pairs
+    assert not any(a < 100 for a, _ in pairs)
+
+
 @pytest.fixture(scope="module")
 def clustered_emb(spark):
     """3 well-separated clusters of 8 vectors each in R^16."""

@@ -98,10 +98,20 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       col: str = "text", n_hashes: int = 8,
-                      band_size: int = 2, shingle_k: int = 3) -> DataFrame:
+                      band_size: int = 2, shingle_k: int = 3,
+                      max_bucket: int = 64) -> DataFrame:
     """Candidate near-dup pairs: docs sharing at least one LSH band
     (band = concat of ``band_size`` consecutive signatures). Returns
-    (doc_a, doc_b, n_bands) with doc_a < doc_b."""
+    (doc_a, doc_b, n_bands) with doc_a < doc_b.
+
+    ``max_bucket`` caps the per-band bucket size BEFORE the self-join:
+    one giant duplicate cluster (or a degenerate all-identical band
+    key) would otherwise make the band join O(c²) in that cluster's
+    size — the classic LSH blow-up at corpus scale. Docs in an
+    over-cap bucket are trivially near-identical and belong to exact
+    dedup (``exact_dedup``), not pairwise LSH. The window count runs
+    on the SAME (band, bkey) key the join shuffles on, so it adds no
+    extra exchange. Mirrored 1:1 in the DuckDB oracle (QUALIFY)."""
     sigs = minhash_signatures(df, id_col, col, n_hashes, shingle_k)
     n_bands = n_hashes // band_size
     bands = []
@@ -114,6 +124,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     exploded = bands[0]
     for extra in bands[1:]:
         exploded = exploded.unionByName(extra)
+    w = Window.partitionBy("band", "bkey")
+    exploded = (exploded
+                .withColumn("_bucket_n", F.count("*").over(w))
+                .filter(F.col("_bucket_n") <= max_bucket)
+                .drop("_bucket_n"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (a.join(b, ["band", "bkey"])
@@ -135,8 +150,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     cap (df <= max_df). The df-cap bounds each shingle's pair fan-out
     to O(max_df²), which is what keeps the self-join from going
     quadratic on boilerplate shingles at corpus scale. Returns
-    (doc_a, doc_b, jaccard)."""
-    toks = _shingles(df, id_col, col, shingle_k).cache()
+    (doc_a, doc_b, jaccard).
+
+    The shingle table is deliberately NOT cached even though the plan
+    references it three times: at corpus scale the exploded table is
+    several times the corpus size, so caching it is a memory/spill
+    hazard — recomputing the narrow project+explode per reference is
+    the cheaper, bounded choice (and lets scan-side column pruning
+    apply to each branch independently)."""
+    toks = _shingles(df, id_col, col, shingle_k)
     rare = (toks.groupBy("tok").agg(F.count("*").alias("df"))
             .filter(F.col("df") <= max_df).select("tok"))
     rtoks = toks.join(rare, "tok")
@@ -196,19 +218,29 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, col).mapInPandas(run, "doc long, simhash long")
 
 
-def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
-                       col: str = "text", max_hamming: int = 3) -> DataFrame:
-    """Near-dup candidates by banded SimHash: split the 64-bit hash
-    into 4×16-bit chunks — any pair within Hamming distance 3 shares
-    at least one exact chunk (pigeonhole). Equi-join per chunk, then
-    exact Hamming check via bit_count(xor). No cross join."""
-    sh = simhash(df, id_col, col)
+def simhash_band_pairs(sh: DataFrame,
+                       max_hamming: int = 3) -> DataFrame:
+    """Banded Hamming candidate pairs over a ``(doc, simhash)``
+    DataFrame. Chunk count is DERIVED from ``max_hamming``: with k
+    chunks, a pair differing in <= k-1 bits must share at least one
+    exact chunk (pigeonhole), so k = max_hamming + 1 guarantees full
+    recall — a fixed 4-chunk split silently missed distance-4..8
+    pairs straddling all chunks. Equi-join per chunk, exact Hamming
+    check via bit_count(xor), no cross join."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], "
+                         f"got {max_hamming}")
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks  # last chunk takes the remainder bits
     chunks = None
-    for c in range(4):
-        part = sh.select(
-            "doc", "simhash", F.lit(c).alias("chunk"),
-            F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF))
-            .alias("ckey"))
+    for c in range(n_chunks):
+        start = c * width
+        w = width if c < n_chunks - 1 else 64 - start
+        key = F.shiftrightunsigned("simhash", start)
+        if w < 64:
+            key = key.bitwiseAND(F.lit((1 << w) - 1))
+        part = sh.select("doc", "simhash", F.lit(c).alias("chunk"),
+                         key.alias("ckey"))
         chunks = part if chunks is None else chunks.unionByName(part)
     a, b = chunks.alias("a"), chunks.alias("b")
     return (a.join(b, ["chunk", "ckey"])
@@ -219,3 +251,11 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
                         F.col("b.simhash"))).alias("hamming"))
             .filter(F.col("hamming") <= max_hamming)
             .distinct())
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                       col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidates: simhash64 per doc, then banded Hamming
+    join (``simhash_band_pairs``) with recall guaranteed for the
+    requested ``max_hamming``."""
+    return simhash_band_pairs(simhash(df, id_col, col), max_hamming)
