@@ -1,13 +1,17 @@
 """Streaming ring (SURVEY.md §4.4 optional wrapper): readStream over
 a pages directory → foreachBatch reusing the batch extract stage →
-parquet sink, exactly-once via checkpoint. availableNow trigger so the
-test is bounded."""
+parquet sink (batch_id-keyed idempotent partitions), restart-safe via
+checkpoint. availableNow trigger so the test is bounded."""
+
+import datetime as dt
 
 from pyspark.sql import functions as F
 
+from weakscraper_spark.plans.pipeline import dedup_latest
 from weakscraper_spark.sources.synth import (
-    PAGES_SCHEMA, compiled_specs, synth_pages, synth_templates)
-from weakscraper_spark.streaming import stream_extract
+    PAGES_SCHEMA, compiled_specs, make_slots, render_page, synth_pages,
+    synth_templates)
+from weakscraper_spark.streaming import stream_extract, stream_extract_latest
 
 
 def test_stream_extract_available_now(spark, tmp_path):
@@ -32,3 +36,50 @@ def test_stream_extract_available_now(spark, tmp_path):
                         compiled_specs(), out, ckpt)
     q2.awaitTermination(240)
     assert spark.read.parquet(out).count() == pages.count()
+
+
+def _page_row(url, ts, key, template_id="t_article", lang="en"):
+    html, text = render_page(template_id, make_slots(template_id, key))
+    return (url, ts, html.encode("utf-8"), text, lang)
+
+
+def test_stream_extract_latest_stateful(spark, tmp_path):
+    """Stateful latest-per-url: stale/duplicate snapshots are dropped
+    BEFORE extraction; a later batch with a newer warc_ts re-emits the
+    url and dedup_latest(sink) serves the newer text."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2026, 1, 1)
+    day = dt.timedelta(days=1)
+    templates = synth_templates(spark)
+
+    batch1 = [_page_row("https://host00.example.com/p/A", t0 + day, "A1"),
+              _page_row("https://host00.example.com/p/A", t0, "A0"),
+              _page_row("https://host00.example.com/p/B", t0, "B0")]
+    spark.createDataFrame(batch1, PAGES_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q = stream_extract_latest(spark, src, PAGES_SCHEMA, templates,
+                              compiled_specs(), out, ckpt)
+    q.awaitTermination(240)
+    got = spark.read.parquet(out)
+    # one extracted row per url; the stale A-snapshot never parsed
+    assert got.count() == 2
+
+    # batch 2: stale A (dropped by state), newer B (emitted), new C
+    b_new = _page_row("https://host00.example.com/p/B", t0 + day, "B1")
+    batch2 = [_page_row("https://host00.example.com/p/A", t0 - day, "Aold"),
+              b_new,
+              _page_row("https://host00.example.com/p/C", t0, "C0")]
+    spark.createDataFrame(batch2, PAGES_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q2 = stream_extract_latest(spark, src, PAGES_SCHEMA, templates,
+                               compiled_specs(), out, ckpt)
+    q2.awaitTermination(240)
+
+    sink = spark.read.parquet(out)
+    assert sink.count() == 4  # A, B, B(newer), C — never the stale A
+    served = {r["url"]: r["text"]
+              for r in dedup_latest(sink).collect()}
+    assert len(served) == 3
+    assert served["https://host00.example.com/p/B"] == b_new[3]

@@ -2,4 +2,4 @@
 stage (SURVEY.md §4.4 — not required by the north rule, provided for
 API completeness)."""
 
-from .stream import stream_extract  # noqa: F401
+from .stream import stream_extract, stream_extract_latest  # noqa: F401

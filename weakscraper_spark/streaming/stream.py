@@ -1,17 +1,30 @@
 """Streaming extraction (SURVEY.md §4.4): ``readStream`` over a pages
 source → the SAME batch extract stage via ``foreachBatch`` → append
-sink. Extraction is per-row (stateless), so no watermark/state store
-is needed; late data just appends. The optional watermark only bounds
-any downstream windowed aggregation a caller adds.
+sink. Extraction is per-row (stateless), so the base path needs no
+state store; late data just appends and the batch ``dedup_latest``
+view serves latest-per-url.
 
-The foreachBatch body reuses ``build_extract_plan``'s stages minus the
-global dedup window (global latest-per-url needs either a batch
-compaction pass or ``applyInPandasWithState`` — documented choice:
-streaming appends raw extractions; the batch dedup view stays the
-source of truth, mirroring the prod Iceberg MERGE pattern).
+Two variants:
+
+- ``stream_extract`` — stateless: every arriving snapshot is
+  extracted and appended; latest-per-url is the downstream view.
+- ``stream_extract_latest`` — stateful latest-per-url dedup UPSTREAM
+  of extraction via ``applyInPandasWithState``: per url the state
+  stores only the newest seen ``warc_ts`` (8 bytes/url), stale or
+  duplicate snapshots are dropped BEFORE the Python parse (at CC
+  scale ~10% of rows are superseded snapshots — that parse work
+  disappears), and each batch emits only urls whose latest advanced.
+  The sink then holds one row per (url, advance), and
+  ``dedup_latest`` over it is exact. State never expires
+  (``NoTimeout``): latest-per-url is a forever-semantics — in prod
+  size the state store (RocksDB) for |urls|; bound it with a
+  watermark-aligned timeout only if the source replays a bounded
+  window.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,8 +40,15 @@ def stream_extract(spark: SparkSession, source_dir: str,
                    watermark: str | None = None,
                    trigger_available_now: bool = True):
     """Start (and return) a streaming query writing extraction rows to
-    ``out_dir`` with exactly-once file-sink semantics via
-    ``checkpoint_dir``."""
+    ``out_dir``.
+
+    Delivery semantics: foreachBatch is at-least-once (a batch retried
+    after a partial failure re-executes), so the write is made
+    IDEMPOTENT by keying it on the checkpoint's batch_id — each batch
+    OVERWRITES its own hive partition ``out_dir/batch_id=<id>/``. A
+    retry replaces the partial partition instead of double-appending,
+    so the sink *contents* are effectively exactly-once. (This is the
+    parquet stand-in for Iceberg's transactional append in prod.)"""
     stream = (spark.readStream.schema(source_schema)
               .parquet(source_dir))
     if watermark:
@@ -37,9 +57,63 @@ def stream_extract(spark: SparkSession, source_dir: str,
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         staged = attach_template(prepare_pages(batch_df), templates)
         out = extract_pages(staged, specs)
-        out.write.mode("append").parquet(out_dir)
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}"))
 
     writer = (stream.writeStream.foreachBatch(process_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_extract_latest(spark: SparkSession, source_dir: str,
+                          source_schema: str,
+                          templates: DataFrame, specs: dict[str, str],
+                          out_dir: str, checkpoint_dir: str,
+                          trigger_available_now: bool = True):
+    """Stateful streaming variant: latest-per-url dedup BEFORE the
+    extract stage (module docstring). Emits, per batch, one input row
+    per url whose newest-seen ``warc_ts`` advanced; extraction then
+    runs only on those rows. Write idempotence is the same
+    batch_id-keyed partition overwrite as ``stream_extract``."""
+    import pandas as pd
+
+    stream = (spark.readStream.schema(source_schema)
+              .parquet(source_dir))
+
+    def keep_latest(key, pdfs, state):
+        # state: newest warc_ts seen for this url, as epoch micros
+        # (a plain long survives the state-store round trip exactly)
+        seen_us = state.get[0] if state.exists else None
+        best = None
+        best_us = seen_us
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                ts_us = int(pd.Timestamp(row.warc_ts).value // 1000)
+                if best_us is None or ts_us > best_us:
+                    best_us = ts_us
+                    best = row
+        if best is not None:
+            state.update((best_us,))
+            yield pd.DataFrame([best], columns=list(pdf.columns))
+
+    latest = (stream.groupBy("url")
+              .applyInPandasWithState(
+                  keep_latest,
+                  outputStructType=source_schema,
+                  stateStructType="ts_us long",
+                  outputMode="update",
+                  timeoutConf="NoTimeout"))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        staged = attach_template(prepare_pages(batch_df), templates)
+        out = extract_pages(staged, specs)
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}"))
+
+    writer = (latest.writeStream.foreachBatch(process_batch)
+              .outputMode("update")
               .option("checkpointLocation", checkpoint_dir))
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
