@@ -95,6 +95,30 @@ def test_entry_plan_is_map_only_before_extract(spark):
     assert not early, nodes
 
 
+def test_jaccard_shingles_computed_once(spark):
+    """ngram_jaccard_pairs references the exploded shingle table three
+    times (self-join a/b + sizes) but must compute/shuffle it exactly
+    once — the df-cap window puts an identical Exchange(tok) under
+    every branch so ReuseExchange serves the rest from shuffle files
+    (the no-.cache() replacement for the r01 memory hazard). AQE is
+    toggled off for the explain: with AQE the same reuse happens at
+    runtime via the stage cache and isn't visible statically."""
+    from weakscraper_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} " * 5 + "common tail words here", "en", "s", 30)
+         for i in range(4)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        nodes = _plan_nodes(ngram_jaccard_pairs(docs))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    names = [n for _, n in nodes]
+    assert names.count("ReusedExchange") >= 2, nodes
+
+
 def test_parquet_scan_prunes_ground_truth_column(spark, parquet_pages):
     """The scan must not read the ground-truth ``text`` column
     (column pruning through the whole plan)."""

@@ -152,16 +152,20 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     quadratic on boilerplate shingles at corpus scale. Returns
     (doc_a, doc_b, jaccard).
 
-    The shingle table is deliberately NOT cached even though the plan
-    references it three times: at corpus scale the exploded table is
-    several times the corpus size, so caching it is a memory/spill
-    hazard — recomputing the narrow project+explode per reference is
-    the cheaper, bounded choice (and lets scan-side column pruning
-    apply to each branch independently)."""
+    The exploded shingle table is referenced three times (both
+    self-join sides + per-doc sizes) but is computed and shuffled
+    exactly ONCE without any ``.cache()``: the df-cap is a window
+    count over ``tok``, so every branch ends at an identical
+    Exchange(tok) and Catalyst's ReuseExchange serves the other
+    branches from the first one's shuffle files — disk-backed,
+    distributed, auto-cleaned reuse, instead of an in-memory cache
+    that would be several times corpus size at 100 TB (r01 hazard).
+    The self-join on ``tok`` then needs no further shuffle (children
+    are already hash-partitioned on the join key)."""
     toks = _shingles(df, id_col, col, shingle_k)
-    rare = (toks.groupBy("tok").agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_df).select("tok"))
-    rtoks = toks.join(rare, "tok")
+    w = Window.partitionBy("tok")
+    rtoks = (toks.withColumn("_df", F.count("*").over(w))
+             .filter(F.col("_df") <= max_df).drop("_df"))
     sizes = rtoks.groupBy("doc").agg(F.count("*").alias("sz"))
     a, b = rtoks.alias("a"), rtoks.alias("b")
     inter = (a.join(b, "tok")
