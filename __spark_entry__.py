@@ -318,6 +318,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .withColumn("rank", F.col("rank").cast("long")))
     q["embedding_topk"] = embedding_topk
 
+    def embedding_near_dup(spark, sf):
+        # threshold 0.35 ≈ the 99.8th percentile of pair cosine on the
+        # driver's embeddings tables (near-orthogonal vectors; max
+        # ~0.5) — high enough to be a near-dup call, low enough that
+        # the oracle compares a non-trivial pair set (~260 at sf0.01)
+        from weakscraper_spark.operators.similarity import cosine_near_pairs
+        return cosine_near_pairs(_t(spark, sf, "embeddings"),
+                                 threshold=0.35)
+    q["embedding_near_dup"] = embedding_near_dup
+
+    def lsh_near_dup(spark, sf):  # rows-only (recall-bounded LSH)
+        from weakscraper_spark.operators.similarity import (
+            srp_cosine_near_pairs)
+        return srp_cosine_near_pairs(_t(spark, sf, "embeddings"),
+                                     threshold=0.35, n_planes=4)
+    q["lsh_near_dup"] = lsh_near_dup
+
     def lsh_ann_topk(spark, sf):  # rows-only (recall-bounded ANN)
         from weakscraper_spark.operators.similarity import lsh_cosine_topk
         emb = _t(spark, sf, "embeddings")
@@ -333,6 +350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (with_token_count(_t(spark, sf, "documents"))
                 .select("doc_id",
                         F.col("n_tokens").cast("long").alias("n_tokens"),
+                        F.col("n_subtokens").cast("long")
+                        .alias("n_subtokens"),
                         F.col("len_chars").cast("long").alias("len_chars")))
     q["token_counts"] = token_counts
 
@@ -369,6 +388,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .withColumn("feat_json", F.to_json("feat"))
                 .drop("feat"))
     q["multimodal_meta"] = multimodal_meta
+
+    def frame_samples(spark, sf):  # rows-only (flat-map plumbing)
+        from weakscraper_spark.operators.multimodal import sample_frames
+        blobs = (_t(spark, sf, "documents")
+                 .select(F.col("doc_id").alias("blob_id"),
+                         F.encode("text", "UTF-8").alias("blob")))
+        return (sample_frames(blobs, n_frames=3)
+                .withColumn("feat_json", F.to_json("feat"))
+                .drop("feat"))
+    q["frame_samples"] = frame_samples
 
     # ---- the extraction operator itself (rows-only; pytest ring is the
     # value-level gate, SURVEY §6) -----------------------------------------
@@ -609,8 +638,20 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": """
             SELECT doc_id,
                    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_subtokens,
                    length(text) AS len_chars
             FROM documents
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 4)
+                       AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 4)
+                  >= 0.35
         """,
         "quality_scores": """
             WITH f AS (

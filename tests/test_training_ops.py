@@ -156,6 +156,61 @@ def test_lsh_ann_recall(clustered_emb):
     assert len(ann & exact) / len(exact) >= 0.6
 
 
+def test_cosine_near_pairs_exact(clustered_emb):
+    """Exact embedding near-dup: same-cluster pairs (tight, cosine
+    ~0.99) are all found; cross-cluster pairs stay below a high
+    threshold."""
+    from weakscraper_spark.operators.similarity import cosine_near_pairs
+    pairs = {(r.id_a, r.id_b) for r in
+             cosine_near_pairs(clustered_emb, threshold=0.95).collect()}
+    same = {(a, b) for a, b in pairs if a // 8 == b // 8}
+    assert len(same) == 3 * (8 * 7) // 2       # every in-cluster pair
+    assert same == pairs                       # and nothing else
+
+
+def test_srp_near_pairs_recall(clustered_emb):
+    from weakscraper_spark.operators.similarity import (
+        cosine_near_pairs, srp_cosine_near_pairs)
+    exact = {(r.id_a, r.id_b) for r in
+             cosine_near_pairs(clustered_emb, threshold=0.95).collect()}
+    ann = {(r.id_a, r.id_b) for r in
+           srp_cosine_near_pairs(clustered_emb, threshold=0.95,
+                                 n_planes=4, dim=16).collect()}
+    assert ann <= exact                        # no false positives
+    assert len(ann) / len(exact) >= 0.6        # bounded recall
+
+
+def test_bpe_ish_subtokens(spark):
+    from weakscraper_spark.operators.textstats import with_token_count
+    df = spark.createDataFrame(
+        [(1, "don't count2 me-out!"), (2, ""), (3, "   ")],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.n_tokens, r.n_subtokens)
+           for r in with_token_count(df).collect()}
+    # don ' t count 2 me - out !  → 9 subtokens
+    assert out[1] == (3, 9)
+    assert out[2][1] == 0 and out[3][1] == 0
+
+
+def test_frame_sampling_plumbing(spark):
+    from weakscraper_spark.operators.multimodal import (
+        frame_offsets, resize_image, sample_frames)
+    blob = bytes(range(256)) * 100          # 25600 bytes
+    df = spark.createDataFrame([(1, blob), (2, b""), (3, None)],
+                               "blob_id long, blob binary")
+    out = sample_frames(df, n_frames=4).collect()
+    rows = [r for r in out if r.blob_id == 1]
+    assert len(rows) == 4
+    assert [r.frame_idx for r in rows] == [0, 1, 2, 3]
+    assert all(r.byte_offset % 4096 == 0 for r in rows)
+    assert all(len(r.feat) == 8 for r in rows)
+    assert not [r for r in out if r.blob_id in (2, 3)]  # empty → no frames
+    # determinism and stub honesty
+    assert frame_offsets(25600, 4) == frame_offsets(25600, 4)
+    with pytest.raises(NotImplementedError):
+        resize_image(b"\x89PNG", 64, 64)
+
+
 def test_multimodal_sniff_and_features(spark):
     from weakscraper_spark.operators.multimodal import extract_blob_meta
     rows = [

@@ -24,10 +24,23 @@ from pyspark.sql import DataFrame, functions as F
 _TOKENS = lambda c: F.split(F.trim(F.col(c)), r"\s+")  # noqa: E731
 
 
+# BPE-ish pre-tokenization: letter runs, digit runs, single
+# non-alnum-non-space marks — a portable approximation of the GPT-2
+# pre-tokenizer split (its lookarounds aren't RE2-safe; this pattern
+# behaves identically under Java regex and DuckDB/RE2, so the oracle
+# can check it value-exactly).
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
 def with_token_count(df: DataFrame, col: str = "text") -> DataFrame:
-    """n_tokens = whitespace token count; n_chars for reference."""
+    """n_tokens = whitespace token count; n_subtokens = BPE-ish regex
+    token count (the LLM-pipeline budget number); n_chars for
+    reference."""
     return (df
             .withColumn("n_tokens", F.size(_TOKENS(col)))
+            .withColumn("n_subtokens",
+                        F.size(F.regexp_extract_all(
+                            F.col(col), F.lit(BPE_ISH), F.lit(0))))
             .withColumn("len_chars", F.length(col)))
 
 
