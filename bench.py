@@ -94,6 +94,7 @@ def _run_queries(sf_dir: str, cpus: int) -> tuple[dict, float]:
         "q1_pricing_summary", "c3_dedup_latest", "c4_group_stats",
         "c5_broadcast_join", "c8_salted_agg", "c9_anti_join_resume",
         "dedup_exact", "minhash_lsh", "jaccard_pairs", "embedding_topk",
+        "embedding_near_dup", "asof_purchase", "range_join_events",
         "quality_scores", "simhash_pairs", "extract_pages",
     ]
     times: dict[str, float] = {}

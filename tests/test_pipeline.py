@@ -184,6 +184,17 @@ def test_resume_newer_snapshot_wins(spark, corpus, tmp_path):
     got = served.filter(F.col("url") == row["url"]).first()
     assert got["text"] == text and got["status"] == "ok"
 
+    # MERGE-shaped compaction collapses the superseded row; the
+    # serving view is unchanged and the url count is exact
+    from weakscraper_spark.plans.pipeline import compact_sink
+    before = {(r["url"], r["text"]) for r in served.collect()}
+    stats = compact_sink(spark, sink_path)
+    after_df = spark.read.parquet(sink_path)
+    assert stats["rows"] == after_df.count()
+    assert after_df.groupBy("url").count().filter("count > 1").count() == 0
+    assert {(r["url"], r["text"])
+            for r in dedup_latest(after_df).collect()} == before
+
 
 def test_partition_metrics_reconcile(spark, extracted):
     m = partition_metrics(extracted, "runX")

@@ -260,12 +260,22 @@ def run_pipeline(spark: SparkSession, pages: DataFrame,
     plan = build_extract_plan(pages, templates, specs, langs=langs,
                               done_urls=done, n_salts=n_salts,
                               num_partitions=num_partitions)
+    # C13 observe: row/ok counts ride along with the write job itself
+    # (accumulator-style) — no extra scan of the increment for them
+    from pyspark.sql import Observation
+    obs = Observation()
+    plan = plan.observe(
+        obs, F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"))
+
     t0 = time.perf_counter()
     plan.write.mode("overwrite").parquet(inc_path)
     wall_s = time.perf_counter() - t0
+    counts = obs.get
 
-    # explicit schema: a fully-resumed run writes a 0-row increment,
-    # which has no parquet footer to infer from
+    # per-partition lineage reads the increment partition only
+    # (explicit schema: a fully-resumed run writes a 0-row increment,
+    # which has no parquet footer to infer from)
     inc = spark.read.schema(plan.schema).parquet(inc_path)
     metrics = partition_metrics(inc, run_id)
     # same per-run overwrite idempotence as the sink (run_id comes
@@ -273,13 +283,40 @@ def run_pipeline(spark: SparkSession, pages: DataFrame,
     metrics.drop("run_id").write.mode("overwrite").parquet(
         os.path.join(metrics_out, f"run_id={run_id}"))
 
-    counts = inc.agg(
-        F.count("*").alias("n"),
-        F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
-    ).first()
     return {"rows_written": counts["n"], "ok_written": counts["ok"] or 0,
             "wall_s": wall_s,
             "pages_out": pages_out, "metrics_out": metrics_out}
+
+
+def compact_sink(spark: SparkSession, pages_out: str,
+                 run_id: str = "compact") -> dict:
+    """Periodic MERGE-shaped compaction: rewrite the sink keeping only
+    the latest-per-url rows, collapsing the per-run partitions that
+    snapshot-granular resume accumulates (a url re-extracted because a
+    newer warc_ts arrived leaves its superseded row in an older run
+    partition). Prod = Iceberg ``MERGE INTO``/rewrite-data-files with
+    an atomic snapshot swap; the parquet stand-in stages the compacted
+    view fully OUTSIDE the sink tree first (the job must not write
+    under the tree it scans), then swaps directories — the swap itself
+    is the non-atomic step Iceberg would make atomic, and a crash
+    mid-swap always leaves the staged copy on disk for recovery."""
+    import shutil
+
+    sink = spark.read.parquet(pages_out)
+    old_parts = [d for d in os.listdir(pages_out)
+                 if d.startswith("run_id=")]
+    compacted = dedup_latest(sink.drop("run_id"))
+    # stage OUTSIDE the sink root: the compaction job must not write
+    # under the directory tree it is scanning (same self-referential
+    # read/write rule as resume), then swap after the write commits
+    staging = pages_out.rstrip("/") + f".compact_{run_id}"
+    compacted.write.mode("overwrite").parquet(staging)
+    n = spark.read.parquet(staging).count()
+    for d in old_parts:
+        shutil.rmtree(os.path.join(pages_out, d))
+    os.rename(staging, os.path.join(pages_out, f"run_id={run_id}"))
+    return {"rows": n, "compacted_partitions": len(old_parts),
+            "pages_out": pages_out}
 
 
 def _dir_has_parquet(path: str) -> bool:
