@@ -94,9 +94,13 @@ def _run_queries(sf_dir: str, cpus: int) -> tuple[dict, float]:
         "q1_pricing_summary", "c3_dedup_latest", "c4_group_stats",
         "c5_broadcast_join", "c8_salted_agg", "c9_anti_join_resume",
         "dedup_exact", "minhash_lsh", "jaccard_pairs", "embedding_topk",
-        "embedding_near_dup", "asof_purchase", "range_join_events",
+        "lsh_near_dup", "asof_purchase", "range_join_events",
         "quality_scores", "simhash_pairs", "extract_pages",
     ]
+    # embedding_near_dup (exact all-pairs baseline) is deliberately
+    # NOT a headline: it is the documented small-N correctness twin of
+    # lsh_near_dup, and timing an O(N²) baseline at sf0.1 measures
+    # nothing about the engine's scale path (50 s of brute force).
     times: dict[str, float] = {}
     total = 0.0
     for name in headline:
