@@ -114,16 +114,20 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     extra exchange. Mirrored 1:1 in the DuckDB oracle (QUALIFY)."""
     sigs = minhash_signatures(df, id_col, col, n_hashes, shingle_k)
     n_bands = n_hashes // band_size
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"sig{b * band_size + j}")
-                for j in range(band_size)]
-        bands.append(sigs.select(
-            "doc", F.lit(b).alias("band"),
-            F.concat_ws("|", *cols).alias("bkey")))
-    exploded = bands[0]
-    for extra in bands[1:]:
-        exploded = exploded.unionByName(extra)
+    # one explode, not a union of n_bands selects: a union re-evaluates
+    # the whole signature subtree per branch; explode computes it once
+    # and fans out rows in the same narrow map
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[F.col(f"sig{b * band_size + j}")
+                               for j in range(band_size)]).alias("bkey"))
+        for b in range(n_bands)
+    ]
+    exploded = (sigs.select(
+        "doc", F.explode(F.array(*band_structs)).alias("_bs"))
+        .select("doc", F.col("_bs.band").alias("band"),
+                F.col("_bs.bkey").alias("bkey")))
     w = Window.partitionBy("band", "bkey")
     exploded = (exploded
                 .withColumn("_bucket_n", F.count("*").over(w))
@@ -236,16 +240,28 @@ def simhash_band_pairs(sh: DataFrame,
                          f"got {max_hamming}")
     n_chunks = max_hamming + 1
     width = 64 // n_chunks  # last chunk takes the remainder bits
-    chunks = None
+    # one explode, not a union of n_chunks selects: with an expensive
+    # source (simhash is a Python mapInPandas stage) a union would
+    # re-run the source once PER CHUNK; explode fans out k rows per
+    # doc in the same narrow map, source computed once
+    chunk_structs = []
     for c in range(n_chunks):
         start = c * width
         w = width if c < n_chunks - 1 else 64 - start
         key = F.shiftrightunsigned("simhash", start)
         if w < 64:
             key = key.bitwiseAND(F.lit((1 << w) - 1))
-        part = sh.select("doc", "simhash", F.lit(c).alias("chunk"),
-                         key.alias("ckey"))
-        chunks = part if chunks is None else chunks.unionByName(part)
+        chunk_structs.append(F.struct(F.lit(c).alias("chunk"),
+                                      key.alias("ckey")))
+    chunks = (sh.select(
+        "doc", "simhash", F.explode(F.array(*chunk_structs)).alias("_cs"))
+        .select("doc", "simhash", F.col("_cs.chunk").alias("chunk"),
+                F.col("_cs.ckey").alias("ckey"))
+        # pre-shuffle on the join key: the self-join needs this
+        # exchange anyway, and making it explicit lets ReuseExchange
+        # serve BOTH join sides from one evaluation of the Python
+        # simhash stage (2x -> 1x mapInPandas)
+        .repartition("chunk", "ckey"))
     a, b = chunks.alias("a"), chunks.alias("b")
     return (a.join(b, ["chunk", "ckey"])
             .filter(F.col("a.doc") < F.col("b.doc"))
