@@ -173,6 +173,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "n"))
     q["cube_stats"] = cube_stats
 
+    # ---- rollup (hierarchical grouping sets) -------------------------------
+    def rollup_stats(spark, sf):
+        return (_t(spark, sf, "documents")
+                .rollup("lang", "source")
+                .agg(F.count("*").alias("n"),
+                     _dec(F.sum("n_chars"), 2).alias("sum_chars"))
+                .select(F.coalesce("lang", F.lit("(all)")).alias("lang_g"),
+                        F.coalesce("source", F.lit("(all)"))
+                        .alias("source_g"),
+                        "n", "sum_chars"))
+    q["rollup_stats"] = rollup_stats
+
+    # ---- set ops: INTERSECT ALL --------------------------------------------
+    def intersect_orders(spark, sf):
+        orders = _t(spark, sf, "orders").select(
+            "o_orderkey", "o_orderpriority")
+        sample_a = orders.filter(F.col("o_orderkey") % 3 == 0)
+        sample_b = orders.filter(F.col("o_orderkey") % 5 == 0)
+        return sample_a.intersectAll(sample_b)
+    q["intersect_orders"] = intersect_orders
+
     # ---- window running aggregate ------------------------------------------
     def running_sum(spark, sf):
         w = (Window.partitionBy("user_id")
@@ -588,6 +609,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(round(sum(value), 2) AS DECIMAL(18,2))
                         AS VARCHAR) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "rollup_stats": """
+            SELECT coalesce(lang, '(all)') AS lang_g,
+                   coalesce(source, '(all)') AS source_g,
+                   count(*) AS n,
+                   CAST(CAST(round(sum(n_chars), 2) AS DECIMAL(18,2))
+                        AS VARCHAR) AS sum_chars
+            FROM documents GROUP BY ROLLUP (lang, source)
+        """,
+        "intersect_orders": """
+            SELECT o_orderkey, o_orderpriority FROM orders
+            WHERE o_orderkey % 3 = 0
+            INTERSECT ALL
+            SELECT o_orderkey, o_orderpriority FROM orders
+            WHERE o_orderkey % 5 = 0
         """,
         "except_orders": """
             SELECT o_orderkey, o_orderpriority FROM orders
