@@ -335,6 +335,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   "text string")
     q["induce_roundtrip"] = induce_roundtrip
 
+    # ---- distributed induction stage (rows-only — engine op) --------------
+    def induce_hosts(spark, sf):
+        from weakscraper_spark.operators.induction import induce_templates
+        from weakscraper_spark.plans.pipeline import prepare_pages
+        from weakscraper_spark.sources.synth import synth_pages
+        pages = prepare_pages(synth_pages(spark, 300))
+        return (induce_templates(pages, k=4)
+                .select("host_pattern", "template_id", "n_samples",
+                        "status"))
+    q["induce_hosts"] = induce_hosts
+
     # ---- training-data ops: dedup family ----------------------------------
     def dedup_exact(spark, sf):
         from weakscraper_spark.operators.dedup import exact_dedup

@@ -64,3 +64,80 @@ def test_induced_rejects_structurally_different_page():
     spec = induce_template(SAMPLES)
     row = extract(spec, "<html><body><h1>My Site</h1><table></table></body></html>")
     assert row["status"].startswith("mismatch:")
+
+
+def _page_opt(title, byline=None):
+    by = f'<div class="by"><span>{byline}</span></div>' if byline else ""
+    return (
+        "<html><body>"
+        f"<h2>{title}</h2>{by}"
+        "<footer>site footer</footer>"
+        "</body></html>"
+    )
+
+
+def test_induced_optional_node():
+    """A child present in some samples but not others induces a
+    wp-optional position (not ignore_content): pages WITH and WITHOUT
+    the node both extract, and the node's diverging text is captured
+    when present."""
+    spec = induce_template([
+        _page_opt("A", "alice"),
+        _page_opt("B"),
+        _page_opt("C", "carol"),
+    ])
+    body = spec["children"][0]["children"][0]
+    opt_divs = [c for c in body["children"]
+                if c.get("kind") == "tag" and c.get("optional")]
+    assert len(opt_divs) == 1 and opt_divs[0]["tag"] == "div"
+
+    with_by = extract(spec, _page_opt("New", "dana"))
+    assert with_by["status"] == "ok"
+    assert "dana" in with_by["fields"].values()
+    without = extract(spec, _page_opt("Bare"))
+    assert without["status"] == "ok"
+
+
+def test_induce_templates_distributed(spark):
+    """The induction STAGE: per-host top-k sampling + applyInPandas →
+    template registry; induced specs re-extract their host's pages
+    (ground-truth text recovered among the captured slots)."""
+    from pyspark.sql import functions as F
+
+    from weakscraper_spark.operators.extract import extract_pages
+    from weakscraper_spark.operators.induction import induce_templates
+    from weakscraper_spark.plans.pipeline import prepare_pages
+    from weakscraper_spark.sources.synth import synth_pages
+
+    pages = prepare_pages(synth_pages(spark, 250)).cache()
+    registry = induce_templates(pages, k=4)
+    reg_rows = registry.collect()
+    ok_hosts = {r["host_pattern"]: r for r in reg_rows
+                if r["status"] == "ok"}
+    # hosts with >= 2 samples must induce (leave-one-out absorbs the
+    # ~6% synthetic bad pages); single-page hosts honestly error
+    inducible = [r for r in reg_rows if r["n_samples"] >= 2]
+    assert ok_hosts and len(ok_hosts) == len(inducible)
+
+    host = sorted(ok_hosts)[0]
+    spec_json = ok_hosts[host]["template_json"]
+    tid = ok_hosts[host]["template_id"]
+    hp = (pages.filter(F.col("host") == host)
+          .withColumn("template_id", F.lit(tid)))
+    out = extract_pages(hp, {tid: spec_json}).collect()
+    truth = {(r["url"], r["warc_ts"]): r["text"]
+             for r in pages.filter(F.col("host") == host)
+             .select("url", "warc_ts", "text").collect()}
+    import json as _json
+    n_ok = 0
+    for r in out:
+        want = truth[(r["url"], r["warc_ts"])]
+        if want == "":                 # synthetic bad pages
+            continue
+        assert r["status"] == "ok", (r["url"], r["status"], r["error"])
+        fields = _json.loads(r["fields_json"])
+        vals = {v for v in fields.values() if isinstance(v, str)}
+        assert want in vals
+        n_ok += 1
+    assert n_ok > 0
+    pages.unpersist()

@@ -20,4 +20,4 @@ from .dom import parse_html, parse_template_html  # noqa: F401
 from .spec import compile_template, spec_from_json, spec_to_json  # noqa: F401
 from .match import extract, match_document  # noqa: F401
 from .scraper import TemplateScraper  # noqa: F401
-from .induce import induce_template  # noqa: F401
+from .induce import induce_template, induce_template_robust  # noqa: F401

@@ -12,6 +12,9 @@ compiled Spec directly:
 - text runs in mixed content that diverge → nugget capture slots;
 - child lists with the same single repeated tag but different counts
   → ``wp-list`` (items induced from the union of all samples' items);
+- children present in some samples but not others, where every
+  sample's child list embeds as a subsequence of the richest one
+  → the missing positions become ``wp-optional`` nodes;
 - attrs that diverge → dropped from the literal set (template-subset
   attr semantics make this safe) ;
 - structurally irreconcilable children → ``wp-ignore-content``.
@@ -43,10 +46,36 @@ def _mk_tag_spec(tag: str, attrs: dict[str, str]) -> Spec:
     }
 
 
+def _one_sig(c: Node) -> tuple:
+    return ("tag", c["name"]) if is_tag(c) else ("text",)
+
+
 def _signature(children: list[Node]) -> tuple:
-    return tuple(
-        ("tag", c["name"]) if is_tag(c) else ("text",) for c in children
-    )
+    return tuple(_one_sig(c) for c in children)
+
+
+def _align_optional(nodes: list[Node]):
+    """Reconcile diverging child lists as OPTIONAL positions: take the
+    richest sample's children as the skeleton and greedily embed every
+    sample's children into it (same kind + tag name, in order). A
+    skeleton position some samples lack becomes ``wp-optional``.
+    Returns (skeleton_signature, columns) where columns[i] holds the
+    matched child node of every sample that has position i, or None
+    when some sample's children do not embed as a subsequence (the
+    caller then tries wp-list / wp-ignore-content)."""
+    skel = max(nodes, key=lambda n: len(n["children"]))["children"]
+    sig = [_one_sig(c) for c in skel]
+    columns: list[list[Node]] = [[] for _ in skel]
+    for n in nodes:
+        i = 0
+        for j, k in enumerate(sig):
+            kids = n["children"]
+            if i < len(kids) and _one_sig(kids[i]) == k:
+                columns[j].append(kids[i])
+                i += 1
+        if i != len(n["children"]):
+            return None
+    return sig, columns
 
 
 def _common_attrs(nodes: list[Node]) -> dict[str, str]:
@@ -103,7 +132,7 @@ def _induce_tag(nodes: list[Node], slots: Iterator[int], prefix: str) -> Spec:
         spec["nested"] = any(_captures(c) for c in spec["children"])
         return spec
 
-    # Diverging structure: repeated-single-tag ⇒ wp-list.
+    # Diverging structure, case 1: repeated-single-tag ⇒ wp-list.
     item_names = {c["name"] for n in nodes for c in n["children"] if is_tag(c)}
     only_tags = all(is_tag(c) for n in nodes for c in n["children"])
     if only_tags and len(item_names) == 1:
@@ -125,6 +154,42 @@ def _induce_tag(nodes: list[Node], slots: Iterator[int], prefix: str) -> Spec:
         spec["nested"] = _captures(item_spec)
         return spec
 
+    # Diverging structure, case 2: every sample's children embed as a
+    # subsequence of the richest sample's children ⇒ the missing
+    # positions are wp-optional nodes. (Tried AFTER wp-list: repeated
+    # same-tag children must induce unbounded repetition, not a
+    # skeleton-capped set of optionals.)
+    aligned = _align_optional(nodes)
+    if aligned is not None:
+        skeleton, columns = aligned
+        for kind, column, full in zip(skeleton, columns,
+                                      (len(c) == len(nodes)
+                                       for c in columns)):
+            if kind == ("text",):
+                if not full:
+                    # a text run cannot be optional in the matcher;
+                    # treat the whole subtree as irreconcilable
+                    spec["ignore_content"] = True
+                    spec["children"] = []
+                    return spec
+                texts = {normalize_text(c["content"]) for c in column}
+                if len(texts) == 1:
+                    spec["children"].append(
+                        {"kind": "text", "content": texts.pop()})
+                else:
+                    spec["children"].append({
+                        "kind": "nugget",
+                        "capture": f"{prefix}_{next(slots)}",
+                        "function": None, "optional": False,
+                    })
+            else:
+                child = _induce_tag(column, slots, prefix)
+                if not full:
+                    child["optional"] = True
+                spec["children"].append(child)
+        spec["nested"] = any(_captures(c) for c in spec["children"])
+        return spec
+
     # Fallback: structure cannot be reconciled — ignore this subtree.
     spec["ignore_content"] = True
     spec["children"] = []
@@ -134,11 +199,49 @@ def _induce_tag(nodes: list[Node], slots: Iterator[int], prefix: str) -> Spec:
 def induce_template(sample_htmls: list[str], slot_prefix: str = "slot") -> Spec:
     """Tree-align k sample pages → compiled Spec (root).
 
-    Driver-side only (small k); the result is broadcast like any
-    hand-written compiled template.
+    Small k (driver- or executor-side kernel); the result is broadcast
+    like any hand-written compiled template.
     """
     if len(sample_htmls) < 2:
         raise TemplateError("induction needs >= 2 sample pages")
     roots = [parse_html(h) for h in sample_htmls]
     slots = itertools.count(1)
     return _induce_tag(roots, slots, slot_prefix)
+
+
+def _n_slots(spec: Spec) -> int:
+    """Number of capture slots in a spec tree — the induction quality
+    signal (an outlier sample collapses subtrees to ignore_content,
+    which LOWERS the slot count rather than raising an error)."""
+    n = 1 if spec.get("capture") else 0
+    for c in spec.get("children", ()):
+        n += _n_slots(c) if c.get("kind") in ("tag", "nugget") else 0
+    return n
+
+
+def induce_template_robust(sample_htmls: list[str],
+                           slot_prefix: str = "slot") -> Spec:
+    """Outlier-tolerant induction: real crawl samples include the odd
+    off-template page (error page, redirect stub), and ONE such sample
+    degrades alignment silently — diverged subtrees fall back to
+    ``wp-ignore-content``, so the failure mode is fewer capture slots,
+    not an exception. Induce on the full set AND on every leave-one-out
+    subset, return the spec with the MOST capture slots (ties prefer
+    the full set). k is small, so k+1 inductions are cheap."""
+    best = None
+    best_key = (-1, -1)
+    candidates = [sample_htmls]
+    if len(sample_htmls) > 2:
+        candidates += [sample_htmls[:i] + sample_htmls[i + 1:]
+                       for i in range(len(sample_htmls))]
+    for cand in candidates:
+        try:
+            spec = induce_template(cand, slot_prefix)
+        except TemplateError:
+            continue
+        key = (_n_slots(spec), len(cand))
+        if key > best_key:
+            best, best_key = spec, key
+    if best is None:
+        raise TemplateError("no alignable sample subset")
+    return best
