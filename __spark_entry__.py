@@ -335,6 +335,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   "text string")
     q["induce_roundtrip"] = induce_roundtrip
 
+    # ---- approx distinct (HLL sketch; engines' sketches differ →
+    # rows-only, exactness is covered by the count/sum twins) ---------------
+    def source_acd(spark, sf):
+        return (_t(spark, sf, "documents")
+                .groupBy("source")
+                .agg(F.approx_count_distinct("doc_id").alias("acd_docs"),
+                     F.count("*").alias("n")))
+    q["source_acd"] = source_acd
+
     # ---- distributed induction stage (rows-only — engine op) --------------
     def induce_hosts(spark, sf):
         from weakscraper_spark.operators.induction import induce_templates

@@ -95,6 +95,22 @@ def test_entry_plan_is_map_only_before_extract(spark):
     assert not early, nodes
 
 
+def test_induction_sampling_prunes_mapside(spark, parquet_pages):
+    """The induction stage's per-host top-k sample window must plant
+    WindowGroupLimit below its exchange: at corpus scale only ~k rows
+    per host may reach the shuffle, not every page."""
+    from pyspark.sql import functions as F
+
+    from weakscraper_spark.operators.induction import induce_templates
+
+    pages = parquet_pages.withColumn(
+        "host", F.parse_url("url", F.lit("HOST")))
+    nodes = _plan_nodes(induce_templates(pages, k=4))
+    wgl = [i for i, n in nodes if n == "WindowGroupLimit"]
+    exch = [i for i, n in nodes if n == "Exchange"]
+    assert wgl and exch and min(wgl) < max(exch), nodes
+
+
 def test_jaccard_shingles_computed_once(spark):
     """ngram_jaccard_pairs references the exploded shingle table three
     times (self-join a/b + sizes) but must compute/shuffle it exactly
