@@ -135,7 +135,7 @@ def _synth_bench_pages(n_pages: int, cpus: int, out: str) -> None:
 
 
 def _scaling(n_pages: int, n_lo: int, n_hi: int, workdir: str,
-             rounds: int | None = None) -> dict:
+             rounds: int | None = None, synth_cpus: int = 32) -> dict:
     """Same job + same pre-synthesized input at local[n_lo] vs
     local[n_hi], run INTERLEAVED, min wall per level.
 
@@ -159,7 +159,9 @@ def _scaling(n_pages: int, n_lo: int, n_hi: int, workdir: str,
     quiet_budget = float(os.environ.get("SPARK_GRAFT_QUIET_BUDGET_S",
                                         "600"))
     pages_path = os.path.join(workdir, "bench_pages")
-    _synth_bench_pages(n_pages, n_hi, pages_path)
+    # synthesis is untimed - use the whole box so the bench
+    # spends its wall (and noise exposure) on measurement
+    _synth_bench_pages(n_pages, synth_cpus, pages_path)
     walls: dict[int, list[float]] = {n_lo: [], n_hi: []}
     noise: list[float] = []
     pages_n = 0
