@@ -65,3 +65,46 @@ def test_spec_json_roundtrip_stable(seed):
     scraper = TemplateScraper(SITE_TEMPLATES[tid])
     js = spec_to_json(scraper.spec)
     assert spec_to_json(spec_from_json(js)) == js  # canonical fixpoint
+
+
+def test_deep_nesting_maps_to_status_row():
+    """A pathologically deep page must become a status row, never an
+    exception escaping into the Arrow batch (A13 RecursionError
+    mapping — the hostile-page contract at 100 TB)."""
+    deep = "<div>" * 5000 + "x" + "</div>" * 5000
+    row = SCRAPER.extract(f"<html><body><h1>t</h1><ul></ul>{deep}</body></html>")
+    assert row["status"].startswith(("mismatch:", "ok"))
+    row2 = SCRAPER.extract(deep)
+    assert row2["status"].startswith("mismatch:")
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.text(alphabet="<>/=\"' abcdehilmtu&#;!-", max_size=200),
+                min_size=2, max_size=4))
+def test_induction_never_raises_unexpectedly(samples):
+    """Induction on arbitrary taggy garbage either yields a spec that
+    re-extracts without raising, or fails with the declared
+    TemplateError — nothing else."""
+    from weakscraper_spark.enginelib import induce_template_robust
+    from weakscraper_spark.enginelib.errors import TemplateError
+
+    try:
+        spec = induce_template_robust(samples)
+    except TemplateError:
+        return
+    for s in samples:
+        row = extract(spec, s)
+        assert row["status"] == "ok" or row["status"].startswith("mismatch:")
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(0, 10**9))
+def test_induction_deterministic(seed):
+    from weakscraper_spark.enginelib import induce_template_robust
+
+    samples = [render_page("t_article",
+                           make_slots("t_article", f"d:{seed}:{i}"))[0]
+               for i in range(3)]
+    a = spec_to_json(induce_template_robust(samples))
+    b = spec_to_json(induce_template_robust(samples))
+    assert a == b
