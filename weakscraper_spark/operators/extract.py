@@ -21,7 +21,7 @@ Execution model (SURVEY §4.2 flagship trace):
 Output schema is FIXED (dynamic captures live in ``fields_json``,
 SURVEY §2.1):
     url, template_id, status, error, text, fields_json, n_nodes,
-    parse_ms, partition_id
+    n_bytes, parse_ms, partition_id
 """
 
 from __future__ import annotations
@@ -40,7 +40,7 @@ from ..enginelib.spec import Spec, spec_from_json
 EXTRACT_SCHEMA = (
     "url string, warc_ts timestamp, template_id string, status string, "
     "error string, text string, fields_json string, n_nodes int, "
-    "parse_ms double, partition_id int"
+    "n_bytes int, parse_ms double, partition_id int"
 )
 
 # Per-worker compiled-spec cache (worker reuse makes this amortize).
@@ -80,7 +80,8 @@ def extract_pages(df: DataFrame,
                 "template_id": pdf["template_id"].tolist(),
                 "status": [""] * n, "error": [""] * n,
                 "text": [None] * n, "fields_json": [None] * n,
-                "n_nodes": [0] * n, "parse_ms": [0.0] * n,
+                "n_nodes": [0] * n, "n_bytes": [0] * n,
+                "parse_ms": [0.0] * n,
                 "partition_id": [pid] * n,
             }
             htmls = pdf["html"].tolist()
@@ -94,6 +95,7 @@ def extract_pages(df: DataFrame,
                 raw = htmls[j]
                 html = (raw if isinstance(raw, str)
                         else bytes(raw).decode("utf-8", errors="replace"))
+                out["n_bytes"][j] = len(raw)  # lineage: bytes_in
                 t0 = perf_counter()
                 row = _extract_doc(_spec_for(spec_json), html,
                                    functions, text_key)

@@ -181,6 +181,7 @@ def partition_metrics(out: DataFrame, run_id: str) -> DataFrame:
              F.sum(F.when(F.col("status") != "ok", 1).otherwise(0))
              .alias("n_fail"),
              F.sum("n_nodes").alias("n_nodes"),
+             F.sum("n_bytes").alias("bytes_in"),
              F.sum("parse_ms").alias("cpu_ms"))
         .withColumn("run_id", F.lit(run_id))
         .withColumn("ts", F.current_timestamp())
