@@ -15,7 +15,7 @@ Arrow batches (operators/extract.py).
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 from .match import Functions, extract, match_document
 from .spec import Spec, compile_template, spec_to_json
