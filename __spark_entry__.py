@@ -372,12 +372,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    max_df=100, min_jaccard=0.05)
     q["jaccard_pairs"] = jaccard_pairs
 
-    def simhash_docs(spark, sf):  # rows-only (bit-majority not in SQL)
+    def simhash_docs(spark, sf):
+        # oracle-checked: md5-based bit majority mirrored in DuckDB
         from weakscraper_spark.operators.dedup import simhash
         return simhash(_t(spark, sf, "documents"))
     q["simhash_docs"] = simhash_docs
 
-    def simhash_pairs(spark, sf):  # rows-only
+    def simhash_pairs(spark, sf):
+        # oracle-checked: banding is recall-exact for max_hamming, so
+        # the result equals the brute-force Hamming twin in DuckDB
         from weakscraper_spark.operators.dedup import simhash_near_pairs
         return simhash_near_pairs(_t(spark, sf, "documents"),
                                   max_hamming=8)
@@ -497,6 +500,28 @@ sh AS (SELECT DISTINCT doc_id AS doc,
               unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tok
        FROM tk)
+"""
+
+# md5-based SimHash, mirroring operators/dedup.py::_simhash64 exactly:
+# per-token hash = first 8 md5 bytes big-endian; per-bit +1/-1 majority
+# over DISTINCT shingles; docs with < 3 words hash to 0.
+_SIMHASH_CTE = _SHINGLES_CTE + """,
+hv AS (SELECT doc, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+       FROM sh),
+bits AS (SELECT doc, b AS bit,
+                CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1
+                                   THEN 1 ELSE -1 END) > 0
+                     THEN 1::HUGEINT ELSE 0::HUGEINT END AS v
+         FROM hv CROSS JOIN (SELECT unnest(range(64)) AS b)
+         GROUP BY doc, b),
+sims AS (SELECT d.doc_id AS doc, coalesce(s.simhash, 0) AS simhash
+         FROM documents d LEFT JOIN (
+             SELECT doc,
+                    CAST(sum(CASE WHEN bit = 63
+                                  THEN -(v * (1::HUGEINT << 63))
+                                  ELSE v * (1::HUGEINT << bit) END)
+                         AS BIGINT) AS simhash
+             FROM bits GROUP BY doc) s ON s.doc = d.doc_id)
 """
 
 
@@ -730,6 +755,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc = da
             JOIN sizes sb ON sb.doc = db
             WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.05
+        """,
+        "simhash_docs": f"""
+            WITH {_SIMHASH_CTE}
+            SELECT doc, simhash FROM sims
+        """,
+        "simhash_pairs": f"""
+            WITH {_SIMHASH_CTE}
+            SELECT a.doc AS doc_a, b.doc AS doc_b,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM sims a JOIN sims b ON a.doc < b.doc
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
         """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id,

@@ -15,9 +15,13 @@ engine operators, graded alongside the extraction pipeline):
                        frequency-capped to bound the token join; the
                        df-cap is the standard stop-token guard that
                        keeps the self-join linear-ish at 100 TB).
-- simhash64          — 64-bit SimHash per doc via Arrow batches
-                       (bit-majority is not SQL-portable; rows-only
-                       check) + banded Hamming candidate pairs.
+- simhash64          — 64-bit SimHash per doc via Arrow batches, with
+                       an md5-based token hash so the bit-majority is
+                       mirrored 1:1 in DuckDB (value-checked oracle),
+                       + banded Hamming candidate pairs whose banding
+                       is recall-EXACT for the requested distance —
+                       so the pair set equals the brute-force twin
+                       and is oracle-checkable too.
 """
 
 from __future__ import annotations
@@ -193,23 +197,29 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 # --------------------------------------------------------------------------
 
 def _simhash64(text: str, shingle_k: int = 3) -> int:
-    from hashlib import blake2b
+    """64-bit SimHash over distinct word-k-shingles. The per-token
+    hash is the FIRST 8 BYTES OF md5 (big-endian) — same reason as
+    the minhash primitive: md5 exists in DuckDB, so the whole
+    bit-majority is mirrored 1:1 in the oracle SQL and simhash is
+    value-checked, not rows-only. Docs shorter than k words hash to 0
+    (consistent with ``_shingles``' empty-array behavior)."""
+    from hashlib import md5
 
     words = text.lower().split()
     feats = (set(" ".join(words[i:i + shingle_k])
                  for i in range(len(words) - shingle_k + 1))
-             if len(words) >= shingle_k else set(words))
+             if len(words) >= shingle_k else set())
     acc = [0] * 64
     for tok in feats:
-        h = int.from_bytes(blake2b(tok.encode(), digest_size=8).digest(),
-                           "big")
+        h = int.from_bytes(md5(tok.encode()).digest()[:8], "big")
         for bit in range(64):
             acc[bit] += 1 if (h >> bit) & 1 else -1
     v = 0
     for bit in range(64):
         if acc[bit] > 0:
             v |= 1 << bit
-    return v - (1 << 63)  # as signed int64 for Spark LongType
+    # two's-complement into Spark's signed LongType
+    return v - (1 << 64) if v >= (1 << 63) else v
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id",
