@@ -447,7 +447,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "fingerprint"))
     q["fingerprints"] = fingerprints
 
-    def lang_id(spark, sf):  # rows-only (heuristic, Pandas-UDF path)
+    def lang_id(spark, sf):
+        # oracle-checked: the stopword/script heuristic is mirrored
+        # decision-for-decision in DuckDB (the Pandas-UDF path itself
+        # is what's under test)
         from weakscraper_spark.operators.textstats import with_lang_id
         return (with_lang_id(_t(spark, sf, "documents"))
                 .select("doc_id", "lang", "predicted_lang"))
@@ -501,6 +504,12 @@ sh AS (SELECT DISTINCT doc_id AS doc,
                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tok
        FROM tk)
 """
+
+def _mk_inlist(lang: str) -> str:
+    """Marker lexicon of textstats._MARKERS as a SQL IN-list."""
+    from weakscraper_spark.operators.textstats import _MARKERS
+    return ", ".join(f"'{w}'" for w in sorted(_MARKERS[lang]))
+
 
 # md5-based SimHash, mirroring operators/dedup.py::_simhash64 exactly:
 # per-token hash = first 8 md5 bytes big-endian; per-bit +1/-1 majority
@@ -826,5 +835,43 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
                        AS fingerprint
             FROM documents
+        """,
+        # decision-for-decision mirror of textstats._predict_lang:
+        # CJK script check on the first 400 chars, then first-wins
+        # (dict order en,es,de,fr) strict-greater stopword majority,
+        # latin fallback 'en', empty/token-less -> 'und'
+        "lang_id": f"""
+            WITH f AS (
+              SELECT doc_id, lang, text,
+                     length(regexp_replace(substr(text, 1, 400),
+                            '[^\\x{{4E00}}-\\x{{9FFF}}]', '', 'g')) AS cjk,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 t -> t <> '') AS toks
+              FROM documents),
+            c AS (
+              SELECT doc_id, lang, text, cjk, len(toks) AS n_toks,
+                     len(list_filter(toks, t -> t IN ({_mk_inlist('en')})))
+                         AS c_en,
+                     len(list_filter(toks, t -> t IN ({_mk_inlist('es')})))
+                         AS c_es,
+                     len(list_filter(toks, t -> t IN ({_mk_inlist('de')})))
+                         AS c_de,
+                     len(list_filter(toks, t -> t IN ({_mk_inlist('fr')})))
+                         AS c_fr
+              FROM f)
+            SELECT doc_id, lang,
+                   CASE WHEN length(text) = 0 THEN 'und'
+                        WHEN cjk > 5 THEN 'zh'
+                        WHEN n_toks = 0 THEN 'und'
+                        WHEN c_en > 0 AND c_en >= c_es AND c_en >= c_de
+                             AND c_en >= c_fr THEN 'en'
+                        WHEN c_es > 0 AND c_es > c_en AND c_es >= c_de
+                             AND c_es >= c_fr THEN 'es'
+                        WHEN c_de > 0 AND c_de > c_en AND c_de > c_es
+                             AND c_de >= c_fr THEN 'de'
+                        WHEN c_fr > 0 AND c_fr > c_en AND c_fr > c_es
+                             AND c_fr > c_de THEN 'fr'
+                        ELSE 'en' END AS predicted_lang
+            FROM c
         """,
     }
