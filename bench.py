@@ -158,6 +158,10 @@ def _scaling(n_pages: int, n_lo: int, n_hi: int, workdir: str,
     # total sleep budget spent waiting out noise bursts across rounds
     quiet_budget = float(os.environ.get("SPARK_GRAFT_QUIET_BUDGET_S",
                                         "600"))
+    # hard wall for the whole scaling phase: once the minimum rounds
+    # are in, stop adding rounds rather than run unboundedly long
+    wall_budget = float(os.environ.get("SPARK_GRAFT_SCALING_WALL_S",
+                                       "1200"))
     pages_path = os.path.join(workdir, "bench_pages")
     # synthesis is untimed - use the whole box so the bench
     # spends its wall (and noise exposure) on measurement
@@ -170,7 +174,11 @@ def _scaling(n_pages: int, n_lo: int, n_hi: int, workdir: str,
         return ((min(walls[n_lo]) / min(walls[n_hi])) / (n_hi / n_lo))
 
     waited_total = 0.0
+    t_phase = time.perf_counter()
     for rnd in range(max_rounds):
+        if (rnd >= min_rounds
+                and time.perf_counter() - t_phase > wall_budget):
+            break
         ratio, waited = _wait_for_quiet(quiet_budget - waited_total)
         waited_total += waited
         noise.append(ratio)
