@@ -144,12 +144,22 @@ def render_page(template_id: str, slots: dict) -> tuple[str, str]:
 
 
 def make_slots(template_id: str, key: str, min_words: int = 8,
-               rng_words: int = 40, junk_words: int = 12) -> dict:
+               rng_words: int = 40, junk_words: int = 12,
+               junk_markup: bool = False) -> dict:
     """``junk_words`` sizes the boilerplate (nav/footer/aside) that the
     templates wp-ignore — real CC pages are boilerplate-dominated, so
-    the bench corpus uses junk ≫ text (extracted output ≪ html)."""
+    the bench corpus uses junk ≫ text (extracted output ≪ html).
+    ``junk_markup`` wraps the junk in a span per ~8 words (~1 tag per
+    45 bytes) so its PARSE cost matches tag-dense real boilerplate
+    instead of one cheap text node — use for throughput realism at
+    large page sizes."""
     text = _words(f"{key}:text", min_words + _h(f"{key}:tl", rng_words))
-    slots = {"text": text, "junk": _words(f"{key}:junk", junk_words)}
+    junk = _words(f"{key}:junk", junk_words)
+    if junk_markup:
+        w = junk.split()
+        junk = "".join(f"<span>{' '.join(w[i:i + 8])}</span>"
+                       for i in range(0, len(w), 8))
+    slots = {"text": text, "junk": junk}
     if template_id == "t_article":
         slots["title"] = _words(f"{key}:title", 4)
         slots["author"] = _words(f"{key}:author", 2)
@@ -169,7 +179,7 @@ def make_slots(template_id: str, key: str, min_words: int = 8,
 
 def rows_for_index(i: int, n_hosts: int, head_share: float, seed: int,
                    min_words: int = 8, rng_words: int = 40,
-                   junk_words: int = 12):
+                   junk_words: int = 12, junk_markup: bool = False):
     """All synthetic rows for page index i (1 or 3 snapshots)."""
     key = f"{seed}:{i}"
     u_host = _h(f"{key}:host") / 2**32
@@ -185,7 +195,7 @@ def rows_for_index(i: int, n_hosts: int, head_share: float, seed: int,
     for s in range(n_snaps):
         skey = f"{key}:{s}"
         slots = make_slots(template_id, skey, min_words, rng_words,
-                           junk_words)
+                           junk_words, junk_markup)
         html, text = render_page(template_id, slots)
         if kind < 5:  # structural mismatch: alien skeleton
             html = (f"<html><body><table><tr><td>{slots['text']}"
@@ -218,7 +228,8 @@ PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
 def synth_pages(spark: SparkSession, n_pages: int, n_hosts: int = 50,
                 head_share: float = 0.30, seed: int = 42,
                 partitions: int | None = None, min_words: int = 8,
-                rng_words: int = 40, junk_words: int = 12) -> DataFrame:
+                rng_words: int = 40, junk_words: int = 12,
+                junk_markup: bool = False) -> DataFrame:
     """Distributed deterministic pages table: one task per index range,
     no driver materialization, no RNG state (scales to any n)."""
     partitions = partitions or max(8, spark.sparkContext.defaultParallelism)
@@ -229,7 +240,7 @@ def synth_pages(spark: SparkSession, n_pages: int, n_hosts: int = 50,
             for i in pdf["id"]:
                 rows.extend(rows_for_index(int(i), n_hosts, head_share,
                                            seed, min_words, rng_words,
-                                           junk_words))
+                                           junk_words, junk_markup))
             yield pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
