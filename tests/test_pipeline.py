@@ -153,6 +153,19 @@ def test_resume_exactly_once(spark, corpus, tmp_path):
     assert out_b.groupBy("url").count().filter("count > 1").count() == 0
 
 
+def test_resume_noop_run_writes_nothing(spark, corpus, tmp_path):
+    """A NEW run over fully-done input is a clean no-op: 0-row
+    increment (Observation counts included), sink unchanged."""
+    pages, templates, specs = corpus
+    out_dir = str(tmp_path / "sink")
+    r1 = run_pipeline(spark, pages, templates, specs, out_dir,
+                      run_id="a")
+    r2 = run_pipeline(spark, pages, templates, specs, out_dir,
+                      run_id="b")
+    assert r2["rows_written"] == 0 and r2["ok_written"] == 0
+    assert spark.read.parquet(r2["pages_out"]).count() == r1["rows_written"]
+
+
 def test_resume_newer_snapshot_wins(spark, corpus, tmp_path):
     """Snapshot-granular resume: a warc_ts NEWER than the sink's
     latest for a url is re-extracted on a later run, and the
