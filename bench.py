@@ -176,8 +176,10 @@ def _scaling(n_pages: int, n_lo: int, n_hi: int, workdir: str,
     waited_total = 0.0
     t_phase = time.perf_counter()
     for rnd in range(max_rounds):
-        if (rnd >= min_rounds
-                and time.perf_counter() - t_phase > wall_budget):
+        # budget counts MEASUREMENT wall only — quiet-wait sleeps are
+        # free (no host load) and must not starve the adaptive retry
+        measuring = time.perf_counter() - t_phase - waited_total
+        if rnd >= min_rounds and measuring > wall_budget:
             break
         ratio, waited = _wait_for_quiet(quiet_budget - waited_total)
         waited_total += waited
