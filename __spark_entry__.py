@@ -250,16 +250,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return orders.exceptAll(done)
     q["except_orders"] = except_orders
 
-    # ---- captured fields → long format (C6 flattening; rows-only:
-    # synthesized pages have no DuckDB twin) ---------------------------------
+    # ---- captured fields → long format (C6 flattening; rows-only BUT
+    # value-pinned: the 'text' capture rows are kept only when they
+    # equal the synthesized ground truth, so the row COUNT the driver
+    # records moves if extraction values drift — not just cardinality) ------
     def fields_long(spark, sf):
         from pyspark.sql import types as T
         from weakscraper_spark.plans.pipeline import synth_and_extract
+        from weakscraper_spark.sources.synth import synth_pages
         out = synth_and_extract(spark, 400).filter("status = 'ok'")
+        truth = synth_pages(spark, 400).select(
+            "url", "warc_ts", F.col("text").alias("truth"))
         fields = F.from_json(
             "fields_json", T.MapType(T.StringType(), T.StringType()))
-        return (out.select("url", F.explode(fields).alias("key", "val"))
-                .filter(F.col("key") != "text"))
+        exploded = out.select(
+            "url", "warc_ts", F.explode(fields).alias("key", "val"))
+        return (exploded.join(truth, ["url", "warc_ts"])
+                .filter((F.col("key") != "text") |
+                        (F.col("val") == F.col("truth")))
+                .select("url", "key", "val"))
     q["fields_long"] = fields_long
 
     # ---- as-of join (union-window form; DuckDB has native ASOF) -----------
@@ -372,6 +381,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    max_df=100, min_jaccard=0.05)
     q["jaccard_pairs"] = jaccard_pairs
 
+    def minhash_overcap(spark, sf):
+        # the auditable side output of the LSH bucket cap: which
+        # (band, bkey) clusters exceed the cap (here 2, to exercise it
+        # at sandbox scale) and how many docs each holds — capped
+        # clusters are explicit, never silently dropped
+        from weakscraper_spark.operators.dedup import (
+            minhash_overcap_buckets)
+        return (minhash_overcap_buckets(_t(spark, sf, "documents"),
+                                        max_bucket=2)
+                .select(F.col("band").cast("long").alias("band"),
+                        "bkey", "n_docs"))
+    q["minhash_overcap"] = minhash_overcap
+
     def simhash_docs(spark, sf):
         # oracle-checked: md5-based bit majority mirrored in DuckDB
         from weakscraper_spark.operators.dedup import simhash
@@ -480,13 +502,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .drop("feat"))
     q["frame_samples"] = frame_samples
 
-    # ---- the extraction operator itself (rows-only; pytest ring is the
-    # value-level gate, SURVEY §6) -----------------------------------------
+    # ---- the extraction operator itself (rows-only BUT value-pinned:
+    # a row survives only if extraction matched the synthesized ground
+    # truth — ok rows must recover `text` byte-identically, non-ok rows
+    # must be exactly the truthless mismatch/malformed pages — so the
+    # recorded row count IS the byte-identical match count, and any
+    # value drift changes it; the pytest ring asserts the same at
+    # per-byte granularity, SURVEY §6) --------------------------------------
     def extract_pages(spark, sf):
         from weakscraper_spark.plans.pipeline import synth_and_extract
+        from weakscraper_spark.sources.synth import synth_pages
         n = 2000 if "0.01" in sf else (20000 if "0.1" in sf else 600)
-        return synth_and_extract(spark, n).select(
-            "url", "template_id", "status", "text", "n_nodes")
+        out = synth_and_extract(spark, n)
+        truth = synth_pages(spark, n).select(
+            "url", "warc_ts", F.col("text").alias("truth"))
+        ok_match = (F.col("status") == "ok") & \
+            (F.col("text") == F.col("truth"))
+        fail_match = (F.col("status") != "ok") & (F.col("truth") == "")
+        return (out.join(truth, ["url", "warc_ts"])
+                .filter(ok_match | fail_match)
+                .select("url", "template_id", "status", "text", "n_nodes"))
     q["extract_pages"] = extract_pages
 
     return q
@@ -765,16 +800,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc = db
             WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.05
         """,
+        "minhash_overcap": f"""
+            WITH {_SHINGLES_CTE},
+            sigs AS (SELECT doc,
+                     min(md5('0:' || tok)) AS s0, min(md5('1:' || tok)) AS s1,
+                     min(md5('2:' || tok)) AS s2, min(md5('3:' || tok)) AS s3,
+                     min(md5('4:' || tok)) AS s4, min(md5('5:' || tok)) AS s5,
+                     min(md5('6:' || tok)) AS s6, min(md5('7:' || tok)) AS s7
+                     FROM sh GROUP BY doc),
+            bands_all AS (
+                SELECT doc, 0 AS band, s0 || '|' || s1 AS bkey FROM sigs
+                UNION ALL
+                SELECT doc, 1, s2 || '|' || s3 FROM sigs
+                UNION ALL
+                SELECT doc, 2, s4 || '|' || s5 FROM sigs
+                UNION ALL
+                SELECT doc, 3, s6 || '|' || s7 FROM sigs)
+            SELECT CAST(band AS BIGINT) AS band, bkey,
+                   count(*) AS n_docs
+            FROM bands_all GROUP BY band, bkey HAVING count(*) > 2
+        """,
         "simhash_docs": f"""
             WITH {_SIMHASH_CTE}
             SELECT doc, simhash FROM sims
         """,
         "simhash_pairs": f"""
+            -- mirror of drop_zero=True: simhash=0 is the degenerate
+            -- bucket (every sub-shingle_k-word doc), excluded from
+            -- Hamming LSH on both sides
             WITH {_SIMHASH_CTE}
             SELECT a.doc AS doc_a, b.doc AS doc_b,
                    bit_count(xor(a.simhash, b.simhash)) AS hamming
             FROM sims a JOIN sims b ON a.doc < b.doc
-            WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+            WHERE a.simhash <> 0 AND b.simhash <> 0
+              AND bit_count(xor(a.simhash, b.simhash)) <= 8
         """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id,

@@ -209,6 +209,74 @@ def test_resume_newer_snapshot_wins(spark, corpus, tmp_path):
             for r in dedup_latest(after_df).collect()} == before
 
 
+def test_compact_sink_crash_never_empties_sink(spark, corpus, tmp_path,
+                                               monkeypatch):
+    """Swap-order guard (ADVICE r02): compaction renames the staged
+    partition IN before deleting superseded ones. A crash before the
+    swap leaves the sink untouched (+ staged copy for recovery); a
+    crash between add and delete leaves transient duplicates that the
+    dedup_latest serving view collapses — no window where the sink
+    reads as empty."""
+    import os
+    import shutil
+
+    from weakscraper_spark.plans.pipeline import compact_sink
+
+    pages, templates, specs = corpus
+    out_dir = str(tmp_path / "sink")
+    run_pipeline(spark, pages, templates, specs, out_dir, run_id="a")
+    sink_path = os.path.join(out_dir, "pages_out")
+    rows_before = spark.read.parquet(sink_path).count()
+    served_before = {(r["url"], r["text"]) for r in
+                     dedup_latest(spark.read.parquet(sink_path)).collect()}
+
+    def boom(*a, **k):
+        raise OSError("simulated crash")
+
+    # crash 1: between staged write and swap-in
+    monkeypatch.setattr(os, "rename", boom)
+    with pytest.raises(OSError):
+        compact_sink(spark, sink_path, run_id="c1")
+    monkeypatch.undo()
+    assert spark.read.parquet(sink_path).count() == rows_before
+    assert os.path.isdir(sink_path + ".compact_c1")  # staged survives
+    shutil.rmtree(sink_path + ".compact_c1")
+
+    # crash 2: after swap-in, before superseded-partition delete
+    monkeypatch.setattr(shutil, "rmtree", boom)
+    with pytest.raises(OSError):
+        compact_sink(spark, sink_path, run_id="c2")
+    monkeypatch.undo()
+    parts = {d for d in os.listdir(sink_path) if d.startswith("run_id=")}
+    assert parts == {"run_id=a", "run_id=c2"}  # duplicates, never empty
+    assert {(r["url"], r["text"]) for r in
+            dedup_latest(spark.read.parquet(sink_path)).collect()} \
+        == served_before
+
+    # recovery = simply compact again
+    compact_sink(spark, sink_path, run_id="c3")
+    parts = {d for d in os.listdir(sink_path) if d.startswith("run_id=")}
+    assert parts == {"run_id=c3"}
+    assert {(r["url"], r["text"]) for r in
+            dedup_latest(spark.read.parquet(sink_path)).collect()} \
+        == served_before
+
+
+def test_extract_n_bytes_is_bytes_for_string_input(spark):
+    """Lineage fix (ADVICE r02): when the html column is a STRING,
+    n_bytes must report UTF-8 bytes, not characters."""
+    from weakscraper_spark.operators.extract import extract_pages
+    from weakscraper_spark.sources.synth import compiled_specs
+
+    html = "<html><body>héllo wörld 世界</body></html>"
+    df = spark.createDataFrame(
+        [("https://host00.example.com/p/0", None, "t_article", html)],
+        "url string, warc_ts timestamp, template_id string, html string")
+    row = extract_pages(df, compiled_specs()).first()
+    assert row["n_bytes"] == len(html.encode("utf-8"))
+    assert row["n_bytes"] > len(html)
+
+
 def test_partition_metrics_reconcile(spark, extracted):
     m = partition_metrics(extracted, "runX")
     agg = m.agg(F.sum("n_pages").alias("p"), F.sum("n_ok").alias("ok"),

@@ -111,28 +111,71 @@ def test_induction_sampling_prunes_mapside(spark, parquet_pages):
     assert wgl and exch and min(wgl) < max(exch), nodes
 
 
-def test_jaccard_shingles_computed_once(spark):
-    """ngram_jaccard_pairs references the exploded shingle table three
-    times (self-join a/b + sizes) but must compute/shuffle it exactly
-    once — the df-cap window puts an identical Exchange(tok) under
-    every branch so ReuseExchange serves the rest from shuffle files
-    (the no-.cache() replacement for the r01 memory hazard). AQE is
-    toggled off for the explain: with AQE the same reuse happens at
-    runtime via the stage cache and isn't visible statically."""
-    from weakscraper_spark.operators.dedup import ngram_jaccard_pairs
-
-    docs = spark.createDataFrame(
+def _docs_df(spark, n=4):
+    return spark.createDataFrame(
         [(i, f"w{i} " * 5 + "common tail words here", "en", "s", 30)
-         for i in range(4)],
+         for i in range(n)],
         "doc_id long, text string, lang string, source string, "
         "n_chars long")
+
+
+def test_jaccard_cap_is_twophase_and_join_reuses_exchange(spark):
+    """The df-cap must be the TWO-PHASE form (groupBy-count →
+    broadcast anti-join, applied map-side), never a window count —
+    `count(*) over (partition by tok)` funnels every instance of the
+    hottest shingle into one task's window buffer (straggler at
+    corpus scale). And the self-join's two sides must still share one
+    Exchange(tok) via ReuseExchange (shingles computed/shuffled once,
+    no .cache()). AQE is toggled off for the explain: with AQE the
+    same reuse happens at runtime and isn't visible statically."""
+    from weakscraper_spark.operators.dedup import ngram_jaccard_pairs
+
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        nodes = _plan_nodes(ngram_jaccard_pairs(docs))
+        nodes = _plan_nodes(ngram_jaccard_pairs(_docs_df(spark)))
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     names = [n for _, n in nodes]
-    assert names.count("ReusedExchange") >= 2, nodes
+    assert "Window" not in names, nodes          # no hot-key buffer
+    assert "BroadcastHashJoin" in names, nodes   # map-side anti-join
+    assert names.count("ReusedExchange") >= 1, nodes
+
+
+def test_minhash_cap_is_twophase_no_window(spark):
+    """Same discipline for the LSH bucket cap: two-phase count +
+    broadcast anti-join before the band self-join, no window."""
+    from weakscraper_spark.operators.dedup import minhash_lsh_pairs
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        nodes = _plan_nodes(minhash_lsh_pairs(_docs_df(spark)))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    names = [n for _, n in nodes]
+    assert "Window" not in names, nodes
+    assert "BroadcastHashJoin" in names, nodes
+
+
+def test_simhash_capped_still_single_python_stage(spark):
+    """With the opt-in bucket cap, the count branch is a second
+    consumer of the expensive Python simhash stage; the operator must
+    serve both from ONE evaluation (persisted narrow table — both
+    InMemoryTableScans reference the same relation), apply the cap
+    anti-join MAP-SIDE (no window buffer), and the self-join sides
+    must still share one Exchange via ReuseExchange."""
+    from weakscraper_spark.operators.dedup import simhash_near_pairs
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        nodes = _plan_nodes(simhash_near_pairs(
+            _docs_df(spark), max_hamming=3, max_bucket=8))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    names = [n for _, n in nodes]
+    assert names.count("MapInPandas") == 1, nodes  # one Python subtree
+    assert names.count("InMemoryTableScan") >= 2, nodes
+    assert names.count("ReusedExchange") >= 1, nodes
+    assert "Window" not in names, nodes
 
 
 def test_parquet_scan_prunes_ground_truth_column(spark, parquet_pages):

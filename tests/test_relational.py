@@ -39,6 +39,24 @@ def test_asof_join_semantics(spark):
     assert out[4] is None           # right row strictly later
 
 
+def test_asof_join_row_atomicity_and_nulls(spark):
+    """ADVICE r02: right columns must be carried as ONE row, not
+    per-column — a NULL field in the matched right row stays NULL
+    (never backfilled from an older row), and multi-column output
+    never mixes values from different right rows."""
+    left = spark.createDataFrame(
+        [("u1", 1, _ts(30))],
+        "user_id string, event_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [("u1", _ts(10), 1.0, None),     # older row: a=1.0, b=NULL
+         ("u1", _ts(20), None, 2.0)],    # matched row: a=NULL, b=2.0
+        "user_id string, ts timestamp, a double, b double")
+    row = asof_join(left, right, on="user_id", ts="ts",
+                    right_cols=["a", "b"]).first()
+    assert row["b_asof"] == 2.0
+    assert row["a_asof"] is None  # NOT 1.0 from the older right row
+
+
 def test_asof_join_matches_naive(spark):
     import itertools
     lrows = [("u%d" % (i % 3), i, _ts(i * 7 % 97))

@@ -96,6 +96,72 @@ def test_simhash_banding_recall_at_high_hamming(spark):
     assert pairs == {(1, 2): 6}
 
 
+def test_simhash_zero_bucket_dropped(spark):
+    """Degenerate-bucket guard (VERDICT r02 #2): every doc shorter
+    than shingle_k words hashes to simhash 0, so at corpus scale the
+    zero bucket is ALL short/empty docs sharing all chunks — an O(c²)
+    self-join on one key. drop_zero (default) must exclude them
+    entirely while normal near-dups still pair; the oracle twin
+    carries the same ``simhash <> 0`` filter."""
+    from weakscraper_spark.operators.dedup import (
+        simhash_band_pairs, simhash_near_pairs)
+    shorts = [(i, "tiny doc", "en", "s", 8) for i in range(200)]
+    normal = [(1000, BASE, "en", "s", len(BASE)),
+              (1001, BASE.replace("lazy", "idle"), "en", "s", len(BASE))]
+    df = spark.createDataFrame(
+        shorts + normal,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    pairs = {(r.doc_a, r.doc_b)
+             for r in simhash_near_pairs(df, max_hamming=8).collect()}
+    assert pairs == {(1000, 1001)}   # zero-bucket docs never pair
+    # and the hazard is real: without the guard the 200 short docs
+    # alone produce C(200,2) pairs
+    from weakscraper_spark.operators.dedup import simhash
+    raw = simhash_band_pairs(simhash(df), max_hamming=8,
+                             drop_zero=False)
+    assert raw.count() == 200 * 199 // 2 + 1
+
+
+def test_simhash_bucket_cap_bounds_giant_cluster(spark):
+    """Opt-in max_bucket: an exact-dup cluster above the cap produces
+    no pairs (belongs to exact dedup) while sub-cap near-dups still
+    pair — and recall stays exact for the remainder."""
+    from weakscraper_spark.operators.dedup import simhash_near_pairs
+    other = ("an entirely unrelated corpus of words about gardens "
+             "rivers mountains recipes pottery and astronomy written "
+             "for the bucket cap test with stable phrasing throughout")
+    giant = [(i, BASE, "en", "s", len(BASE)) for i in range(20)]
+    small = [(100, other, "en", "s", len(other)),
+             (101, other.replace("pottery", "ceramics"), "en", "s",
+              len(other))]
+    df = spark.createDataFrame(
+        giant + small,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    pairs = {(r.doc_a, r.doc_b)
+             for r in simhash_near_pairs(df, max_hamming=8,
+                                         max_bucket=8).collect()}
+    assert (100, 101) in pairs
+    assert not any(a < 100 for a, _ in pairs)
+
+
+def test_minhash_overcap_audit_lists_dropped_buckets(spark):
+    """The bucket cap's side output (ADVICE r02): clusters the cap
+    excludes from pairwise LSH are enumerable, not invisible."""
+    from weakscraper_spark.operators.dedup import (
+        minhash_lsh_pairs, minhash_overcap_buckets)
+    giant = [(i, BASE, "en", "s", len(BASE)) for i in range(10)]
+    df = spark.createDataFrame(
+        giant, "doc_id long, text string, lang string, source string, "
+               "n_chars long")
+    audit = minhash_overcap_buckets(df, max_bucket=8).collect()
+    # 10 identical docs share all 4 band buckets, each of size 10
+    assert len(audit) == 4
+    assert all(r.n_docs == 10 for r in audit)
+    assert minhash_lsh_pairs(df, max_bucket=8).count() == 0
+
+
 def test_minhash_bucket_cap_drops_giant_cluster(spark):
     """max_bucket: a dup cluster larger than the cap produces NO LSH
     pairs (it belongs to exact dedup), while small clusters still

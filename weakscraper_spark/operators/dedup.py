@@ -29,9 +29,23 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from .textstats import with_fingerprint
+
+
+def _overcap_keys(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Keys whose group size exceeds ``cap`` — computed TWO-PHASE
+    (groupBy count with map-side partial aggregation), never a window:
+    ``count(*) over (partition by key)`` materializes every instance
+    of the hottest key in one task's window buffer before the cap can
+    filter it — a guaranteed straggler partition when a boilerplate
+    key has 10⁹ occurrences at corpus scale. The partial agg sends
+    ~one row per (task, key) into a tiny exchange instead, and the
+    result is small by construction (only over-cap keys), so callers
+    broadcast it and drop hot rows MAP-SIDE before any shuffle."""
+    return (df.groupBy(*keys).agg(F.count("*").alias("n"))
+            .filter(F.col("n") > cap))
 
 
 # --------------------------------------------------------------------------
@@ -100,6 +114,28 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     return toks.groupBy("doc").agg(*aggs)
 
 
+def _minhash_bands(df: DataFrame, id_col: str, col: str,
+                   n_hashes: int, band_size: int,
+                   shingle_k: int) -> DataFrame:
+    """Exploded (doc, band, bkey) table — one row per doc per LSH
+    band. One explode, not a union of n_bands selects: a union
+    re-evaluates the whole signature subtree per branch; explode
+    computes it once and fans out rows in the same narrow map."""
+    sigs = minhash_signatures(df, id_col, col, n_hashes, shingle_k)
+    n_bands = n_hashes // band_size
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[F.col(f"sig{b * band_size + j}")
+                               for j in range(band_size)]).alias("bkey"))
+        for b in range(n_bands)
+    ]
+    return (sigs.select(
+        "doc", F.explode(F.array(*band_structs)).alias("_bs"))
+        .select("doc", F.col("_bs.band").alias("band"),
+                F.col("_bs.bkey").alias("bkey")))
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       col: str = "text", n_hashes: int = 8,
                       band_size: int = 2, shingle_k: int = 3,
@@ -112,31 +148,20 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     one giant duplicate cluster (or a degenerate all-identical band
     key) would otherwise make the band join O(c²) in that cluster's
     size — the classic LSH blow-up at corpus scale. Docs in an
-    over-cap bucket are trivially near-identical and belong to exact
-    dedup (``exact_dedup``), not pairwise LSH. The window count runs
-    on the SAME (band, bkey) key the join shuffles on, so it adds no
-    extra exchange. Mirrored 1:1 in the DuckDB oracle (QUALIFY)."""
-    sigs = minhash_signatures(df, id_col, col, n_hashes, shingle_k)
-    n_bands = n_hashes // band_size
-    # one explode, not a union of n_bands selects: a union re-evaluates
-    # the whole signature subtree per branch; explode computes it once
-    # and fans out rows in the same narrow map
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws("|", *[F.col(f"sig{b * band_size + j}")
-                               for j in range(band_size)]).alias("bkey"))
-        for b in range(n_bands)
-    ]
-    exploded = (sigs.select(
-        "doc", F.explode(F.array(*band_structs)).alias("_bs"))
-        .select("doc", F.col("_bs.band").alias("band"),
-                F.col("_bs.bkey").alias("bkey")))
-    w = Window.partitionBy("band", "bkey")
-    exploded = (exploded
-                .withColumn("_bucket_n", F.count("*").over(w))
-                .filter(F.col("_bucket_n") <= max_bucket)
-                .drop("_bucket_n"))
+    over-cap bucket are trivially near-identical and belong to exact /
+    cluster dedup, not pairwise LSH; the dropped bucket keys are a
+    first-class AUDITABLE side output (``minhash_overcap_buckets``),
+    never a silent hole. The cap is two-phase (``_overcap_keys``) +
+    broadcast anti-join, so an over-cap bucket's rows are filtered
+    MAP-SIDE and never enter the self-join shuffle at all — no window
+    buffer, no hot-key straggler task. Mirrored 1:1 in the DuckDB
+    oracle (QUALIFY on the same count)."""
+    exploded = _minhash_bands(df, id_col, col, n_hashes, band_size,
+                              shingle_k)
+    if max_bucket is not None:
+        overcap = _overcap_keys(exploded, ["band", "bkey"], max_bucket)
+        exploded = exploded.join(F.broadcast(overcap.select("band", "bkey")),
+                                 ["band", "bkey"], "left_anti")
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (a.join(b, ["band", "bkey"])
@@ -144,6 +169,21 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
             .groupBy(F.col("a.doc").alias("doc_a"),
                      F.col("b.doc").alias("doc_b"))
             .agg(F.count("*").alias("n_bands")))
+
+
+def minhash_overcap_buckets(df: DataFrame, id_col: str = "doc_id",
+                            col: str = "text", n_hashes: int = 8,
+                            band_size: int = 2, shingle_k: int = 3,
+                            max_bucket: int = 64) -> DataFrame:
+    """Audit side output for ``minhash_lsh_pairs``: the (band, bkey,
+    n_docs) bucket keys whose size exceeds ``max_bucket`` — i.e. the
+    giant near-identical clusters EXCLUDED from pairwise LSH. Feed
+    these to a cluster-level dedup (keep-one-per-bucket) so capped
+    clusters are resolved explicitly rather than dropped invisibly."""
+    exploded = _minhash_bands(df, id_col, col, n_hashes, band_size,
+                              shingle_k)
+    return (_overcap_keys(exploded, ["band", "bkey"], max_bucket)
+            .select("band", "bkey", F.col("n").alias("n_docs")))
 
 
 # --------------------------------------------------------------------------
@@ -160,20 +200,24 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     quadratic on boilerplate shingles at corpus scale. Returns
     (doc_a, doc_b, jaccard).
 
-    The exploded shingle table is referenced three times (both
-    self-join sides + per-doc sizes) but is computed and shuffled
-    exactly ONCE without any ``.cache()``: the df-cap is a window
-    count over ``tok``, so every branch ends at an identical
-    Exchange(tok) and Catalyst's ReuseExchange serves the other
-    branches from the first one's shuffle files — disk-backed,
-    distributed, auto-cleaned reuse, instead of an in-memory cache
-    that would be several times corpus size at 100 TB (r01 hazard).
-    The self-join on ``tok`` then needs no further shuffle (children
-    are already hash-partitioned on the join key)."""
+    The df-cap is TWO-PHASE (``_overcap_keys``): a partial-agg count
+    finds the over-cap shingles (tiny by construction) which are
+    broadcast and anti-joined MAP-SIDE — a boilerplate shingle with
+    10⁹ occurrences is dropped before its rows ever shuffle, where the
+    r02 window-count form first funneled all of them into one task's
+    window buffer (linear but a guaranteed straggler at 100 TB). The
+    self-join's two sides remain identical subtrees ending at the same
+    Exchange(tok), so Catalyst's ReuseExchange still computes and
+    shuffles the capped shingle table exactly once, with no
+    ``.cache()`` (disk-backed shuffle-file reuse, not an in-memory
+    cache that would be several times corpus size at 100 TB). The
+    per-doc ``sizes`` branch re-derives from the narrow map (its
+    partial agg collapses to one row per doc before its own small
+    exchange — recompute is cheap; a corpus-width cache is not)."""
     toks = _shingles(df, id_col, col, shingle_k)
-    w = Window.partitionBy("tok")
-    rtoks = (toks.withColumn("_df", F.count("*").over(w))
-             .filter(F.col("_df") <= max_df).drop("_df"))
+    overcap = _overcap_keys(toks, ["tok"], max_df)
+    rtoks = toks.join(F.broadcast(overcap.select("tok")),
+                      "tok", "left_anti")
     sizes = rtoks.groupBy("doc").agg(F.count("*").alias("sz"))
     a, b = rtoks.alias("a"), rtoks.alias("b")
     inter = (a.join(b, "tok")
@@ -236,18 +280,48 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, col).mapInPandas(run, "doc long, simhash long")
 
 
-def simhash_band_pairs(sh: DataFrame,
-                       max_hamming: int = 3) -> DataFrame:
+def simhash_band_pairs(sh: DataFrame, max_hamming: int = 3,
+                       drop_zero: bool = True,
+                       max_bucket: int | None = None) -> DataFrame:
     """Banded Hamming candidate pairs over a ``(doc, simhash)``
     DataFrame. Chunk count is DERIVED from ``max_hamming``: with k
     chunks, a pair differing in <= k-1 bits must share at least one
     exact chunk (pigeonhole), so k = max_hamming + 1 guarantees full
     recall — a fixed 4-chunk split silently missed distance-4..8
     pairs straddling all chunks. Equi-join per chunk, exact Hamming
-    check via bit_count(xor), no cross join."""
+    check via bit_count(xor), no cross join.
+
+    ``drop_zero`` (default ON) excludes ``simhash = 0`` docs: every
+    document shorter than ``shingle_k`` words hashes to exactly 0
+    (``_simhash64``), so at corpus scale the zero bucket holds ALL
+    short/empty docs — billions of rows sharing all k chunks, an
+    O(c²) self-join on one key. Degenerate docs belong to
+    ``exact_dedup`` (they are byte-near-empty), not Hamming LSH.
+    Mirrored in the DuckDB oracle (``WHERE simhash <> 0``).
+
+    ``max_bucket`` (opt-in) additionally caps any remaining giant
+    bucket per (chunk, ckey) — e.g. an exact-duplicate cluster, which
+    shares ALL chunks (the composed pipeline runs ``exact_dedup``
+    FIRST, so this is a belt-and-braces guard). Same two-phase count →
+    broadcast anti-join as minhash, applied PRE-shuffle, with one
+    twist: the source here is the expensive Python simhash stage, and
+    the count branch is a second consumer of it (Catalyst pushes the
+    anti-join below any explicit repartition — PushDownLeftSemiAntiJoin
+    — so exchange-level reuse cannot serve both consumers). The NARROW
+    ``(doc, simhash)`` table (~16 B/row — orders of magnitude under
+    the exploded chunk shuffle the join pays anyway) is therefore
+    persisted to executor DISK for the duration: Python runs once,
+    the cheap JVM explode runs per consumer, and an over-cap bucket's
+    rows never enter the shuffle. Capped pairs are intentionally
+    absent; recall-exactness then holds for the sub-cap remainder."""
     if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], "
                          f"got {max_hamming}")
+    if drop_zero:
+        sh = sh.filter(F.col("simhash") != 0)
+    if max_bucket is not None:
+        from pyspark import StorageLevel
+        sh = sh.persist(StorageLevel.DISK_ONLY)
     n_chunks = max_hamming + 1
     width = 64 // n_chunks  # last chunk takes the remainder bits
     # one explode, not a union of n_chunks selects: with an expensive
@@ -263,15 +337,23 @@ def simhash_band_pairs(sh: DataFrame,
             key = key.bitwiseAND(F.lit((1 << w) - 1))
         chunk_structs.append(F.struct(F.lit(c).alias("chunk"),
                                       key.alias("ckey")))
-    chunks = (sh.select(
+    exploded = (sh.select(
         "doc", "simhash", F.explode(F.array(*chunk_structs)).alias("_cs"))
         .select("doc", "simhash", F.col("_cs.chunk").alias("chunk"),
-                F.col("_cs.ckey").alias("ckey"))
-        # pre-shuffle on the join key: the self-join needs this
-        # exchange anyway, and making it explicit lets ReuseExchange
-        # serve BOTH join sides from one evaluation of the Python
-        # simhash stage (2x -> 1x mapInPandas)
-        .repartition("chunk", "ckey"))
+                F.col("_cs.ckey").alias("ckey")))
+    if max_bucket is not None:
+        # two-phase cap (module pattern): counts via partial agg over
+        # the persisted narrow table's explode, broadcast the tiny
+        # over-cap key set, drop hot rows MAP-SIDE before the shuffle
+        overcap = _overcap_keys(exploded, ["chunk", "ckey"], max_bucket)
+        exploded = exploded.join(
+            F.broadcast(overcap.select("chunk", "ckey")),
+            ["chunk", "ckey"], "left_anti")
+    # pre-shuffle on the join key: the self-join needs this exchange
+    # anyway, and making it explicit lets ReuseExchange serve BOTH
+    # join sides from one evaluation of the (persisted or, uncapped,
+    # single-subtree) simhash source (2x -> 1x mapInPandas)
+    chunks = exploded.repartition("chunk", "ckey")
     a, b = chunks.alias("a"), chunks.alias("b")
     return (a.join(b, ["chunk", "ckey"])
             .filter(F.col("a.doc") < F.col("b.doc"))
@@ -284,8 +366,12 @@ def simhash_band_pairs(sh: DataFrame,
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
-                       col: str = "text", max_hamming: int = 3) -> DataFrame:
+                       col: str = "text", max_hamming: int = 3,
+                       drop_zero: bool = True,
+                       max_bucket: int | None = None) -> DataFrame:
     """Near-dup candidates: simhash64 per doc, then banded Hamming
     join (``simhash_band_pairs``) with recall guaranteed for the
-    requested ``max_hamming``."""
-    return simhash_band_pairs(simhash(df, id_col, col), max_hamming)
+    requested ``max_hamming`` (over nonzero-hash docs; see
+    ``simhash_band_pairs`` for the degenerate-bucket rationale)."""
+    return simhash_band_pairs(simhash(df, id_col, col), max_hamming,
+                              drop_zero=drop_zero, max_bucket=max_bucket)

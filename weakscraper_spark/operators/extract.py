@@ -93,9 +93,14 @@ def extract_pages(df: DataFrame,
                     out["error"][j] = f"no compiled template for {tid!r}"
                     continue
                 raw = htmls[j]
-                html = (raw if isinstance(raw, str)
-                        else bytes(raw).decode("utf-8", errors="replace"))
-                out["n_bytes"][j] = len(raw)  # lineage: bytes_in
+                if isinstance(raw, str):
+                    # lineage bytes_in must be BYTES even for string
+                    # inputs (len(str) undercounts multi-byte UTF-8)
+                    html = raw
+                    out["n_bytes"][j] = len(raw.encode("utf-8"))
+                else:
+                    html = bytes(raw).decode("utf-8", errors="replace")
+                    out["n_bytes"][j] = len(raw)
                 t0 = perf_counter()
                 row = _extract_doc(_spec_for(spec_json), html,
                                    functions, text_key)

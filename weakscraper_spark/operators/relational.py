@@ -25,6 +25,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     timestamps the right row sorts first (``_r desc``), matching
     ASOF's ``<=`` inclusivity.
 
+    Row atomicity: ALL right columns travel as ONE struct through a
+    single ``last(ignorenulls)`` — the matched right row's values stay
+    together, and a legitimately-NULL field of the matched row comes
+    through as NULL (carrying each column independently would backfill
+    it from an OLDER right row and could mix columns from different
+    rows — not as-of semantics).
+
     The caller must make the right side unique per (key, ts) (e.g.
     pre-aggregate) — as-of over a duplicated (key, ts) is not
     deterministic in any engine."""
@@ -32,23 +39,20 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         c for c in right.columns if c not in (on, ts)]
     r = right.select(
         F.col(on), F.col(ts), F.lit(1).alias("_r"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols])
+        F.struct(*[F.col(c) for c in right_cols]).alias("_rv"))
     l_marked = left.select(
         "*", F.lit(0).alias("_r"),
-        *[F.lit(None).cast(r.schema[f"{c}{suffix}"].dataType)
-          .alias(f"{c}{suffix}") for c in right_cols])
+        F.lit(None).cast(r.schema["_rv"].dataType).alias("_rv"))
     unioned = l_marked.unionByName(r, allowMissingColumns=True)
 
     w = (Window.partitionBy(on).orderBy(F.col(ts).asc(), F.col("_r").desc())
          .rowsBetween(Window.unboundedPreceding, 0))
-    carried = unioned.select(
-        *[c for c in unioned.columns if not c.endswith(suffix)],
-        *[F.last(f"{c}{suffix}", ignorenulls=True).over(w)
-          .alias(f"{c}{suffix}") for c in right_cols])
+    carried = unioned.withColumn(
+        "_rv", F.last("_rv", ignorenulls=True).over(w))
     return (carried.filter(F.col("_r") == 0)
-            .drop("_r")
             .select(*left.columns,
-                    *[f"{c}{suffix}" for c in right_cols]))
+                    *[F.col("_rv").getField(c).alias(f"{c}{suffix}")
+                      for c in right_cols]))
 
 
 def range_join_buckets(left: DataFrame, right: DataFrame, on: str,

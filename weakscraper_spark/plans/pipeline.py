@@ -298,24 +298,41 @@ def compact_sink(spark: SparkSession, pages_out: str,
     partition). Prod = Iceberg ``MERGE INTO``/rewrite-data-files with
     an atomic snapshot swap; the parquet stand-in stages the compacted
     view fully OUTSIDE the sink tree first (the job must not write
-    under the tree it scans), then swaps directories — the swap itself
-    is the non-atomic step Iceberg would make atomic, and a crash
-    mid-swap always leaves the staged copy on disk for recovery."""
+    under the tree it scans), then swaps directories. Swap ORDER is
+    add-before-delete: the compacted partition is renamed INTO the
+    sink first, then the superseded partitions are removed — the
+    transient duplicate rows in that window are harmless under the
+    ``dedup_latest`` serving view, whereas delete-first would leave
+    the sink readable-as-empty if the job crashed mid-swap (and a
+    0-row sink reads as 'nothing extracted' to resume). A crash at any
+    point leaves either the old partitions or the staged copy (or
+    both) on disk — never neither. The row count rides the write as an
+    ``Observation`` (no second full read of the compacted output)."""
     import shutil
+
+    from pyspark.sql import Observation
 
     sink = spark.read.parquet(pages_out)
     old_parts = [d for d in os.listdir(pages_out)
                  if d.startswith("run_id=")]
     compacted = dedup_latest(sink.drop("run_id"))
+    obs = Observation()
+    compacted = compacted.observe(obs, F.count(F.lit(1)).alias("n"))
     # stage OUTSIDE the sink root: the compaction job must not write
     # under the directory tree it is scanning (same self-referential
     # read/write rule as resume), then swap after the write commits
     staging = pages_out.rstrip("/") + f".compact_{run_id}"
     compacted.write.mode("overwrite").parquet(staging)
-    n = spark.read.parquet(staging).count()
+    n = obs.get["n"]
+    target = os.path.join(pages_out, f"run_id={run_id}")
+    if os.path.exists(target):
+        # re-compaction under the same run_id: the old partition's
+        # surviving rows are already in the staged copy
+        shutil.rmtree(target)
+    os.rename(staging, target)
     for d in old_parts:
-        shutil.rmtree(os.path.join(pages_out, d))
-    os.rename(staging, os.path.join(pages_out, f"run_id={run_id}"))
+        if d != f"run_id={run_id}":
+            shutil.rmtree(os.path.join(pages_out, d))
     return {"rows": n, "compacted_partitions": len(old_parts),
             "pages_out": pages_out}
 

@@ -84,19 +84,25 @@ def stream_extract_latest(spark: SparkSession, source_dir: str,
 
     def keep_latest(key, pdfs, state):
         # state: newest warc_ts seen for this url, as epoch micros
-        # (a plain long survives the state-store round trip exactly)
+        # (a plain long survives the state-store round trip exactly).
+        # Vectorized per batch: one argmax over the warc_ts column
+        # instead of a Python row loop (ties keep the first max row,
+        # same as the scan form).
         seen_us = state.get[0] if state.exists else None
         best = None
         best_us = seen_us
         for pdf in pdfs:
-            for row in pdf.itertuples(index=False):
-                ts_us = int(pd.Timestamp(row.warc_ts).value // 1000)
-                if best_us is None or ts_us > best_us:
-                    best_us = ts_us
-                    best = row
+            if not len(pdf):
+                continue
+            us = pd.to_datetime(pdf["warc_ts"]).astype("int64") \
+                   .to_numpy() // 1000
+            j = int(us.argmax())
+            if best_us is None or int(us[j]) > best_us:
+                best_us = int(us[j])
+                best = pdf.iloc[[j]]
         if best is not None:
             state.update((best_us,))
-            yield pd.DataFrame([best], columns=list(pdf.columns))
+            yield best
 
     latest = (stream.groupBy("url")
               .applyInPandasWithState(
