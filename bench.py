@@ -1,15 +1,23 @@
 """Benchmark driver (repo contract): runs the headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS], PLUS the north-rule scaling measurement —
-the same extraction job over the same pre-synthesized pages parquet
-at local[N] and local[4N] (sandbox proxy for N vs 4N executors,
-BASELINE.md) — and prints ONE JSON line.
+the same extraction job over the same pre-synthesized TAG-DENSE
+CC-realistic pages parquet at local[N] and local[4N] (sandbox proxy
+for N vs 4N executors, BASELINE.md) — and prints ONE JSON line.
+
+Both phases use the same measurement discipline (this VM has bursty
+noisy-neighbor interference): noise-probe gating before every timed
+round, >=2 interleaved rounds with min-per-item, raw walls emitted
+for audit.
 
 Output keys:
-  metric/value/unit/queries/sf      — driver contract
+  metric/value/unit/queries/sf      — driver contract (queries =
+                                      min across gated rounds)
+  query_walls_per_round             — raw per-round query walls
   extraction                        — pages/sec at both parallelism
                                       levels + scaling_efficiency
-                                      ((p@4N / p@N) / 4, target >=0.8)
+                                      ((p@4N / p@N) / 4, target >=0.8,
+                                      min-based) + paired-median twin
 """
 
 from __future__ import annotations
@@ -84,8 +92,20 @@ def _stop_hard(spark) -> None:
         pass
 
 
-def _run_queries(sf_dir: str, cpus: int) -> tuple[dict, float]:
+def _run_queries(sf_dir: str, cpus: int,
+                 workdir: str) -> tuple[dict, float, dict]:
+    """Headline query walls with the SAME measurement discipline as
+    the scaling phase (r02's single-shot loop produced the driver's
+    spurious extract_pages 20.3 s — VERDICT r02 #1): each round is
+    gated on the host-noise probe, the full list runs twice
+    (interleaved rounds, min per query), and all raw walls are emitted
+    for audit. ``extract_pages`` times EXTRACTION from a
+    pre-synthesized parquet corpus — synthesis runs once, untimed
+    (the r02 form billed corpus synthesis to the query)."""
     from weakscraper_spark.plans.session import get_spark
+    from weakscraper_spark.plans.pipeline import build_extract_plan
+    from weakscraper_spark.sources.synth import (
+        compiled_specs, synth_pages, synth_templates)
     import __spark_entry__ as entrymod
 
     spark = get_spark("bench_queries", master=f"local[{cpus}]")
@@ -101,17 +121,46 @@ def _run_queries(sf_dir: str, cpus: int) -> tuple[dict, float]:
     # NOT a headline: it is the documented small-N correctness twin of
     # lsh_near_dup, and timing an O(N²) baseline at sf0.1 measures
     # nothing about the engine's scale path (50 s of brute force).
-    times: dict[str, float] = {}
-    total = 0.0
-    for name in headline:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop") \
-            .mode("overwrite").save()
-        dt = round(time.perf_counter() - t0, 3)
-        times[name] = dt
-        total += dt
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    n = 20000 if sf == "0.1" else (2000 if sf == "0.01" else 600)
+    pages_path = os.path.join(workdir, "headline_pages")
+    synth_pages(spark, n, partitions=max(32, n // 1000)) \
+        .write.mode("overwrite").parquet(pages_path)
+    templates = synth_templates(spark)
+    specs = compiled_specs()
+
+    def extract_headline(spark, _sf):
+        # same plan shape as entry(): scan → BHJ → extract → dedup
+        return build_extract_plan(spark.read.parquet(pages_path),
+                                  templates, specs)
+
+    runners = dict.fromkeys(headline)
+    runners.update({name: qs[name] for name in headline})
+    runners["extract_pages"] = extract_headline
+
+    # untimed warmup: JVM JIT, python daemon fork, pandas import,
+    # broadcast send — per-session constants the first timed query
+    # otherwise absorbs (r02: q1 7.0 s driver vs 5.9 s ledger)
+    qs["c4_group_stats"](spark, sf_dir).write.format("noop") \
+        .mode("overwrite").save()
+    extract_headline(spark, sf_dir).write.format("noop") \
+        .mode("overwrite").save()
+
+    rounds = int(os.environ.get("SPARK_GRAFT_QUERY_ROUNDS", "2"))
+    quiet_budget = float(os.environ.get("SPARK_GRAFT_QUERY_QUIET_S",
+                                        "240"))
+    walls: dict[str, list[float]] = {name: [] for name in headline}
+    for _rnd in range(rounds):
+        _, waited = _wait_for_quiet(quiet_budget)
+        quiet_budget -= waited
+        for name in headline:
+            t0 = time.perf_counter()
+            runners[name](spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+            walls[name].append(round(time.perf_counter() - t0, 3))
     _stop_hard(spark)
-    return times, round(total, 3)
+    times = {name: min(w) for name, w in walls.items()}
+    return times, round(sum(times.values()), 3), walls
 
 
 def _synth_bench_pages(n_pages: int, cpus: int, out: str) -> None:
@@ -119,17 +168,22 @@ def _synth_bench_pages(n_pages: int, cpus: int, out: str) -> None:
     from weakscraper_spark.sources.synth import synth_pages
 
     spark = get_spark("bench_synth", master=f"local[{cpus}]")
-    # CC-realistic pages: ~100-200-word main text buried in ~800 words
-    # of wp-ignored boilerplate (html ≈ 6 KB, extracted output ≪ html,
-    # parse-dominated — matches the production cost profile).
-    # MANY balanced files (one per ~3k page indexes): parquet writes
-    # one row group per file here, and row groups are the real split
-    # unit — 8 fat files gave the extract stage only 8 tasks, no
-    # load-balance slack at local[8], measured efficiency ~0.6 from
-    # stragglers alone (bench_job.py docstring).
-    n_files = max(64, n_pages // 3000)
-    synth_pages(spark, n_pages, min_words=100, rng_words=100,
-                junk_words=800, partitions=n_files) \
+    # CC-realistic pages, TAG-DENSE by default (VERDICT r02 #6):
+    # ~150-300-word main text buried in ~3500 words of wp-ignored
+    # boilerplate wrapped in markup (~1 tag per ~50 B, html ≈ 25 KB).
+    # Parse cost tracks TAG density, not bytes (BENCH/BASELINE.md §6)
+    # — r02's default (one cheap junk text node) let the parser skip
+    # most of the page; this mix prices the parser like real CC
+    # boilerplate, so the scaling number of record is measured on the
+    # production cost profile, not a best case.
+    # MANY balanced files (one per ~400 page indexes at this page
+    # size): parquet writes one row group per file here, and row
+    # groups are the real split unit — 8 fat files gave the extract
+    # stage only 8 tasks, no load-balance slack at local[8], measured
+    # efficiency ~0.6 from stragglers alone (bench_job.py docstring).
+    n_files = max(64, n_pages // 400)
+    synth_pages(spark, n_pages, min_words=150, rng_words=150,
+                junk_words=3500, junk_markup=True, partitions=n_files) \
         .write.mode("overwrite").parquet(out)
     _stop_hard(spark)
 
@@ -148,8 +202,18 @@ def _scaling(n_pages: int, n_lo: int, n_hi: int, workdir: str,
     round count: at least ``SPARK_GRAFT_BENCH_ROUNDS_MIN`` (2) rounds,
     and while the min-based efficiency is still below target keep
     interleaving up to ``SPARK_GRAFT_BENCH_ROUNDS`` (6) rounds to give
-    both levels a chance at a quiet window. Early-stop on a clean
-    pass; all raw walls are emitted for audit."""
+    both levels a chance at a quiet window.
+
+    Early-stop guard (ADVICE r02): stopping the moment the min-based
+    ratio first clears the target is optional-stopping bias — a noise
+    burst landing on the low-parallelism round inflates w_lo and can
+    lock in a flattered number before w_lo reaches its clean minimum.
+    The stop therefore additionally requires the stopping round's
+    noise probe to be QUIET (<= the same threshold the pre-round gate
+    uses), i.e. both walls of the round that satisfied the criterion
+    were taken on an idle host. A per-round (paired) median efficiency
+    is reported alongside the min-based headline; all raw walls are
+    emitted for audit."""
     min_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS_MIN", "2"))
     max_rounds = rounds or int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS",
                                               "6"))
@@ -196,11 +260,18 @@ def _scaling(n_pages: int, n_lo: int, n_hi: int, workdir: str,
             r = json.loads(line)
             walls[n].append(r["wall_s"])
             pages_n = r["pages"]
-        if rnd + 1 >= min_rounds and eff() >= target:
+        if (rnd + 1 >= min_rounds and eff() >= target
+                and ratio <= 1.25):  # quiet-round stop guard
             break
     w_lo, w_hi = min(walls[n_lo]), min(walls[n_hi])
     p_lo = round(pages_n / w_lo, 1)
     p_hi = round(pages_n / w_hi, 1)
+    per_round = sorted(
+        (lo / hi) / (n_hi / n_lo)
+        for lo, hi in zip(walls[n_lo], walls[n_hi]))
+    mid = len(per_round) // 2
+    median_eff = (per_round[mid] if len(per_round) % 2
+                  else (per_round[mid - 1] + per_round[mid]) / 2)
     return {
         f"pages_per_s_local{n_lo}": p_lo,
         f"pages_per_s_local{n_hi}": p_hi,
@@ -210,6 +281,7 @@ def _scaling(n_pages: int, n_lo: int, n_hi: int, workdir: str,
         "noise_probe_per_round": [round(x, 2) for x in noise],
         "pages": pages_n,
         "scaling_efficiency": round((p_hi / p_lo) / (n_hi / n_lo), 3),
+        "scaling_efficiency_median": round(median_eff, 3),
     }
 
 
@@ -220,12 +292,13 @@ def main() -> None:
 
     workdir = "/tmp/ws_bench"
     os.makedirs(workdir, exist_ok=True)
-    # 400k pages ≈ 57 s of parallel extract work at local[2]: large
-    # enough that residual per-job constants (<1 s post-warmup) and
-    # sandbox noise are <5% of either wall (r02 measurement ledger in
-    # BENCH/BASELINE.md).
+    # Sized for ~45-60 s of parallel extract work at local[2] on the
+    # TAG-DENSE ~25 KB page mix (r03; r02's 400k applied to ~6 KB
+    # text-heavy pages): large enough that residual per-job constants
+    # (<1 s post-warmup) and sandbox noise are <5% of either wall
+    # (measurement ledger in BENCH/BASELINE.md).
     n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES",
-                                 "400000" if sf == "0.1" else "8000"))
+                                 "24000" if sf == "0.1" else "1500"))
     # N vs 4N sized so BOTH levels fit the ~16 PHYSICAL cores (32
     # logical are SMT): in local mode each task keeps a JVM feed
     # thread AND a Python worker busy (2N threads), so local[2] vs
@@ -235,15 +308,16 @@ def main() -> None:
     n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
     n_hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
     scaling = _scaling(n_pages, n_lo, n_hi, workdir)
-    shutil.rmtree(workdir, ignore_errors=True)
 
-    times, total = _run_queries(sf_dir, cpus)
+    times, total, query_walls = _run_queries(sf_dir, cpus, workdir)
+    shutil.rmtree(workdir, ignore_errors=True)
 
     print(json.dumps({
         "metric": "headline query wall-clock + extraction scaling",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "query_walls_per_round": query_walls,
         "sf": float(sf),
         "extraction": scaling,
     }))

@@ -138,6 +138,11 @@ def test_jaccard_cap_is_twophase_and_join_reuses_exchange(spark):
     names = [n for _, n in nodes]
     assert "Window" not in names, nodes          # no hot-key buffer
     assert "BroadcastHashJoin" in names, nodes   # map-side anti-join
+    # the explode is evaluated ONCE (disk-persisted) and each of the
+    # four consumers reads the cache; the self-join still shares one
+    # Exchange(tok)
+    assert names.count("InMemoryTableScan") >= 3, nodes
+    assert names.count("Generate") <= 1, nodes
     assert names.count("ReusedExchange") >= 1, nodes
 
 
@@ -154,6 +159,9 @@ def test_minhash_cap_is_twophase_no_window(spark):
     names = [n for _, n in nodes]
     assert "Window" not in names, nodes
     assert "BroadcastHashJoin" in names, nodes
+    # the shingle explode + min-agg run once (signature table is
+    # disk-persisted; the cap count re-derives only the band fan-out)
+    assert names.count("InMemoryTableScan") >= 2, nodes
 
 
 def test_simhash_capped_still_single_python_stage(spark):

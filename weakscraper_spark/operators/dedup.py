@@ -43,7 +43,15 @@ def _overcap_keys(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
     key has 10⁹ occurrences at corpus scale. The partial agg sends
     ~one row per (task, key) into a tiny exchange instead, and the
     result is small by construction (only over-cap keys), so callers
-    broadcast it and drop hot rows MAP-SIDE before any shuffle."""
+    broadcast it and drop hot rows MAP-SIDE before any shuffle.
+
+    Callers persist their source (DISK_ONLY) before branching on it:
+    the count is a SECOND consumer of the source subtree, and
+    exchange-level reuse cannot serve consumers whose pruned columns /
+    inferred null filters differ (Catalyst canonicalizes each branch's
+    exchange differently — measured, r03). One disk-backed
+    materialization beats re-evaluating an expensive explode per
+    branch and beats an in-memory cache several times corpus size."""
     return (df.groupBy(*keys).agg(F.count("*").alias("n"))
             .filter(F.col("n") > cap))
 
@@ -115,13 +123,22 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
 
 def _minhash_bands(df: DataFrame, id_col: str, col: str,
-                   n_hashes: int, band_size: int,
-                   shingle_k: int) -> DataFrame:
+                   n_hashes: int, band_size: int, shingle_k: int,
+                   persist_sigs: bool = False) -> DataFrame:
     """Exploded (doc, band, bkey) table — one row per doc per LSH
     band. One explode, not a union of n_bands selects: a union
     re-evaluates the whole signature subtree per branch; explode
-    computes it once and fans out rows in the same narrow map."""
+    computes it once and fans out rows in the same narrow map.
+
+    ``persist_sigs`` pins the per-doc signature table (narrow:
+    id + n_hashes md5 strings, ~300 B/doc — orders of magnitude under
+    the shingle table it derives from) to executor disk so a caller
+    branching on the bands (the bucket-cap count) re-evaluates only
+    the cheap band fan-out, never the shingle explode + min-agg."""
     sigs = minhash_signatures(df, id_col, col, n_hashes, shingle_k)
+    if persist_sigs:
+        from pyspark import StorageLevel
+        sigs = sigs.persist(StorageLevel.DISK_ONLY)
     n_bands = n_hashes // band_size
     band_structs = [
         F.struct(
@@ -154,10 +171,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     never a silent hole. The cap is two-phase (``_overcap_keys``) +
     broadcast anti-join, so an over-cap bucket's rows are filtered
     MAP-SIDE and never enter the self-join shuffle at all — no window
-    buffer, no hot-key straggler task. Mirrored 1:1 in the DuckDB
-    oracle (QUALIFY on the same count)."""
+    buffer, no hot-key straggler task; the count branch reads the
+    disk-persisted signature table, so the shingle explode + min-agg
+    run once. Mirrored 1:1 in the DuckDB oracle (QUALIFY on the same
+    count)."""
     exploded = _minhash_bands(df, id_col, col, n_hashes, band_size,
-                              shingle_k)
+                              shingle_k,
+                              persist_sigs=max_bucket is not None)
     if max_bucket is not None:
         overcap = _overcap_keys(exploded, ["band", "bkey"], max_bucket)
         exploded = exploded.join(F.broadcast(overcap.select("band", "bkey")),
@@ -205,16 +225,25 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     broadcast and anti-joined MAP-SIDE — a boilerplate shingle with
     10⁹ occurrences is dropped before its rows ever shuffle, where the
     r02 window-count form first funneled all of them into one task's
-    window buffer (linear but a guaranteed straggler at 100 TB). The
-    self-join's two sides remain identical subtrees ending at the same
-    Exchange(tok), so Catalyst's ReuseExchange still computes and
-    shuffles the capped shingle table exactly once, with no
-    ``.cache()`` (disk-backed shuffle-file reuse, not an in-memory
-    cache that would be several times corpus size at 100 TB). The
-    per-doc ``sizes`` branch re-derives from the narrow map (its
-    partial agg collapses to one row per doc before its own small
-    exchange — recompute is cheap; a corpus-width cache is not)."""
-    toks = _shingles(df, id_col, col, shingle_k)
+    window buffer (linear but a guaranteed straggler at 100 TB) and
+    additionally paid the window's full sort of the exploded table.
+
+    Evaluation discipline: the exploded shingle table has FOUR
+    consumers (cap count, both self-join sides, per-doc sizes) whose
+    pruned columns / inferred filters differ, so exchange-level reuse
+    cannot serve them all (measured, r03 — each branch re-ran the
+    explode, 2.7× the wall). It is therefore persisted DISK_ONLY:
+    one evaluation, streamed back from executor disk per consumer —
+    the same disk-bytes class as the single shuffle the r02 form
+    wrote, with no memory pressure (never an in-memory cache: that
+    would be several times corpus size at 100 TB). The self-join's
+    two sides remain identical subtrees ending at the same
+    Exchange(tok), so that shuffle still happens exactly once
+    (ReuseExchange), and it carries only sub-cap rows."""
+    from pyspark import StorageLevel
+
+    toks = _shingles(df, id_col, col, shingle_k) \
+        .persist(StorageLevel.DISK_ONLY)
     overcap = _overcap_keys(toks, ["tok"], max_df)
     rtoks = toks.join(F.broadcast(overcap.select("tok")),
                       "tok", "left_anti")
