@@ -146,7 +146,7 @@ def _run_queries(sf_dir: str, cpus: int,
     extract_headline(spark, sf_dir).write.format("noop") \
         .mode("overwrite").save()
 
-    rounds = int(os.environ.get("SPARK_GRAFT_QUERY_ROUNDS", "2"))
+    rounds = int(os.environ.get("SPARK_GRAFT_QUERY_ROUNDS", "3"))
     quiet_budget = float(os.environ.get("SPARK_GRAFT_QUERY_QUIET_S",
                                         "240"))
     walls: dict[str, list[float]] = {name: [] for name in headline}
@@ -245,7 +245,11 @@ def _scaling(n_pages: int, n_lo: int, n_hi: int, workdir: str,
         measuring = time.perf_counter() - t_phase - waited_total
         if rnd >= min_rounds and measuring > wall_budget:
             break
-        ratio, waited = _wait_for_quiet(quiet_budget - waited_total)
+        # allocate the remaining wait budget across remaining rounds:
+        # under PERSISTENT noise a single up-front wait would drain the
+        # whole budget on round 0 and leave every later round ungated
+        per_round = (quiet_budget - waited_total) / (max_rounds - rnd)
+        ratio, waited = _wait_for_quiet(per_round)
         waited_total += waited
         noise.append(ratio)
         for n in (n_hi, n_lo):
@@ -298,15 +302,19 @@ def main() -> None:
     # (<1 s post-warmup) and sandbox noise are <5% of either wall
     # (measurement ledger in BENCH/BASELINE.md).
     n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES",
-                                 "24000" if sf == "0.1" else "1500"))
-    # N vs 4N sized so BOTH levels fit the ~16 PHYSICAL cores (32
-    # logical are SMT): in local mode each task keeps a JVM feed
-    # thread AND a Python worker busy (2N threads), so local[2] vs
-    # local[8] is the proxy that measures data-parallel scaling
-    # rather than SMT/core competition — see bench_job docstring and
+                                 "12000" if sf == "0.1" else "1500"))
+    # N vs 4N sized so BOTH levels sit WELL INSIDE the ~16 PHYSICAL
+    # cores (32 logical are SMT): in local mode each task keeps a JVM
+    # feed thread AND a Python worker busy (2N threads). local[1] vs
+    # local[4] keeps the high level at 8/16 busy threads — data-
+    # parallel scaling, minimal exposure to SMT and to the host's
+    # bursty steal (measured: a pure-CPU burn degrades 1.3-1.8x at
+    # 8-16 busy threads during bursts while 1-4 stay clean; the r02
+    # local[2]/local[8] proxy put 16/16 threads on the high level and
+    # needed a fully quiet window) — see bench_job docstring and
     # BASELINE.md. Overridable.
-    n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
-    n_hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
+    n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "1"))
+    n_hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "4"))
     scaling = _scaling(n_pages, n_lo, n_hi, workdir)
 
     times, total, query_walls = _run_queries(sf_dir, cpus, workdir)

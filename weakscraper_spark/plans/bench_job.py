@@ -39,15 +39,18 @@ Measurement design (each choice measured on this sandbox, r02):
   the wall, and measured efficiency collapses to ~0.6 regardless of
   the code under test.
 
-Why 2 and 8 (not 8 and 32): the box exposes 32 SMT threads on ~16
-physical cores, and in local mode each Spark task keeps BOTH a JVM
-feed thread and a Python worker busy. At local[2]/local[8] the
-2×N busy threads fit inside the physical cores at BOTH levels — the
-ratio then measures data-parallel scaling, which is what multi-
-executor scaling looks like on a real cluster (executors get
-dedicated cores). At local[16]+ the JVM and Python sides start
-competing for cores and SMT caps the ratio at ~2.6×/4 regardless of
-the code under test (measured; see BASELINE.md).
+Why small levels (1/4 default, not 8 and 32): the box exposes 32 SMT
+threads on ~16 physical cores, and in local mode each Spark task
+keeps BOTH a JVM feed thread and a Python worker busy. At
+local[1]/local[4] the 2×N busy threads sit well inside the physical
+cores at BOTH levels — the ratio then measures data-parallel scaling,
+which is what multi-executor scaling looks like on a real cluster
+(executors get dedicated cores). At local[16]+ the JVM and Python
+sides start competing for cores and SMT caps the ratio at ~2.6×/4
+regardless of the code under test; and the high level's exposure to
+the host's bursty steal grows with its thread count (r02 ran 2/8 —
+16/16 busy threads at the high level — and needed a fully quiet
+window; measured, see BASELINE.md).
 
 Prints one JSON line:
     {"master":..., "pages":..., "wall_s":..., "pages_per_s":...}
