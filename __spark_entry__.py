@@ -394,6 +394,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "bkey", "n_docs"))
     q["minhash_overcap"] = minhash_overcap
 
+    def overcap_canonicals(spark, sf):
+        # cluster-level dedup of exactly the buckets the pairwise cap
+        # excludes: (doc, canonical) per over-cap member — with the
+        # pair query this closes the cap's coverage hole
+        from weakscraper_spark.operators.dedup import (
+            minhash_overcap_canonicals)
+        return minhash_overcap_canonicals(_t(spark, sf, "documents"),
+                                          max_bucket=2)
+    q["overcap_canonicals"] = overcap_canonicals
+
+    def winnow_fps(spark, sf):
+        # winnowing fingerprint selection (rolling k-gram hash +
+        # per-doc window min) — value-checked via zipped-unnest twin
+        from weakscraper_spark.operators.textstats import (
+            winnow_fingerprints)
+        return winnow_fingerprints(_t(spark, sf, "documents"))
+    q["winnow_fps"] = winnow_fps
+
     def simhash_docs(spark, sf):
         # oracle-checked: md5-based bit majority mirrored in DuckDB
         from weakscraper_spark.operators.dedup import simhash
@@ -428,14 +446,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  threshold=0.35)
     q["embedding_near_dup"] = embedding_near_dup
 
-    def lsh_near_dup(spark, sf):  # rows-only (recall-bounded LSH)
+    def lsh_near_dup(spark, sf):
+        # value-checked: the SRP planes are deterministic hash-derived
+        # constants, so the oracle inlines them as literals and
+        # reproduces bucket assignment + in-bucket cosine exactly
         from weakscraper_spark.operators.similarity import (
             srp_cosine_near_pairs)
         return srp_cosine_near_pairs(_t(spark, sf, "embeddings"),
                                      threshold=0.35, n_planes=4)
     q["lsh_near_dup"] = lsh_near_dup
 
-    def lsh_ann_topk(spark, sf):  # rows-only (recall-bounded ANN)
+    def lsh_ann_topk(spark, sf):
+        # value-checked (same literal-plane mirror as lsh_near_dup)
         from weakscraper_spark.operators.similarity import lsh_cosine_topk
         emb = _t(spark, sf, "embeddings")
         queries_df = emb.filter(F.col("vec_id") < 8).select(
@@ -544,6 +566,23 @@ def _mk_inlist(lang: str) -> str:
     """Marker lexicon of textstats._MARKERS as a SQL IN-list."""
     from weakscraper_spark.operators.textstats import _MARKERS
     return ", ".join(f"'{w}'" for w in sorted(_MARKERS[lang]))
+
+
+def _srp_bucket_sql(n_planes: int, dim: int = 64, seed: int = 42,
+                    vec: str = "embedding::DOUBLE[]") -> str:
+    """The SRP bucket id as a DuckDB expression: the deterministic
+    hash-derived ±1 planes (similarity._plane — no RNG state) are
+    inlined as list literals, bit i = sign(v · plane_i), identical to
+    ``srp_signature``. Makes the LSH similarity queries value-checked
+    rather than rows-only."""
+    from weakscraper_spark.operators.similarity import _plane
+    terms = []
+    for p in range(n_planes):
+        lits = ", ".join(str(x) for x in _plane(seed, p, dim))
+        terms.append(
+            f"(CASE WHEN list_inner_product({vec}, [{lits}]::DOUBLE[])"
+            f" > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
 
 
 # md5-based SimHash, mirroring operators/dedup.py::_simhash64 exactly:
@@ -820,6 +859,49 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs
             FROM bands_all GROUP BY band, bkey HAVING count(*) > 2
         """,
+        "overcap_canonicals": f"""
+            WITH {_SHINGLES_CTE},
+            sigs AS (SELECT doc,
+                     min(md5('0:' || tok)) AS s0, min(md5('1:' || tok)) AS s1,
+                     min(md5('2:' || tok)) AS s2, min(md5('3:' || tok)) AS s3,
+                     min(md5('4:' || tok)) AS s4, min(md5('5:' || tok)) AS s5,
+                     min(md5('6:' || tok)) AS s6, min(md5('7:' || tok)) AS s7
+                     FROM sh GROUP BY doc),
+            bands_all AS (
+                SELECT doc, 0 AS band, s0 || '|' || s1 AS bkey FROM sigs
+                UNION ALL
+                SELECT doc, 1, s2 || '|' || s3 FROM sigs
+                UNION ALL
+                SELECT doc, 2, s4 || '|' || s5 FROM sigs
+                UNION ALL
+                SELECT doc, 3, s6 || '|' || s7 FROM sigs),
+            ov AS (SELECT band, bkey FROM bands_all
+                   GROUP BY band, bkey HAVING count(*) > 2),
+            m AS (SELECT doc, band, bkey FROM bands_all
+                  JOIN ov USING (band, bkey)),
+            c AS (SELECT band, bkey, min(doc) AS bc
+                  FROM m GROUP BY band, bkey)
+            SELECT m.doc AS doc, min(c.bc) AS canonical_id
+            FROM m JOIN c USING (band, bkey) GROUP BY m.doc
+        """,
+        "winnow_fps": """
+            WITH tk AS (SELECT doc_id,
+                        string_split_regex(trim(lower(text)), '\\s+') AS t
+                        FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(range(1, greatest(len(t) - 1, 1))) AS pos,
+                         unnest(list_transform(
+                             range(1, greatest(len(t) - 1, 1)),
+                             i -> md5(t[i] || ' ' || t[i+1] || ' '
+                                      || t[i+2]))) AS h
+                  FROM tk),
+            w AS (SELECT doc_id AS doc,
+                         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                             AS fp
+                  FROM g)
+            SELECT DISTINCT doc, fp FROM w
+        """,
         "simhash_docs": f"""
             WITH {_SIMHASH_CTE}
             SELECT doc, simhash FROM sims
@@ -844,6 +926,41 @@ def oracle_sql() -> dict[str, str]:
                              AS sim
                   FROM embeddings e CROSS JOIN q
                   WHERE e.vec_id <> query_id)
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id)
+                           AS rank
+                FROM s)
+            WHERE rank <= 5
+        """,
+        "lsh_near_dup": f"""
+            WITH sigged AS (
+                SELECT vec_id, embedding,
+                       {_srp_bucket_sql(4)} AS bucket
+                FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 4)
+                       AS cosine
+            FROM sigged a JOIN sigged b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 4)
+                  >= 0.35
+        """,
+        "lsh_ann_topk": f"""
+            WITH sigged AS (
+                SELECT vec_id, embedding,
+                       {_srp_bucket_sql(6)} AS bucket
+                FROM embeddings),
+            q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+                  FROM sigged WHERE vec_id < 8),
+            s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                         list_cosine_similarity(e.embedding::DOUBLE[],
+                                                q.qv::DOUBLE[]) AS sim
+                  FROM sigged e JOIN q ON e.bucket = q.bucket
+                  WHERE e.vec_id <> q.query_id)
             SELECT query_id, neighbor_id, rank FROM (
                 SELECT query_id, neighbor_id,
                        row_number() OVER (PARTITION BY query_id

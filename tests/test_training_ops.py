@@ -162,6 +162,53 @@ def test_minhash_overcap_audit_lists_dropped_buckets(spark):
     assert minhash_lsh_pairs(df, max_bucket=8).count() == 0
 
 
+def test_overcap_canonicals_resolve_capped_clusters(spark):
+    """The cap's coverage closure: docs in over-cap buckets collapse
+    to a cluster canonical (min doc id), docs outside over-cap
+    buckets don't appear — pairwise LSH + this = full coverage."""
+    from weakscraper_spark.operators.dedup import (
+        minhash_overcap_canonicals)
+    giant = [(i, BASE, "en", "s", len(BASE)) for i in range(10)]
+    other = [(100, "totally different words about pottery and rivers "
+              "and gardens flowing through mountain valleys today",
+              "en", "s", 90)]
+    df = spark.createDataFrame(
+        giant + other,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    got = {r.doc: r.canonical_id
+           for r in minhash_overcap_canonicals(df, max_bucket=8)
+           .collect()}
+    assert got == {i: 0 for i in range(10)}
+
+
+def test_winnow_fingerprints_detect_containment(spark):
+    """Winnowing guarantee: two docs sharing a long run of words share
+    at least one selected fingerprint; unrelated docs share none;
+    sub-shingle docs produce none."""
+    from weakscraper_spark.operators.textstats import winnow_fingerprints
+    shared = ("alpha beta gamma delta epsilon zeta eta theta iota "
+              "kappa lambda mu")
+    rows = [
+        (1, f"intro words here {shared} closing remarks", "en", "s", 1),
+        (2, f"{shared} and a completely different ending clause", "en",
+         "s", 1),
+        (3, "unrelated short text about pottery rivers gardens valleys "
+            "and mountains", "en", "s", 1),
+        (4, "two words", "en", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    fps = {}
+    for r in winnow_fingerprints(df).collect():
+        fps.setdefault(r.doc, set()).add(r.fp)
+    assert fps[1] & fps[2]            # shared run → shared fingerprint
+    assert not (fps[1] & fps[3])      # unrelated → disjoint
+    assert 4 not in fps               # < shingle_k words → no grams
+    assert all(len(v) >= 1 for v in fps.values())
+
+
 def test_minhash_bucket_cap_drops_giant_cluster(spark):
     """max_bucket: a dup cluster larger than the cap produces NO LSH
     pairs (it belongs to exact dedup), while small clusters still

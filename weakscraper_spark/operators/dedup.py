@@ -198,12 +198,46 @@ def minhash_overcap_buckets(df: DataFrame, id_col: str = "doc_id",
     """Audit side output for ``minhash_lsh_pairs``: the (band, bkey,
     n_docs) bucket keys whose size exceeds ``max_bucket`` — i.e. the
     giant near-identical clusters EXCLUDED from pairwise LSH. Feed
-    these to a cluster-level dedup (keep-one-per-bucket) so capped
-    clusters are resolved explicitly rather than dropped invisibly."""
+    these to ``minhash_overcap_canonicals`` (keep-one-per-cluster) so
+    capped clusters are resolved explicitly rather than dropped
+    invisibly."""
     exploded = _minhash_bands(df, id_col, col, n_hashes, band_size,
                               shingle_k)
     return (_overcap_keys(exploded, ["band", "bkey"], max_bucket)
             .select("band", "bkey", F.col("n").alias("n_docs")))
+
+
+def minhash_overcap_canonicals(df: DataFrame, id_col: str = "doc_id",
+                               col: str = "text", n_hashes: int = 8,
+                               band_size: int = 2, shingle_k: int = 3,
+                               max_bucket: int = 64) -> DataFrame:
+    """Cluster-level dedup for the buckets the pairwise cap excludes:
+    every doc in an over-cap (band, bkey) bucket maps to that bucket's
+    canonical (min doc id); a doc in several over-cap buckets takes
+    the smallest. Returns (doc, canonical_id) covering exactly the
+    over-cap membership — together with ``minhash_lsh_pairs`` this
+    closes the cap's coverage hole: sub-cap similarity is pairwise,
+    over-cap clusters collapse to a representative.
+
+    (Single-pass min, not iterative connected components — exact when
+    giant clusters are bucket-disjoint, which near-identical
+    boilerplate clusters are; the iterative refinement is a driver
+    loop over this primitive if ever needed.)
+
+    Scale shape: bucket membership can be billions of rows (these ARE
+    the giant clusters) — both aggs are partial+final (no windows),
+    the bucket-canonical table is #over-cap-buckets rows (broadcast),
+    and the only big shuffle is the final per-doc min."""
+    exploded = _minhash_bands(df, id_col, col, n_hashes, band_size,
+                              shingle_k, persist_sigs=True)
+    overcap = _overcap_keys(exploded, ["band", "bkey"], max_bucket)
+    members = exploded.join(F.broadcast(overcap.select("band", "bkey")),
+                            ["band", "bkey"], "left_semi")
+    canon = (members.groupBy("band", "bkey")
+             .agg(F.min("doc").alias("bucket_canonical")))
+    return (members.join(F.broadcast(canon), ["band", "bkey"])
+            .groupBy("doc")
+            .agg(F.min("bucket_canonical").alias("canonical_id")))
 
 
 # --------------------------------------------------------------------------
