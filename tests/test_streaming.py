@@ -117,3 +117,58 @@ def test_stream_extract_latest_stateful(spark, tmp_path):
               for r in dedup_latest(sink).collect()}
     assert len(served) == 3
     assert served["https://host00.example.com/p/B"] == b_new[3]
+
+
+def test_stream_extract_latest_ttl_bounds_state(spark, tmp_path):
+    """Watermark-aligned state TTL (bounded-replay sources): state is
+    evicted once the watermark passes warc_ts + TTL, and within the
+    watermark contract behavior is EXACTLY the NoTimeout variant with
+    bounded memory — any replay the evicted state would have filtered
+    is older than the watermark and is dropped by the watermark
+    itself; watermark-admissible data still emits latest-per-url and
+    the serving view stays correct."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2026, 1, 1)
+    hour = dt.timedelta(hours=1)
+    templates = synth_templates(spark)
+
+    def run():
+        q = stream_extract_latest(spark, src, PAGES_SCHEMA, templates,
+                                  compiled_specs(), out, ckpt,
+                                  state_ttl_s=3600,       # 1h of event time
+                                  watermark="9 hours")    # o-o-o allowance
+        q.awaitTermination(240)
+
+    # batch 1: url A at t0+1h — state holds t0+1h, timeout t0+2h
+    a1 = _page_row("https://host00.example.com/p/A", t0 + hour, "A1")
+    spark.createDataFrame([a1], PAGES_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    run()
+    assert spark.read.parquet(out).count() == 1
+
+    # batch 2: unrelated url at t0+12h — watermark advances to t0+3h,
+    # past A's timeout: A's state is evicted
+    b = _page_row("https://host00.example.com/p/B", t0 + 12 * hour, "B0")
+    spark.createDataFrame([b], PAGES_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    run()
+    assert spark.read.parquet(out).count() == 2
+
+    # batch 3: a stale A replay (t0) is below the watermark and is
+    # dropped BY THE WATERMARK (the evicted state is never needed);
+    # a watermark-admissible newer A emits with fresh state
+    a_old = _page_row("https://host00.example.com/p/A", t0, "A0")
+    a2 = _page_row("https://host00.example.com/p/A", t0 + 13 * hour, "A2")
+    spark.createDataFrame([a_old, a2], PAGES_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    run()
+
+    sink = spark.read.parquet(out)
+    texts_a = {r["text"] for r in sink.filter(
+        F.col("url") == "https://host00.example.com/p/A").collect()}
+    assert texts_a == {a1[3], a2[3]}   # stale replay never parsed
+    assert a_old[3] not in texts_a
+    served = {r["url"]: r["text"] for r in dedup_latest(sink).collect()}
+    assert served["https://host00.example.com/p/A"] == a2[3]

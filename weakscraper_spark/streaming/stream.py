@@ -15,11 +15,12 @@ Two variants:
   scale ~10% of rows are superseded snapshots — that parse work
   disappears), and each batch emits only urls whose latest advanced.
   The sink then holds one row per (url, advance), and
-  ``dedup_latest`` over it is exact. State never expires
+  ``dedup_latest`` over it is exact. By default state never expires
   (``NoTimeout``): latest-per-url is a forever-semantics — in prod
-  size the state store (RocksDB) for |urls|; bound it with a
-  watermark-aligned timeout only if the source replays a bounded
-  window.
+  size the state store (RocksDB) for |urls|. For bounded-replay
+  sources, ``state_ttl_s`` bounds state with a watermark-aligned
+  EVENT-TIME timeout; eviction trades only re-parse work, never
+  serving correctness (docstring there).
 """
 
 from __future__ import annotations
@@ -71,16 +72,37 @@ def stream_extract_latest(spark: SparkSession, source_dir: str,
                           source_schema: str,
                           templates: DataFrame, specs: dict[str, str],
                           out_dir: str, checkpoint_dir: str,
-                          trigger_available_now: bool = True):
+                          trigger_available_now: bool = True,
+                          state_ttl_s: int | None = None,
+                          watermark: str = "0 seconds"):
     """Stateful streaming variant: latest-per-url dedup BEFORE the
     extract stage (module docstring). Emits, per batch, one input row
     per url whose newest-seen ``warc_ts`` advanced; extraction then
     runs only on those rows. Write idempotence is the same
-    batch_id-keyed partition overwrite as ``stream_extract``."""
+    batch_id-keyed partition overwrite as ``stream_extract``.
+
+    State sizing: with ``state_ttl_s=None`` the per-url state (8
+    bytes) lives forever — latest-per-url is a forever-semantics, so
+    in prod size the RocksDB state store for |urls|. For BOUNDED-
+    REPLAY sources (e.g. a log with retention <= TTL), pass
+    ``state_ttl_s`` to bound state instead: the state carries an
+    EVENT-TIME timeout of ``warc_ts + ttl``, aligned with the stream's
+    watermark (``watermark`` is the out-of-order allowance), and is
+    evicted once the watermark passes it. SAFETY: within the
+    watermark contract this is EXACTLY the NoTimeout behavior with
+    bounded memory — at eviction time the watermark already exceeds
+    the evicted value + TTL, so any later replay that the evicted
+    state would have filtered is older than the watermark and is
+    dropped by the watermark itself (state never needed again); only
+    rows violating the out-of-order allowance behave differently
+    (dropped — the standard watermark trade)."""
     import pandas as pd
 
     stream = (spark.readStream.schema(source_schema)
               .parquet(source_dir))
+    if state_ttl_s is not None:
+        stream = stream.withWatermark("warc_ts", watermark)
+    ttl_ms = None if state_ttl_s is None else state_ttl_s * 1000
 
     def keep_latest(key, pdfs, state):
         # state: newest warc_ts seen for this url, as epoch micros
@@ -88,6 +110,9 @@ def stream_extract_latest(spark: SparkSession, source_dir: str,
         # Vectorized per batch: one argmax over the warc_ts column
         # instead of a Python row loop (ties keep the first max row,
         # same as the scan form).
+        if state.hasTimedOut:
+            state.remove()
+            return
         seen_us = state.get[0] if state.exists else None
         best = None
         best_us = seen_us
@@ -102,6 +127,8 @@ def stream_extract_latest(spark: SparkSession, source_dir: str,
                 best = pdf.iloc[[j]]
         if best is not None:
             state.update((best_us,))
+            if ttl_ms is not None:
+                state.setTimeoutTimestamp(best_us // 1000 + ttl_ms)
             yield best
 
     latest = (stream.groupBy("url")
@@ -110,7 +137,8 @@ def stream_extract_latest(spark: SparkSession, source_dir: str,
                   outputStructType=source_schema,
                   stateStructType="ts_us long",
                   outputMode="update",
-                  timeoutConf="NoTimeout"))
+                  timeoutConf=("EventTimeTimeout" if ttl_ms is not None
+                               else "NoTimeout")))
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         staged = attach_template(prepare_pages(batch_df), templates)
