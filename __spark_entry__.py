@@ -466,6 +466,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .withColumn("rank", F.col("rank").cast("long")))
     q["lsh_ann_topk"] = lsh_ann_topk
 
+    def ivf_ann_topk(spark, sf):  # rows-only (recall-bounded ANN;
+        # quantizer is iterative — not SQL-expressible; recall +
+        # determinism pytest-ringed)
+        from weakscraper_spark.operators.similarity import ivf_topk
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        return (ivf_topk(emb, queries_df, k=5, n_lists=16, n_probe=4)
+                .withColumn("rank", F.col("rank").cast("long")))
+    q["ivf_ann_topk"] = ivf_ann_topk
+
     # ---- text analysis ------------------------------------------------------
     def token_counts(spark, sf):
         from weakscraper_spark.operators.textstats import with_token_count

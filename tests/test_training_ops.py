@@ -293,6 +293,27 @@ def test_srp_near_pairs_recall(clustered_emb):
     assert len(ann) / len(exact) >= 0.6        # bounded recall
 
 
+def test_ivf_ann_recall(clustered_emb):
+    """IVF probe search recovers the exact top-k on well-separated
+    clusters (the query's own cluster is always among its probed
+    lists), and is deterministic across runs (sample + init + Lloyd
+    are all hash-seeded, no RNG state)."""
+    from weakscraper_spark.operators.similarity import (
+        cosine_topk, ivf_topk)
+    queries = clustered_emb.filter(F.col("vec_id") % 8 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(clustered_emb, queries, k=3).collect()}
+    got1 = {(r.query_id, r.neighbor_id)
+            for r in ivf_topk(clustered_emb, queries, k=3, n_lists=6,
+                              n_probe=3).collect()}
+    got2 = {(r.query_id, r.neighbor_id)
+            for r in ivf_topk(clustered_emb, queries, k=3, n_lists=6,
+                              n_probe=3).collect()}
+    assert got1 == got2                       # deterministic
+    assert len(got1 & exact) / len(exact) >= 0.9   # recall bound
+
+
 def test_bpe_ish_subtokens(spark):
     from weakscraper_spark.operators.textstats import with_token_count
     df = spark.createDataFrame(
