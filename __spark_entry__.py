@@ -466,6 +466,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .withColumn("rank", F.col("rank").cast("long")))
     q["lsh_ann_topk"] = lsh_ann_topk
 
+    # ---- corpus compositions (one-call cleaning + sampling) --------------
+    def corpus_clean(spark, sf):
+        # composed quality gate -> exact dedup -> near-dup removal,
+        # per-doc auditable verdict; value-checked END-TO-END (the
+        # composition order is part of the mirrored contract)
+        from weakscraper_spark.operators.corpus import clean_corpus
+        return clean_corpus(_t(spark, sf, "documents"),
+                            min_quality=0.25)
+    q["corpus_clean"] = corpus_clean
+
+    def sample_strata(spark, sf):
+        # deterministic hash-based stratified sampling (resume-stable,
+        # no RNG) — the draw itself is mirrored bit-for-bit
+        from weakscraper_spark.operators.corpus import hash_sample
+        return (hash_sample(_t(spark, sf, "documents"), "lang",
+                            {"en": 0.5, "es": 0.25})
+                .select("doc_id", "lang", "source"))
+    q["sample_strata"] = sample_strata
+
     def ivf_ann_topk(spark, sf):  # rows-only (recall-bounded ANN;
         # quantizer is iterative — not SQL-expressible; recall +
         # determinism pytest-ringed)
@@ -944,6 +963,72 @@ def oracle_sql() -> dict[str, str]:
                            AS rank
                 FROM s)
             WHERE rank <= 5
+        """,
+        "corpus_clean": """
+            WITH q AS (
+              SELECT doc_id, text,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                         'g')) AS fp,
+                     round(round(len(list_distinct(
+                               string_split_regex(trim(text), '\\s+')))
+                           / greatest(len(string_split_regex(trim(text),
+                               '\\s+')), 1), 4)
+                           * least(1.0, len(string_split_regex(
+                               trim(text), '\\s+')) / 64.0), 4) AS qs
+              FROM documents),
+            qp AS (SELECT * FROM q WHERE qs >= 0.25),
+            canon AS (SELECT fp, min(doc_id) AS c FROM qp GROUP BY fp),
+            p2 AS (SELECT qp.doc_id, qp.text FROM qp
+                   JOIN canon ON qp.fp = canon.fp
+                   WHERE qp.doc_id = canon.c),
+            tk AS (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS t
+                   FROM p2),
+            sh AS (SELECT DISTINCT doc_id AS doc,
+                   unnest(list_transform(
+                       range(1, greatest(len(t) - 1, 1)),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                       AS tok
+                   FROM tk),
+            sigs AS (SELECT doc,
+                     min(md5('0:' || tok)) AS s0, min(md5('1:' || tok)) AS s1,
+                     min(md5('2:' || tok)) AS s2, min(md5('3:' || tok)) AS s3,
+                     min(md5('4:' || tok)) AS s4, min(md5('5:' || tok)) AS s5,
+                     min(md5('6:' || tok)) AS s6, min(md5('7:' || tok)) AS s7
+                     FROM sh GROUP BY doc),
+            bands_all AS (
+                SELECT doc, 0 AS band, s0 || '|' || s1 AS bkey FROM sigs
+                UNION ALL
+                SELECT doc, 1, s2 || '|' || s3 FROM sigs
+                UNION ALL
+                SELECT doc, 2, s4 || '|' || s5 FROM sigs
+                UNION ALL
+                SELECT doc, 3, s6 || '|' || s7 FROM sigs),
+            bands AS (
+                SELECT doc, band, bkey FROM bands_all
+                QUALIFY count(*) OVER (PARTITION BY band, bkey) <= 64),
+            nd AS (SELECT DISTINCT b.doc AS doc_id
+                   FROM bands a JOIN bands b USING (band, bkey)
+                   WHERE a.doc < b.doc)
+            SELECT q.doc_id,
+                   (CASE WHEN q.qs < 0.25 THEN 'quality'
+                         WHEN q.doc_id <> canon.c THEN 'exact_dup'
+                         WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+                         ELSE 'kept' END) = 'kept' AS keep,
+                   CASE WHEN q.qs < 0.25 THEN 'quality'
+                        WHEN q.doc_id <> canon.c THEN 'exact_dup'
+                        WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+                        ELSE 'kept' END AS reason
+            FROM q
+            LEFT JOIN canon ON q.fp = canon.fp
+            LEFT JOIN nd ON nd.doc_id = q.doc_id
+        """,
+        "sample_strata": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE ('0x' || substr(md5('42:' || doc_id), 1, 15))::UBIGINT
+                  / (16.0 ** 15)
+                  < (CASE lang WHEN 'en' THEN 0.5
+                               WHEN 'es' THEN 0.25 ELSE 0.0 END)
         """,
         "lsh_near_dup": f"""
             WITH sigged AS (

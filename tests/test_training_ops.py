@@ -314,6 +314,53 @@ def test_ivf_ann_recall(clustered_emb):
     assert len(got1 & exact) / len(exact) >= 0.9   # recall bound
 
 
+def test_clean_corpus_verdicts(spark):
+    """Every verdict class fires with the documented precedence:
+    quality beats dup reasons, exact-dup canonical keeps min id,
+    near-dups keep the smaller doc of each LSH pair."""
+    from weakscraper_spark.operators.corpus import clean_corpus
+    near = BASE.replace("lazy dog", "sleepy dog")
+    rows = [
+        (1, BASE, "en", "s", len(BASE)),
+        (2, BASE, "en", "s", len(BASE)),        # exact dup of 1
+        (3, near, "en", "s", len(near)),        # near dup of 1
+        (4, "tiny tiny tiny tiny tiny tiny tiny tiny tiny tiny",
+         "en", "s", 40),                        # repetitive → quality
+        (5, "an unrelated sentence about pottery rivers gardens "
+            "valleys mountains recipes astronomy and weather patterns "
+            "observed daily", "en", "s", 100),  # kept
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    got = {r.doc_id: (r.keep, r.reason)
+           for r in clean_corpus(df, min_quality=0.25).collect()}
+    assert got[1] == (True, "kept")
+    assert got[2] == (False, "exact_dup")
+    assert got[3] == (False, "near_dup")
+    assert got[4] == (False, "quality")
+    assert got[5] == (True, "kept")
+
+
+def test_hash_sample_deterministic_and_stratified(spark):
+    """The sample is identical across runs and partitionings (hash
+    draw, no RNG), respects per-stratum fractions, and drops strata
+    without a fraction."""
+    from weakscraper_spark.operators.corpus import hash_sample
+    rows = [(i, f"text {i}", "en" if i % 2 else "de", "s", 10)
+            for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    s1 = {r.doc_id for r in hash_sample(
+        df, "lang", {"en": 0.5}).collect()}
+    s2 = {r.doc_id for r in hash_sample(
+        df.repartition(7), "lang", {"en": 0.5}).collect()}
+    assert s1 == s2                          # partitioning-invariant
+    assert all(i % 2 for i in s1)            # 'de' (no fraction) dropped
+    assert 60 <= len(s1) <= 140              # ~0.5 of 200 'en' docs
+
+
 def test_bpe_ish_subtokens(spark):
     from weakscraper_spark.operators.textstats import with_token_count
     df = spark.createDataFrame(

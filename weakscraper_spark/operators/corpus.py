@@ -1,0 +1,88 @@
+"""Corpus-level compositions for a training-data pipeline: the
+one-call cleaning pass (quality gate → exact dedup → near-dup
+removal, with an auditable per-doc verdict) and deterministic
+hash-based stratified sampling.
+
+Both are compositions of oracle-checked primitives and are themselves
+value-checked end-to-end against DuckDB twins — the composition
+ORDER is part of the contract (near-dup pairs are computed only among
+quality-passing exact-canonical docs, mirroring how production
+pipelines stage these filters to keep the pairwise step small).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import minhash_lsh_pairs
+from .textstats import with_fingerprint, with_quality_score
+
+
+def clean_corpus(df: DataFrame, id_col: str = "doc_id",
+                 col: str = "text", min_quality: float = 0.25,
+                 max_bucket: int = 64) -> DataFrame:
+    """Per-document keep/drop verdict with an audit ``reason``:
+
+    1. ``quality``   — quality_score < min_quality (textstats rule);
+    2. ``exact_dup`` — not the min-id canonical of its fingerprint
+                       (among quality-passing docs);
+    3. ``near_dup``  — appears as doc_b of any MinHash-LSH candidate
+                       pair among surviving docs (greedy keep-smallest:
+                       deterministic, single-pass — not transitive
+                       closure, which would be iterative; a doc near
+                       an already-dropped doc is still dropped, the
+                       conservative direction for training data);
+    4. ``kept``      — everything else.
+
+    Returns (id, keep, reason) for EVERY input doc — the drop set is
+    auditable, never silent. Scale shape: the quality gate is a
+    narrow map; fingerprint dedup is one hash agg; the pairwise stage
+    runs only on quality-passing canonicals (bucket-capped LSH); the
+    verdict joins are on the id key."""
+    base = with_fingerprint(
+        with_quality_score(df.select(id_col, col), col), col) \
+        .select(id_col, col, "quality_score", "fingerprint")
+    qpass = base.filter(F.col("quality_score") >= min_quality)
+    canon = qpass.groupBy("fingerprint").agg(
+        F.min(id_col).alias("_canon"))
+    pass2 = (qpass.join(canon, "fingerprint")
+             .filter(F.col(id_col) == F.col("_canon"))
+             .select(id_col, col))
+    dropped = (minhash_lsh_pairs(pass2, id_col=id_col, col=col,
+                                 max_bucket=max_bucket)
+               .select(F.col("doc_b").alias(id_col)).distinct()
+               .withColumn("_nd", F.lit(1)))
+    reason = (F.when(F.col("quality_score") < min_quality,
+                     F.lit("quality"))
+              .when(F.col(id_col) != F.col("_canon"),
+                    F.lit("exact_dup"))
+              .when(F.col("_nd").isNotNull(), F.lit("near_dup"))
+              .otherwise(F.lit("kept")))
+    return (base
+            .join(canon, "fingerprint", "left")
+            .join(dropped, id_col, "left")
+            .withColumn("reason", reason)
+            .select(id_col,
+                    (F.col("reason") == "kept").alias("keep"),
+                    "reason"))
+
+
+def hash_sample(df: DataFrame, strata_col: str,
+                fractions: dict[str, float], id_col: str = "doc_id",
+                seed: int = 42) -> DataFrame:
+    """Deterministic per-stratum sampling: a row is kept iff
+    u(id) < fraction(stratum), where u(id) = the first 60 bits of
+    md5(seed || ':' || id) scaled to [0, 1). No RNG state — the same
+    row is kept on every run, every partitioning, every resume (the
+    property rand()-based sampleBy lacks), and the draw is mirrored
+    bit-for-bit in DuckDB so sampling is value-checked. Strata absent
+    from ``fractions`` are dropped (fraction 0)."""
+    m = F.create_map(*[F.lit(x) for kv in fractions.items()
+                       for x in kv])
+    u = (F.conv(F.substring(
+            F.md5(F.encode(F.concat(F.lit(f"{seed}:"),
+                                    F.col(id_col).cast("string")),
+                           "UTF-8")), 1, 15), 16, 10)
+         .cast("double") / F.lit(float(16 ** 15)))
+    frac = F.coalesce(m[F.col(strata_col)], F.lit(0.0))
+    return df.filter(u < frac)
