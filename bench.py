@@ -115,7 +115,8 @@ def _run_queries(sf_dir: str, cpus: int,
         "c5_broadcast_join", "c8_salted_agg", "c9_anti_join_resume",
         "dedup_exact", "minhash_lsh", "jaccard_pairs", "embedding_topk",
         "lsh_near_dup", "asof_purchase", "range_join_events",
-        "quality_scores", "simhash_pairs", "extract_pages",
+        "quality_scores", "simhash_pairs", "corpus_clean",
+        "winnow_fps", "ivf_ann_topk", "extract_pages",
     ]
     # embedding_near_dup (exact all-pairs baseline) is deliberately
     # NOT a headline: it is the documented small-N correctness twin of
