@@ -576,6 +576,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("url", "template_id", "status", "text", "n_nodes"))
     q["extract_pages"] = extract_pages
 
+    # ---- template-FREE extraction: boilerplate strip via shallow
+    # text features (WSDM'10 rules; enginelib/boiler.py). Rows-only
+    # BUT value-pinned: a row survives only when the largest content
+    # block equals the synthesized main text byte-for-byte, so the
+    # recorded count IS the byte-identical recovery count ------------------
+    def boiler_extract(spark, sf):
+        from weakscraper_spark.operators.heuristic import (
+            heuristic_extract)
+        from weakscraper_spark.sources.synth import synth_pages
+        n = 2000 if "0.01" in sf else (20000 if "0.1" in sf else 600)
+        pages = synth_pages(spark, n, min_words=48)
+        out = heuristic_extract(pages)
+        truth = pages.select("url", "warc_ts",
+                             F.col("text").alias("truth"))
+        return (out.join(truth, ["url", "warc_ts"])
+                .filter((F.col("truth") != "") &
+                        (F.col("text") == F.col("truth")))
+                .select("url", "status", "n_blocks",
+                        "n_content_blocks", "n_words"))
+    q["boiler_extract"] = boiler_extract
+
+    # ---- template-first + in-stage heuristic fallback: the status
+    # mix is the pinned value (template successes unchanged; mismatch
+    # pages rescued as ok_heuristic — rows-only, drift moves counts) -------
+    def extract_rescued(spark, sf):
+        from weakscraper_spark.plans.pipeline import build_extract_plan
+        from weakscraper_spark.sources.synth import (
+            compiled_specs, synth_pages, synth_templates)
+        n = 2000 if "0.01" in sf else (20000 if "0.1" in sf else 600)
+        pages = synth_pages(spark, n, min_words=48)
+        out = build_extract_plan(pages, synth_templates(spark),
+                                 compiled_specs(), fallback="heuristic")
+        return (out.groupBy("status").agg(F.count("*").alias("n"))
+                .orderBy("status"))
+    q["extract_rescued"] = extract_rescued
+
     return q
 
 

@@ -34,6 +34,7 @@ import pandas as pd
 from pyspark import TaskContext
 from pyspark.sql import DataFrame
 
+from ..enginelib.boiler import main_text as _main_text
 from ..enginelib.match import extract as _extract_doc
 from ..enginelib.spec import Spec, spec_from_json
 
@@ -55,16 +56,42 @@ def _spec_for(spec_json: str) -> Spec:
     return spec
 
 
+def _heuristic_rescue(out: dict, j: int, html: str) -> None:
+    """Boilerplate-strip fallback for one failed row, in-place. Only
+    upgrades the row when the heuristic finds content; the template
+    error string is preserved for audit either way."""
+    t0 = perf_counter()
+    r = _main_text(html, mode="largest")
+    out["parse_ms"][j] += (perf_counter() - t0) * 1e3
+    if r["n_content_blocks"]:
+        out["status"][j] = "ok_heuristic"
+        out["text"][j] = r["text"]
+
+
 def extract_pages(df: DataFrame,
                   spec_json_by_tid: dict[str, str],
                   functions: dict[str, Callable] | None = None,
-                  text_key: str = "text") -> DataFrame:
+                  text_key: str = "text",
+                  fallback: str | None = None) -> DataFrame:
     """Apply broadcast compiled templates to ``(url, warc_ts,
     template_id, html)`` rows. Extra columns are dropped (column
     pruning: don't ship what the Python worker won't read);
     ``warc_ts`` is echoed through so the snapshot dedup can run on the
     NARROW output rows after extraction (shuffle-minimal pipeline,
-    plans/pipeline.py)."""
+    plans/pipeline.py).
+
+    ``fallback='heuristic'`` runs the boilerplate-strip extractor
+    (enginelib/boiler.py) on rows the template path could NOT extract
+    (no registered template, structural mismatch, malformed page) —
+    INSIDE the same Python stage, while the html bytes are already in
+    worker memory. Recovering failed rows via a second pass
+    (join-back on url to refetch html) would re-shuffle the corpus
+    width; in-stage fallback costs one extra local parse for the
+    ~5-10% failing rows and nothing else. Recovered rows get status
+    ``'ok_heuristic'`` with the template error preserved in ``error``
+    for audit; unrecovered rows keep their template status."""
+    if fallback not in (None, "heuristic"):
+        raise ValueError(f"unknown fallback {fallback!r}")
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast(spec_json_by_tid)
 
@@ -86,12 +113,6 @@ def extract_pages(df: DataFrame,
             }
             htmls = pdf["html"].tolist()
             for j in range(n):
-                tid = out["template_id"][j]
-                spec_json = specs.get(tid) if tid is not None else None
-                if spec_json is None:
-                    out["status"][j] = "error:NoTemplate"
-                    out["error"][j] = f"no compiled template for {tid!r}"
-                    continue
                 raw = htmls[j]
                 if isinstance(raw, str):
                     # lineage bytes_in must be BYTES even for string
@@ -101,6 +122,14 @@ def extract_pages(df: DataFrame,
                 else:
                     html = bytes(raw).decode("utf-8", errors="replace")
                     out["n_bytes"][j] = len(raw)
+                tid = out["template_id"][j]
+                spec_json = specs.get(tid) if tid is not None else None
+                if spec_json is None:
+                    out["status"][j] = "error:NoTemplate"
+                    out["error"][j] = f"no compiled template for {tid!r}"
+                    if fallback == "heuristic":
+                        _heuristic_rescue(out, j, html)
+                    continue
                 t0 = perf_counter()
                 row = _extract_doc(_spec_for(spec_json), html,
                                    functions, text_key)
@@ -113,6 +142,8 @@ def extract_pages(df: DataFrame,
                     out["fields_json"][j] = json.dumps(
                         row["fields"], sort_keys=True, ensure_ascii=False,
                         default=str)
+                if fallback == "heuristic" and row["status"] != "ok":
+                    _heuristic_rescue(out, j, html)
             yield pd.DataFrame(out)
 
     return df.select("url", "warc_ts", "template_id", "html").mapInPandas(

@@ -197,12 +197,16 @@ def build_extract_plan(pages: DataFrame, templates: DataFrame,
                        langs: list[str] | None = None,
                        done_urls: DataFrame | None = None,
                        num_partitions: int | None = None,
-                       n_salts: int = 0) -> DataFrame:
+                       n_salts: int = 0,
+                       fallback: str | None = None) -> DataFrame:
     """Compose the shuffle-minimal plan lazily (no action): map-only
     scan→broadcast-join→extract, then dedup-latest over narrow output
     rows. ``n_salts>0`` inserts the deterministic salted repartition
     before the Python stage — only useful when the input layout is
-    host-clustered (module docstring)."""
+    host-clustered (module docstring). ``fallback='heuristic'``
+    rescues template-failing pages with the boilerplate-strip
+    extractor inside the same Python stage (operators/extract.py) —
+    the plan stays map-only."""
     spark = pages.sparkSession
     staged = prepare_pages(pages, langs)
     staged = resume_filter(staged, done_urls)
@@ -211,7 +215,7 @@ def build_extract_plan(pages: DataFrame, templates: DataFrame,
         num_partitions = num_partitions or max(
             spark.sparkContext.defaultParallelism * 2, 8)
         staged = salt_repartition(staged, num_partitions, n_salts)
-    extracted = extract_pages(staged, specs)
+    extracted = extract_pages(staged, specs, fallback=fallback)
     return dedup_latest(extracted)
 
 
