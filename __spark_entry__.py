@@ -381,6 +381,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    max_df=100, min_jaccard=0.05)
     q["jaccard_pairs"] = jaccard_pairs
 
+    def para_dedup(spark, sf):
+        # CCNet-style paragraph dedup. documents.text has no newlines,
+        # so "paragraphs" = consecutive 8-word chunks (the span-dedup
+        # form) — the chunking is mirrored verbatim in the oracle.
+        from weakscraper_spark.operators.dedup import paragraph_dedup
+        toks = _tokens()
+        w = 8
+        n_chunks = F.ceil(F.size(toks) / w).cast("int")
+        chunked = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.array_join(
+                        F.slice(toks, i * w + 1, w), " ")),
+                "\n").alias("text"))
+        out = paragraph_dedup(chunked)
+        return out.select("doc_id", "text_dedup",
+                          F.col("n_pars").cast("long").alias("n_pars"),
+                          "n_kept")
+    q["para_dedup"] = para_dedup
+
     def minhash_overcap(spark, sf):
         # the auditable side output of the LSH bucket cap: which
         # (band, bkey) clusters exceed the cap (here 2, to exercise it
@@ -476,6 +498,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             min_quality=0.25)
     q["corpus_clean"] = corpus_clean
 
+    def contamination(spark, sf):
+        # train/eval 3-gram contamination: eval set = every 17th doc
+        # (deterministic benchmark stand-in); broadcast-side eval
+        from weakscraper_spark.operators.corpus import (
+            contamination_overlap)
+        docs = _t(spark, sf, "documents")
+        return contamination_overlap(
+            docs.filter(F.col("doc_id") % 17 != 0),
+            docs.filter(F.col("doc_id") % 17 == 0))
+    q["contamination"] = contamination
+
+    def url_canon(spark, sf):
+        # canonicalization + url-level dedup over deterministically
+        # messied variants (case/port/www/tracking-params/fragment/
+        # trailing slash) — the messying is mirrored in the oracle
+        from weakscraper_spark.operators.urlnorm import url_dedup
+        d = F.col("doc_id")
+        messy = _t(spark, sf, "documents").select(
+            F.concat(
+                F.when(d % 2 == 0, F.lit("HTTPS://WWW.Site"))
+                .otherwise(F.lit("https://site")),
+                (d % 7).cast("string"),
+                F.when(d % 2 == 0, F.lit(".COM:443"))
+                .otherwise(F.lit(".com")),
+                F.lit("/Article/"), (d % 50).cast("string"),
+                F.when(d % 3 == 0,
+                       F.lit("/?utm_source=feed&b=2&a=1#frag"))
+                .when(d % 3 == 1, F.lit("?b=2&a=1"))
+                .otherwise(F.lit("/"))).alias("url"))
+        return url_dedup(messy)
+    q["url_canon"] = url_canon
+
     def sample_strata(spark, sf):
         # deterministic hash-based stratified sampling (resume-stable,
         # no RNG) — the draw itself is mirrored bit-for-bit
@@ -506,6 +560,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         .alias("n_subtokens"),
                         F.col("len_chars").cast("long").alias("len_chars")))
     q["token_counts"] = token_counts
+
+    def repetition(spark, sf):
+        from weakscraper_spark.operators.textstats import (
+            repetition_stats)
+        out = repetition_stats(_t(spark, sf, "documents"))
+        return out.select(
+            "doc_id", F.col("n_words").cast("long").alias("n_words"),
+            _dec(F.col("top_ngram_char_frac"), 6).alias("top2_frac"),
+            _dec(F.col("dup_ngram_char_frac"), 6).alias("dup5_frac"))
+    q["repetition"] = repetition
 
     def quality_scores(spark, sf):
         from weakscraper_spark.operators.textstats import with_quality_score
@@ -863,6 +927,138 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS canonical_id,
                    count(*) AS n_members
             FROM documents GROUP BY 1
+        """,
+        "url_canon": """
+            WITH m AS (
+                SELECT CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.Site'
+                            ELSE 'https://site' END
+                       || (doc_id % 7)::VARCHAR
+                       || CASE WHEN doc_id % 2 = 0 THEN '.COM:443'
+                               ELSE '.com' END
+                       || '/Article/' || (doc_id % 50)::VARCHAR
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN '/?utm_source=feed&b=2&a=1#frag'
+                               WHEN doc_id % 3 = 1 THEN '?b=2&a=1'
+                               ELSE '/' END AS url
+                FROM documents),
+            s AS (
+                SELECT url, regexp_replace(url, '#.*$', '') AS nofrag,
+                       lower(regexp_extract(url,
+                           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme
+                FROM m),
+            p AS (
+                SELECT url, scheme,
+                       regexp_replace(lower(regexp_extract(nofrag,
+                           '^[^:/?#]+://([^/?#]*)', 1)),
+                           '^www\\.', '') AS host1,
+                       regexp_replace(regexp_extract(nofrag,
+                           '^[^:/?#]+://[^/?#]*([^?]*)', 1),
+                           '/+$', '') AS path0,
+                       list_sort(list_filter(
+                           string_split(regexp_extract(nofrag,
+                               '\\?([^#]*)', 1), '&'),
+                           q -> q <> '' AND NOT regexp_matches(q,
+                               '^(utm_[^=]*|gclid|fbclid|ref)=')))
+                           AS params
+                FROM s),
+            c AS (
+                SELECT url,
+                       scheme || '://'
+                       || CASE WHEN scheme = 'http'
+                               THEN regexp_replace(host1, ':80$', '')
+                               WHEN scheme = 'https'
+                               THEN regexp_replace(host1, ':443$', '')
+                               ELSE host1 END
+                       || CASE WHEN path0 = '' THEN '/' ELSE path0 END
+                       || CASE WHEN len(params) > 0
+                               THEN '?' || array_to_string(params, '&')
+                               ELSE '' END AS url_canon
+                FROM p)
+            SELECT url_canon, min(url) AS first_url,
+                   count(*) AS n_variants
+            FROM c GROUP BY 1
+        """,
+        "contamination": f"""
+            WITH {_SHINGLES_CTE},
+            ev AS (SELECT DISTINCT tok FROM sh WHERE doc % 17 = 0),
+            tr AS (SELECT doc, tok FROM sh WHERE doc % 17 <> 0)
+            SELECT tr.doc AS doc_id, count(*) AS n_overlap
+            FROM tr JOIN ev USING (tok)
+            GROUP BY 1
+        """,
+        "repetition": """
+            WITH tk AS (
+                SELECT doc_id, length(text) AS chars,
+                       string_split_regex(trim(text), '\\s+') AS t
+                FROM documents),
+            g2 AS (
+                SELECT doc_id, chars,
+                       unnest(list_transform(range(1, len(t)),
+                              i -> t[i] || ' ' || t[i+1])) AS g
+                FROM tk WHERE len(t) >= 2),
+            c2 AS (SELECT doc_id, chars, g, count(*) AS cnt
+                   FROM g2 GROUP BY 1, 2, 3),
+            top AS (
+                SELECT doc_id, cnt * length(g) AS top_chars,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY cnt DESC, g) AS rn
+                FROM c2),
+            g5 AS (
+                SELECT doc_id, chars,
+                       unnest(list_transform(range(1, len(t) - 3),
+                              i -> array_to_string(t[i : i+4], ' ')))
+                           AS g
+                FROM tk WHERE len(t) >= 5),
+            c5 AS (SELECT doc_id, chars, g, count(*) AS cnt
+                   FROM g5 GROUP BY 1, 2, 3),
+            dup AS (SELECT doc_id,
+                           sum(cnt * length(g)) AS dup_chars
+                    FROM c5 WHERE cnt > 1 GROUP BY 1)
+            SELECT tk.doc_id, len(t) AS n_words,
+                   CAST(CAST(round(coalesce(top.top_chars, 0)
+                                   / greatest(tk.chars, 1), 6)
+                             AS DECIMAL(18,6)) AS VARCHAR) AS top2_frac,
+                   CAST(CAST(round(coalesce(dup.dup_chars, 0)
+                                   / greatest(tk.chars, 1), 6)
+                             AS DECIMAL(18,6)) AS VARCHAR) AS dup5_frac
+            FROM tk
+            LEFT JOIN (SELECT * FROM top WHERE rn = 1) top USING (doc_id)
+            LEFT JOIN dup USING (doc_id)
+        """,
+        "para_dedup": """
+            WITH tk AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS t
+                FROM documents),
+            ch AS (
+                SELECT doc_id,
+                       array_to_string(list_transform(
+                           range(0, cast(ceil(len(t) / 8.0) AS INT)),
+                           i -> array_to_string(t[i*8+1 : i*8+8], ' ')),
+                           chr(10)) AS text
+                FROM tk),
+            pars AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS par,
+                       unnest(range(0, len(string_split(text, chr(10)))))
+                           AS pos
+                FROM ch),
+            keep AS (
+                SELECT doc_id, pos, par,
+                       row_number() OVER (PARTITION BY par
+                                          ORDER BY doc_id, pos) AS rn
+                FROM pars),
+            agg AS (
+                SELECT doc_id,
+                       string_agg(par, chr(10) ORDER BY pos)
+                           AS text_dedup,
+                       count(*) AS n_kept
+                FROM keep WHERE rn = 1 GROUP BY doc_id)
+            SELECT c.doc_id,
+                   coalesce(a.text_dedup, '') AS text_dedup,
+                   len(string_split(c.text, chr(10))) AS n_pars,
+                   coalesce(a.n_kept, 0) AS n_kept
+            FROM ch c LEFT JOIN agg a USING (doc_id)
         """,
         "minhash_lsh": f"""
             WITH {_SHINGLES_CTE},

@@ -431,3 +431,105 @@ def test_lang_id_markers(spark):
     out = {r.doc_id: r.predicted_lang
            for r in with_lang_id(df).collect()}
     assert out == {1: "en", 2: "es", 3: "de", 4: "zh"}
+
+
+# ---------------------------------------------------------------------------
+# paragraph dedup / repetition stats / contamination / url canon (r03)
+# ---------------------------------------------------------------------------
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    from weakscraper_spark.operators.dedup import paragraph_dedup
+    rows = [
+        (1, "alpha beta\ncommon line\ngamma"),
+        (2, "common line\ndelta"),          # 'common line' superseded
+        (3, "common line"),                 # fully superseded
+        (4, "same\nsame\nother"),           # within-doc duplicate too
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    assert out[1].text_dedup == "alpha beta\ncommon line\ngamma"
+    assert out[2].text_dedup == "delta"
+    assert out[3].text_dedup == "" and out[3].n_kept == 0
+    assert out[4].text_dedup == "same\nother"  # first 'same' kept
+    assert out[4].n_pars == 3 and out[4].n_kept == 2
+
+
+def test_paragraph_dedup_partitioning_invariant(spark):
+    # first-occurrence = min(id, pos) over the corpus, independent of
+    # physical layout
+    from weakscraper_spark.operators.dedup import paragraph_dedup
+    rows = [(i, f"shared\nuniq {i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, paragraph_dedup(df.repartition(1)).collect()))
+    b = sorted(map(tuple, paragraph_dedup(df.repartition(7)).collect()))
+    assert a == b
+    assert dict((r[0], r[1]) for r in a)[0] == "shared\nuniq 0"
+
+
+def test_repetition_stats_values(spark):
+    from weakscraper_spark.operators.textstats import repetition_stats
+    rows = [
+        (1, "a b a b a b"),             # top 2-gram 'a b' x3
+        (2, "one two three four five"), # no repetition
+        (3, "x"),                       # shorter than any n-gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    # doc1: chars=11, top 2-gram 'a b' count 3, len 3 -> 9/11
+    assert abs(out[1].top_ngram_char_frac - round(9 / 11, 6)) < 1e-9
+    assert out[2].top_ngram_char_frac < 0.5
+    assert out[2].dup_ngram_char_frac == 0.0
+    assert out[3].top_ngram_char_frac == 0.0
+    assert out[3].n_words == 1
+
+
+def test_repetition_dup_ngrams(spark):
+    from weakscraper_spark.operators.textstats import repetition_stats
+    text = "p q r s t " * 3  # 15 words; every 5-gram rotation repeats
+    df = spark.createDataFrame([(1, text.strip())],
+                               "doc_id long, text string")
+    r = repetition_stats(df).collect()[0]
+    assert r.dup_ngram_char_frac > 0.5
+
+
+def test_contamination_counts_shared_shingles(spark):
+    from weakscraper_spark.operators.corpus import contamination_overlap
+    ev = spark.createDataFrame(
+        [(100, "held out benchmark question about spark shuffles")],
+        "doc_id long, text string")
+    tr = spark.createDataFrame(
+        [(1, "train doc mentions benchmark question about spark today"),
+         (2, "totally unrelated words banana umbrella raccoon")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.n_overlap for r in
+           contamination_overlap(tr, ev).collect()}
+    # shared 3-grams: 'benchmark question about', 'question about spark'
+    assert out == {1: 2}
+
+
+def test_contamination_eval_side_broadcast(spark):
+    from weakscraper_spark.operators.corpus import contamination_overlap
+    ev = spark.createDataFrame([(9, "a b c d")],
+                               "doc_id long, text string")
+    tr = spark.createDataFrame([(1, "a b c d e")],
+                               "doc_id long, text string")
+    plan = contamination_overlap(tr, ev)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_canonical_url_cases(spark):
+    from weakscraper_spark.operators.urlnorm import canonical_url
+    cases = [
+        ("HTTPS://WWW.Ex.COM:443/A/b/?b=2&utm_source=x&a=1#frag",
+         "https://ex.com/A/b?a=1&b=2"),
+        ("http://ex.com:80", "http://ex.com/"),
+        ("http://ex.com:8080/p", "http://ex.com:8080/p"),  # non-default
+        ("https://ex.com/p///", "https://ex.com/p"),
+        ("https://ex.com/?gclid=1&fbclid=2&ref=3", "https://ex.com/"),
+        ("https://ex.com/p?z=1&y=2&x=3", "https://ex.com/p?x=3&y=2&z=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in
+           df.select(canonical_url("url").alias("c")).collect()]
+    assert got == [want for _, want in cases]

@@ -86,3 +86,28 @@ def hash_sample(df: DataFrame, strata_col: str,
          .cast("double") / F.lit(float(16 ** 15)))
     frac = F.coalesce(m[F.col(strata_col)], F.lit(0.0))
     return df.filter(u < frac)
+
+
+def contamination_overlap(train: DataFrame, evalset: DataFrame,
+                          id_col: str = "doc_id", col: str = "text",
+                          k: int = 3) -> DataFrame:
+    """Train/eval contamination check (the decontamination step of
+    LLM data pipelines): for each training doc, the number of
+    DISTINCT word ``k``-grams it shares with ANY eval-set doc.
+    Returns only contaminated docs — (id, n_overlap); the caller
+    anti-joins to drop them or thresholds on n_overlap.
+
+    Scale shape: the eval side is benchmark-sized (thousands of docs,
+    not billions) → its distinct shingle set is broadcast, so the
+    train side never shuffles on the shingle key at corpus width —
+    the check is a map-side semi-join + one groupBy(doc) on matches
+    only. Shingle extraction reuses the dedup family's tokenization
+    (dedup._shingles), which the oracle SQL mirrors 1:1."""
+    from .dedup import _shingles
+
+    tr = _shingles(train, id_col, col, k)
+    ev = _shingles(evalset, id_col, col, k).select("tok").distinct()
+    return (tr.join(F.broadcast(ev), "tok")
+            .groupBy("doc")
+            .agg(F.count("*").alias("n_overlap"))
+            .select(F.col("doc").alias(id_col), "n_overlap"))

@@ -428,6 +428,51 @@ def simhash_band_pairs(sh: DataFrame, max_hamming: int = 3,
             .distinct())
 
 
+def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
+                    col: str = "text", sep: str = "\n") -> DataFrame:
+    """Paragraph-level exact dedup (the CCNet/C4 line-dedup shape):
+    split each document on ``sep``, keep only the corpus-wide FIRST
+    occurrence of each distinct paragraph (order = (id, position) —
+    deterministic, partitioning-independent), and rebuild every
+    document from its kept paragraphs in original order.
+
+    Returns (id, text_dedup, n_pars, n_kept) for EVERY input doc —
+    a doc whose paragraphs are all superseded comes back with
+    ``text_dedup = ''`` and ``n_kept = 0``, never silently dropped.
+
+    Scale shape: posexplode (narrow) → two-phase groupBy(par) min —
+    the first-occurrence rule is an aggregation, not a window, so the
+    hottest paragraph (an empty string, a boilerplate line repeated
+    10⁹×) is combined map-side instead of buffered in one task —
+    → equi-join back on par → groupBy(id) rebuild. Two shuffles, both
+    on narrow (id, pos, hash-sized) rows; the heavy text column never
+    fans out beyond its own paragraphs."""
+    pars = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(col), sep)).alias("pos", "par"))
+    first = pars.groupBy("par").agg(
+        F.min(F.struct(id_col, "pos")).alias("_first"))
+    kept = (pars.join(first, "par")
+            .filter((F.col(id_col) == F.col("_first")[id_col]) &
+                    (F.col("pos") == F.col("_first")["pos"]))
+            .select(id_col, "pos", "par"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "par"))),
+                lambda s: s["par"]),
+            sep).alias("text_dedup"),
+        F.count("*").alias("n_kept"))
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(col), sep)).alias("n_pars"))
+    return (totals.join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+                    "n_pars",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept")))
+
+
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
                        col: str = "text", max_hamming: int = 3,
                        drop_zero: bool = True,

@@ -17,7 +17,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # Whitespace tokenization shared by every operator (and mirrored in
 # oracle SQL): trim, split on whitespace runs.
@@ -171,3 +171,68 @@ def with_lang_id(df: DataFrame, col: str = "text") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(run, schema)
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     col: str = "text", top_n: int = 2,
+                     dup_n: int = 5) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, appendix
+    A1.1 "repetitious text" rules), per document:
+
+    - ``top_ngram_char_frac`` — fraction of the doc's characters
+      covered by its most frequent word ``top_n``-gram
+      (count × gram chars / doc chars; deterministic tie-break =
+      lexicographically smallest gram among the max-count ones);
+    - ``dup_ngram_char_frac`` — fraction of characters in word
+      ``dup_n``-grams that occur more than once in the doc
+      (overlapping occurrences counted, the published
+      approximation's overcount included — deterministic and
+      mirrored 1:1 in the DuckDB oracle).
+
+    Thresholding (e.g. drop docs with top-2-gram frac > 0.20) is the
+    caller's policy; this operator only measures.
+
+    Scale shape: per-doc n-grams via JVM ``transform``/``slice`` (no
+    Python), explode → two-phase groupBy (doc, gram) — map-side
+    combine absorbs within-doc repetition before the shuffle; the
+    only windows are partitioned by doc (bounded by doc length,
+    never corpus-hot)."""
+    toks = _TOKENS(col)
+    base = (df.select(F.col(id_col), F.length(col).alias("_chars"),
+                      toks.alias("_t"))
+            .withColumn("n_words", F.size("_t")))
+
+    def grams(n: int):
+        # i-th gram = words [i, i+n), built JVM-side; empty when the
+        # doc is shorter than n words (sequence() would descend)
+        return F.when(
+            F.size("_t") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t") - (n - 1)),
+                lambda i: F.array_join(F.slice("_t", i, n), " ")),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def gram_counts(n: int):
+        return (base.select(id_col, F.explode(grams(n)).alias("g"))
+                .groupBy(id_col, "g")
+                .agg(F.count("*").alias("cnt")))
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("cnt"), "g")
+    top = (gram_counts(top_n)
+           .withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") == 1)
+           .select(id_col,
+                   (F.col("cnt") * F.length("g")).alias("_top_chars")))
+    dup = (gram_counts(dup_n)
+           .filter(F.col("cnt") > 1)
+           .groupBy(id_col)
+           .agg(F.sum(F.col("cnt") * F.length("g")).alias("_dup_chars")))
+    return (base.join(top, id_col, "left")
+            .join(dup, id_col, "left")
+            .select(id_col, "n_words",
+                    F.round(F.coalesce("_top_chars", F.lit(0)) /
+                            F.greatest("_chars", F.lit(1)), 6)
+                    .alias("top_ngram_char_frac"),
+                    F.round(F.coalesce("_dup_chars", F.lit(0)) /
+                            F.greatest("_chars", F.lit(1)), 6)
+                    .alias("dup_ngram_char_frac")))
