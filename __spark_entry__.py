@@ -618,6 +618,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .drop("feat"))
     q["frame_samples"] = frame_samples
 
+    # ---- PDF/layout parse plumbing (rows-only BUT value-pinned: a
+    # row survives only when the parsed page text round-trips the
+    # source chunk exactly; fake %FPDF container — kernel for real
+    # %PDF- is env-stubbed, operators/pdf.py) ------------------------------
+    def pdf_pages(spark, sf):
+        from weakscraper_spark.operators.pdf import pdf_extract
+        toks = _tokens()
+        w = 15
+        n_chunks = F.ceil(F.size(toks) / w).cast("int")
+        chunks = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(toks, i * w + 1, w), " "))
+        docs = _t(spark, sf, "documents").select(
+            "doc_id", chunks.alias("pages"))
+        blobs = docs.select(
+            "doc_id",
+            F.encode(F.concat(
+                F.lit("%FPDF"),
+                F.to_json(F.struct(F.col("pages").alias("pages")))),
+                "UTF-8").alias("blob"))
+        out = pdf_extract(blobs, blob_col="blob")
+        expect = docs.select(
+            "doc_id", F.posexplode("pages").alias("page_no", "want"))
+        return (out.join(expect, ["doc_id", "page_no"])
+                .filter("status = 'ok' AND text = want")
+                .select("doc_id", "page_no", "n_lines", "n_bytes"))
+    q["pdf_pages"] = pdf_pages
+
     # ---- the extraction operator itself (rows-only BUT value-pinned:
     # a row survives only if extraction matched the synthesized ground
     # truth — ok rows must recover `text` byte-identically, non-ok rows

@@ -533,3 +533,39 @@ def test_canonical_url_cases(spark):
     got = [r.c for r in
            df.select(canonical_url("url").alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_pdf_roundtrip_flatmap(spark):
+    from weakscraper_spark.operators.pdf import (
+        pdf_extract, render_fake_pdf)
+    rows = [
+        (1, render_fake_pdf(["page one text", "page two\nwith lines"])),
+        (2, render_fake_pdf([])),                       # empty doc
+        (3, b"%PDF-1.7 real pdf bytes"),                # no lib -> status
+        (4, b"GIF89a not a pdf"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    out = pdf_extract(df).collect()
+    by_key = {(r.doc_id, r.page_no): r for r in out}
+    assert by_key[(1, 0)].text == "page one text"
+    assert by_key[(1, 1)].text == "page two\nwith lines"
+    assert by_key[(1, 1)].n_lines == 2
+    import json as _json
+    boxes = _json.loads(by_key[(1, 1)].layout_json)
+    assert [b["line"] for b in boxes] == [0, 1]
+    assert boxes[1]["y"] == 708 and boxes[0]["y"] == 720
+    # failed/empty blobs surface as exactly one status row each,
+    # never raise, never vanish
+    assert by_key[(2, -1)].status == "empty"
+    assert by_key[(3, -1)].status == "error:NoPdfLib"
+    assert by_key[(4, -1)].status == "error:NotPdf"
+    assert len(out) == 5  # 2 pages + 3 status rows
+
+
+def test_pdf_plan_is_narrow_map(spark):
+    from weakscraper_spark.operators.pdf import (
+        pdf_extract, render_fake_pdf)
+    df = spark.createDataFrame(
+        [(1, render_fake_pdf(["x"]))], "doc_id long, blob binary")
+    plan = pdf_extract(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
