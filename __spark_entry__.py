@@ -403,6 +403,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "n_kept")
     q["para_dedup"] = para_dedup
 
+    def dup_components(spark, sf):
+        # transitive duplicate clusters: MinHash-LSH pairs → iterative
+        # min-label connected components; value-checked against a
+        # recursive-CTE DuckDB twin over the same pair set
+        from weakscraper_spark.operators.dedup import minhash_lsh_pairs
+        from weakscraper_spark.operators.graph import dedup_clusters
+        return dedup_clusters(
+            minhash_lsh_pairs(_t(spark, sf, "documents")))
+    q["dup_components"] = dup_components
+
     def minhash_overcap(spark, sf):
         # the auditable side output of the LSH bucket cap: which
         # (band, bkey) clusters exceed the cap (here 2, to exercise it
@@ -741,6 +751,37 @@ def _srp_bucket_sql(n_planes: int, dim: int = 64, seed: int = 42,
             f"(CASE WHEN list_inner_product({vec}, [{lits}]::DOUBLE[])"
             f" > 0 THEN {1 << p} ELSE 0 END)")
     return " + ".join(terms)
+
+
+# MinHash banded-LSH candidate pairs (mirror of minhash_lsh_pairs
+# incl. the max_bucket=64 bucket-size cap) as reusable CTEs ending in
+# ``mh_pairs`` — shared by the pair query and the connected-components
+# clustering twin.
+_MINHASH_PAIRS_CTES = f"""
+            {_SHINGLES_CTE},
+            sigs AS (SELECT doc,
+                     min(md5('0:' || tok)) AS s0, min(md5('1:' || tok)) AS s1,
+                     min(md5('2:' || tok)) AS s2, min(md5('3:' || tok)) AS s3,
+                     min(md5('4:' || tok)) AS s4, min(md5('5:' || tok)) AS s5,
+                     min(md5('6:' || tok)) AS s6, min(md5('7:' || tok)) AS s7
+                     FROM sh GROUP BY doc),
+            bands_all AS (
+                SELECT doc, 0 AS band, s0 || '|' || s1 AS bkey FROM sigs
+                UNION ALL
+                SELECT doc, 1, s2 || '|' || s3 FROM sigs
+                UNION ALL
+                SELECT doc, 2, s4 || '|' || s5 FROM sigs
+                UNION ALL
+                SELECT doc, 3, s6 || '|' || s7 FROM sigs),
+            bands AS (
+                SELECT doc, band, bkey FROM bands_all
+                QUALIFY count(*) OVER (PARTITION BY band, bkey) <= 64),
+            mh_pairs AS (
+                SELECT a.doc AS doc_a, b.doc AS doc_b,
+                       count(*) AS n_bands
+                FROM bands a JOIN bands b USING (band, bkey)
+                WHERE a.doc < b.doc GROUP BY 1, 2)
+"""
 
 
 # md5-based SimHash, mirroring operators/dedup.py::_simhash64 exactly:
@@ -1089,28 +1130,21 @@ def oracle_sql() -> dict[str, str]:
             FROM ch c LEFT JOIN agg a USING (doc_id)
         """,
         "minhash_lsh": f"""
-            WITH {_SHINGLES_CTE},
-            sigs AS (SELECT doc,
-                     min(md5('0:' || tok)) AS s0, min(md5('1:' || tok)) AS s1,
-                     min(md5('2:' || tok)) AS s2, min(md5('3:' || tok)) AS s3,
-                     min(md5('4:' || tok)) AS s4, min(md5('5:' || tok)) AS s5,
-                     min(md5('6:' || tok)) AS s6, min(md5('7:' || tok)) AS s7
-                     FROM sh GROUP BY doc),
-            bands_all AS (
-                SELECT doc, 0 AS band, s0 || '|' || s1 AS bkey FROM sigs
-                UNION ALL
-                SELECT doc, 1, s2 || '|' || s3 FROM sigs
-                UNION ALL
-                SELECT doc, 2, s4 || '|' || s5 FROM sigs
-                UNION ALL
-                SELECT doc, 3, s6 || '|' || s7 FROM sigs),
-            -- mirror of the Spark-side max_bucket=64 bucket-size cap
-            bands AS (
-                SELECT doc, band, bkey FROM bands_all
-                QUALIFY count(*) OVER (PARTITION BY band, bkey) <= 64)
-            SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_bands
-            FROM bands a JOIN bands b USING (band, bkey)
-            WHERE a.doc < b.doc GROUP BY 1, 2
+            WITH {_MINHASH_PAIRS_CTES}
+            SELECT doc_a, doc_b, n_bands FROM mh_pairs
+        """,
+        "dup_components": f"""
+            WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+            e AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+                  UNION SELECT doc_b, doc_a FROM mh_pairs),
+            reach AS (
+                SELECT DISTINCT a AS node, a AS lbl FROM e
+                UNION
+                SELECT e.a, reach.lbl
+                FROM e JOIN reach ON e.b = reach.node)
+            SELECT node AS doc_id, min(lbl) AS component,
+                   (node = min(lbl)) AS is_canonical
+            FROM reach GROUP BY node
         """,
         "jaccard_pairs": f"""
             WITH {_SHINGLES_CTE},

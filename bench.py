@@ -116,7 +116,9 @@ def _run_queries(sf_dir: str, cpus: int,
         "dedup_exact", "minhash_lsh", "jaccard_pairs", "embedding_topk",
         "lsh_near_dup", "asof_purchase", "range_join_events",
         "quality_scores", "simhash_pairs", "corpus_clean",
-        "winnow_fps", "ivf_ann_topk", "extract_pages",
+        "winnow_fps", "ivf_ann_topk", "para_dedup", "repetition",
+        "contamination", "url_canon", "extract_pages",
+        "boiler_extract",
     ]
     # embedding_near_dup (exact all-pairs baseline) is deliberately
     # NOT a headline: it is the documented small-N correctness twin of
@@ -135,9 +137,17 @@ def _run_queries(sf_dir: str, cpus: int,
         return build_extract_plan(spark.read.parquet(pages_path),
                                   templates, specs)
 
+    def boiler_headline(spark, _sf):
+        # heuristic extraction over the SAME pre-synthesized corpus:
+        # times the boilerplate-strip path, not synthesis
+        from weakscraper_spark.operators.heuristic import (
+            heuristic_extract)
+        return heuristic_extract(spark.read.parquet(pages_path))
+
     runners = dict.fromkeys(headline)
     runners.update({name: qs[name] for name in headline})
     runners["extract_pages"] = extract_headline
+    runners["boiler_extract"] = boiler_headline
 
     # untimed warmup: JVM JIT, python daemon fork, pandas import,
     # broadcast send — per-session constants the first timed query

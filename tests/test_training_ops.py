@@ -569,3 +569,33 @@ def test_pdf_plan_is_narrow_map(spark):
         [(1, render_fake_pdf(["x"]))], "doc_id long, blob binary")
     plan = pdf_extract(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_connected_components_transitive(spark):
+    from weakscraper_spark.operators.graph import (
+        connected_components, dedup_clusters)
+    # two chains + an isolated pair: 1-2-3-4, 10-11, 20-21-22 (star)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22)],
+        "doc_a long, doc_b long")
+    cc = {r.node: r.component
+          for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                  20: 20, 21: 20, 22: 20}
+    cl = {r.doc_id: (r.component, r.is_canonical)
+          for r in dedup_clusters(pairs).collect()}
+    assert cl[4] == (1, False) and cl[1] == (1, True)
+    assert sum(1 for _, c in cl.items() if c[1]) == 3  # one per cluster
+
+
+def test_connected_components_partitioning_invariant(spark):
+    from weakscraper_spark.operators.graph import connected_components
+    import random
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(0, 40, 2)]       # 20 pairs
+    edges += [(rng.randrange(0, 40), rng.randrange(40, 60))
+              for _ in range(10)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    a = sorted(map(tuple, connected_components(df.repartition(1)).collect()))
+    b = sorted(map(tuple, connected_components(df.repartition(5)).collect()))
+    assert a == b and len(a) > 0

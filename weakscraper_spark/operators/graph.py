@@ -1,0 +1,83 @@
+"""Distributed connected components over candidate-duplicate pairs —
+the step that turns pairwise near-dup evidence (MinHash/SimHash/SRP
+buckets) into DUPLICATE CLUSTERS with a canonical representative, so
+corpus dedup is transitive (a~b, b~c ⇒ one cluster) instead of the
+single-pass greedy verdict ``clean_corpus`` uses by default.
+
+Algorithm: iterative min-label propagation — every node repeatedly
+takes the minimum label among itself and its neighbors until no
+label changes. Converges in O(graph diameter) rounds; duplicate
+clusters in web corpora are near-cliques (diameter ≤ ~3 via the
+shared bucket/band structure), so 3-5 rounds close them. Each round
+is one equi-join + groupBy-min (map-side combinable) — no windows,
+no driver-side graph. Lineage is truncated per round with
+``localCheckpoint`` (an iterative plan would otherwise grow
+exponentially and re-execute every prior round); the per-round
+convergence check is one count action. For adversarial long-chain
+graphs at 10^12 edges, the published O(log n)-round alternating
+large-star/small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) drops in behind the
+same signature; min-propagation is chosen here because it is
+deterministic, simple to audit, and exactly mirrorable as a DuckDB
+recursive CTE — which makes cluster assignment VALUE-CHECKED, not
+just plausible.
+
+Determinism: labels are node ids, min is total, iteration count
+depends only on the graph — same output on any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b",
+                         max_iter: int = 25) -> DataFrame:
+    """(src, dst) pair rows → (node, component) where ``component``
+    is the minimum node id reachable from ``node``. Output covers
+    every node appearing in ``edges`` (isolated docs never enter a
+    pair list; union them back as their own component if needed).
+
+    Raises after ``max_iter`` non-converged rounds rather than
+    returning a silently-partial clustering."""
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(
+        sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+    labels = (sym.select(F.col("a").alias("node")).distinct()
+              .withColumn("lbl", F.col("node")))
+    for _ in range(max_iter):
+        nbr_min = (sym.join(labels.select(F.col("node").alias("b"),
+                                          F.col("lbl").alias("nlbl")),
+                            "b")
+                   .groupBy("a").agg(F.min("nlbl").alias("min_nbr")))
+        new = (labels.join(nbr_min,
+                           labels["node"] == nbr_min["a"], "left")
+               .select(F.col("node"),
+                       F.least(F.col("lbl"),
+                               F.coalesce(F.col("min_nbr"),
+                                          F.col("lbl"))).alias("lbl"))
+               .localCheckpoint(eager=True))
+        n_changed = (new.alias("n")
+                     .join(labels.alias("o"), "node")
+                     .filter(F.col("n.lbl") != F.col("o.lbl"))
+                     .count())
+        labels = new
+        if n_changed == 0:
+            return labels.select("node", F.col("lbl").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds")
+
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "doc_a",
+                   id_b: str = "doc_b") -> DataFrame:
+    """Candidate pairs → per-doc cluster verdict:
+    (doc_id, component, is_canonical). The canonical doc of a cluster
+    is its minimum id (same deterministic convention as
+    ``exact_dedup``/``minhash_overcap_canonicals``); dropping every
+    ``is_canonical = false`` row is full transitive near-dup removal."""
+    cc = connected_components(pairs, id_a, id_b)
+    return cc.select(
+        F.col("node").alias("doc_id"), "component",
+        (F.col("node") == F.col("component")).alias("is_canonical"))
