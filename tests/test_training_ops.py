@@ -599,3 +599,29 @@ def test_connected_components_partitioning_invariant(spark):
     a = sorted(map(tuple, connected_components(df.repartition(1)).collect()))
     b = sorted(map(tuple, connected_components(df.repartition(5)).collect()))
     assert a == b and len(a) > 0
+
+
+def test_clean_corpus_transitive_closes_chains(spark):
+    """transitive=True drops every non-canonical member of a duplicate
+    CLUSTER (one survivor per component); the greedy default keeps any
+    doc that never appears as doc_b. Build a chain a~b~c where (a,c)
+    don't pair directly to show the difference is principled."""
+    from weakscraper_spark.operators.corpus import clean_corpus
+    base = BASE
+    rows = [
+        (1, base),
+        (2, base.replace("lazy dog", "idle dog")),
+        (3, base.replace("lazy dog", "idle dog")
+             .replace("arrow batches", "arrow frames")),
+        (50, "a very different document about gardens rivers pottery "
+             "astronomy recipes and mountains with plenty of unique "
+             "words to pass the quality gate easily " * 2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tr = {r.doc_id: r.reason
+          for r in clean_corpus(df, transitive=True).collect()}
+    assert tr[1] == "kept"
+    assert tr[2] == "near_dup" and tr[3] == "near_dup"
+    assert tr[50] == "kept"
+    # exactly one survivor in the near-dup cluster
+    assert sum(1 for v in tr.values() if v == "kept") == 2

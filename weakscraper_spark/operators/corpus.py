@@ -20,18 +20,24 @@ from .textstats import with_fingerprint, with_quality_score
 
 def clean_corpus(df: DataFrame, id_col: str = "doc_id",
                  col: str = "text", min_quality: float = 0.25,
-                 max_bucket: int = 64) -> DataFrame:
+                 max_bucket: int = 64,
+                 transitive: bool = False) -> DataFrame:
     """Per-document keep/drop verdict with an audit ``reason``:
 
     1. ``quality``   — quality_score < min_quality (textstats rule);
     2. ``exact_dup`` — not the min-id canonical of its fingerprint
                        (among quality-passing docs);
-    3. ``near_dup``  — appears as doc_b of any MinHash-LSH candidate
-                       pair among surviving docs (greedy keep-smallest:
-                       deterministic, single-pass — not transitive
-                       closure, which would be iterative; a doc near
-                       an already-dropped doc is still dropped, the
-                       conservative direction for training data);
+    3. ``near_dup``  — default (``transitive=False``): appears as
+                       doc_b of any MinHash-LSH candidate pair among
+                       surviving docs (greedy keep-smallest:
+                       deterministic, single-pass; a doc near an
+                       already-dropped doc is still dropped, the
+                       conservative direction for training data).
+                       ``transitive=True``: non-canonical member of a
+                       connected component over the pair graph
+                       (operators/graph.py) — true transitive closure,
+                       exactly one kept doc per duplicate cluster, at
+                       the cost of the iterative CC rounds;
     4. ``kept``      — everything else.
 
     Returns (id, keep, reason) for EVERY input doc — the drop set is
@@ -48,10 +54,17 @@ def clean_corpus(df: DataFrame, id_col: str = "doc_id",
     pass2 = (qpass.join(canon, "fingerprint")
              .filter(F.col(id_col) == F.col("_canon"))
              .select(id_col, col))
-    dropped = (minhash_lsh_pairs(pass2, id_col=id_col, col=col,
-                                 max_bucket=max_bucket)
-               .select(F.col("doc_b").alias(id_col)).distinct()
-               .withColumn("_nd", F.lit(1)))
+    pairs = minhash_lsh_pairs(pass2, id_col=id_col, col=col,
+                              max_bucket=max_bucket)
+    if transitive:
+        from .graph import dedup_clusters
+        dropped = (dedup_clusters(pairs)
+                   .filter(~F.col("is_canonical"))
+                   .select(F.col("doc_id").alias(id_col))
+                   .withColumn("_nd", F.lit(1)))
+    else:
+        dropped = (pairs.select(F.col("doc_b").alias(id_col)).distinct()
+                   .withColumn("_nd", F.lit(1)))
     reason = (F.when(F.col("quality_score") < min_quality,
                      F.lit("quality"))
               .when(F.col(id_col) != F.col("_canon"),
