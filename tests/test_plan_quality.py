@@ -210,3 +210,43 @@ def test_filter_pushdown_reaches_scan(spark, parquet_pages):
     pushed = [ln for ln in buf.getvalue().splitlines()
               if "PushedFilters" in ln]
     assert pushed and "lang" in pushed[0]
+
+
+def test_paragraph_dedup_no_window(spark):
+    """First-occurrence selection must be a two-phase aggregation —
+    a window over partition-by-paragraph would buffer every instance
+    of the hottest paragraph (empty/boilerplate lines at corpus
+    scale) in a single task."""
+    from weakscraper_spark.operators.dedup import paragraph_dedup
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, "b\nc")], "doc_id long, text string")
+    nodes = _plan_nodes(paragraph_dedup(df))
+    names = [n for _, n in nodes]
+    assert "Window" not in names
+    assert "HashAggregate" in names or "ObjectHashAggregate" in names
+
+
+def test_repetition_windows_are_per_doc_only(spark):
+    """The only window in repetition_stats partitions by doc_id
+    (bounded by doc length) — never by gram (corpus-hot)."""
+    import contextlib
+    import io
+    from weakscraper_spark.operators.textstats import repetition_stats
+    df = spark.createDataFrame(
+        [(1, "a b a b")], "doc_id long, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        repetition_stats(df).explain("formatted")
+    txt = buf.getvalue()
+    for line in txt.splitlines():
+        if "windowspecdefinition" in line:
+            assert "doc_id" in line, line
+
+
+def test_url_dedup_is_single_agg_no_python(spark):
+    from weakscraper_spark.operators.urlnorm import url_dedup
+    df = spark.createDataFrame([("https://a/",)], "url string")
+    nodes = _plan_nodes(url_dedup(df))
+    names = [n for _, n in nodes]
+    assert "MapInPandas" not in names and "BatchEvalPython" not in names
+    assert sum(1 for n in names if n == "Exchange") <= 1

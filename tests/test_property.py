@@ -108,3 +108,35 @@ def test_induction_deterministic(seed):
     a = spec_to_json(induce_template_robust(samples))
     b = spec_to_json(induce_template_robust(samples))
     assert a == b
+
+
+@given(st.text(max_size=2000))
+def test_boiler_never_raises_on_arbitrary_text(doc):
+    from weakscraper_spark.enginelib.boiler import main_text
+    r = main_text(doc)
+    assert isinstance(r["text"], str)
+    assert r["n_content_blocks"] <= r["n_blocks"]
+
+
+@given(st.text(alphabet="<>/=\"' abceihlmtu&#;!-nav", max_size=400))
+def test_boiler_never_raises_on_taggy_garbage(doc):
+    from weakscraper_spark.enginelib.boiler import main_text, segment_blocks
+    main_text(doc, mode="all")
+    for b in segment_blocks(doc):
+        assert b.n_link_words <= b.n_words
+
+
+@given(st.lists(st.text(alphabet=" abcdefgh\n", max_size=80),
+                max_size=6))
+def test_pdf_fake_container_roundtrip(pages):
+    from weakscraper_spark.operators.pdf import (
+        parse_any_pdf, render_fake_pdf)
+    status, got = parse_any_pdf(render_fake_pdf(pages))
+    assert status == "ok" and got == pages
+
+
+@given(st.binary(max_size=200))
+def test_pdf_parse_total_on_arbitrary_bytes(raw):
+    from weakscraper_spark.operators.pdf import parse_any_pdf
+    status, pages = parse_any_pdf(raw)
+    assert isinstance(status, str) and isinstance(pages, list)
