@@ -286,3 +286,19 @@ def test_partition_metrics_reconcile(spark, extracted):
     assert agg["f"] == agg["p"] - agg["ok"]
     # extraction ran spread over partitions, not funneled into one
     assert m.count() > 1
+
+
+def test_run_pipeline_with_heuristic_fallback(spark, corpus, tmp_path):
+    """End-to-end: the fallback rescues mismatch pages into the SINK
+    (status ok_heuristic with recovered text), resume still works."""
+    pages, templates, specs = corpus
+    out = str(tmp_path / "sink_fb")
+    run_pipeline(spark, pages, templates, specs, out,
+                 run_id="fb0", fallback="heuristic")
+    sink = spark.read.parquet(f"{out}/pages_out")
+    rescued = sink.filter("status = 'ok_heuristic'")
+    assert rescued.count() > 0
+    assert rescued.filter("text IS NULL OR text = ''").count() == 0
+    # template successes unaffected by the fallback path
+    base_ok = sink.filter("status = 'ok'").count()
+    assert base_ok > 0

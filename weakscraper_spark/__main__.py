@@ -37,6 +37,9 @@ def main() -> None:
     p.add_argument("--salts", type=int, default=0,
                    help=">0 enables salted repartition "
                         "(host-clustered inputs)")
+    p.add_argument("--fallback", choices=["heuristic"], default=None,
+                   help="rescue template-failing pages with the "
+                        "boilerplate-strip extractor (in-stage)")
 
     p = sub.add_parser("report", help="host report from a sink dir")
     p.add_argument("--sink", required=True)
@@ -61,7 +64,7 @@ def main() -> None:
         stats = run_pipeline(
             spark, pages, synth_templates(spark), compiled_specs(),
             args.out, run_id=args.run_id, langs=langs,
-            n_salts=args.salts)
+            n_salts=args.salts, fallback=args.fallback)
         print(json.dumps(stats))
 
     elif args.cmd == "report":

@@ -224,7 +224,8 @@ def run_pipeline(spark: SparkSession, pages: DataFrame,
                  out_dir: str, run_id: str = "run0",
                  langs: list[str] | None = None,
                  n_salts: int = 0,
-                 num_partitions: int | None = None) -> dict:
+                 num_partitions: int | None = None,
+                 fallback: str | None = None) -> dict:
     """Execute the pipeline with checkpoint-resume semantics against a
     parquet sink (Iceberg ``writeTo(...).append()`` in prod — sandbox
     has no Iceberg jars, SURVEY §8).
@@ -264,7 +265,8 @@ def run_pipeline(spark: SparkSession, pages: DataFrame,
 
     plan = build_extract_plan(pages, templates, specs, langs=langs,
                               done_urls=done, n_salts=n_salts,
-                              num_partitions=num_partitions)
+                              num_partitions=num_partitions,
+                              fallback=fallback)
     # C13 observe: row/ok counts ride along with the write job itself
     # (accumulator-style) — no extra scan of the increment for them
     from pyspark.sql import Observation

@@ -39,7 +39,8 @@ def stream_extract(spark: SparkSession, source_dir: str,
                    templates: DataFrame, specs: dict[str, str],
                    out_dir: str, checkpoint_dir: str,
                    watermark: str | None = None,
-                   trigger_available_now: bool = True):
+                   trigger_available_now: bool = True,
+                   fallback: str | None = None):
     """Start (and return) a streaming query writing extraction rows to
     ``out_dir``.
 
@@ -74,7 +75,8 @@ def stream_extract_latest(spark: SparkSession, source_dir: str,
                           out_dir: str, checkpoint_dir: str,
                           trigger_available_now: bool = True,
                           state_ttl_s: int | None = None,
-                          watermark: str = "0 seconds"):
+                          watermark: str = "0 seconds",
+                          fallback: str | None = None):
     """Stateful streaming variant: latest-per-url dedup BEFORE the
     extract stage (module docstring). Emits, per batch, one input row
     per url whose newest-seen ``warc_ts`` advanced; extraction then
@@ -142,7 +144,7 @@ def stream_extract_latest(spark: SparkSession, source_dir: str,
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         staged = attach_template(prepare_pages(batch_df), templates)
-        out = extract_pages(staged, specs)
+        out = extract_pages(staged, specs, fallback=fallback)
         out.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={batch_id}"))
 
