@@ -581,6 +581,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _dec(F.col("dup_ngram_char_frac"), 6).alias("dup5_frac"))
     q["repetition"] = repetition
 
+    def gopher_flags(spark, sf):
+        # published Gopher A1.1 quality rules as auditable per-doc
+        # flags (min_words lowered to 30 so the sandbox corpus
+        # exercises both verdicts)
+        from weakscraper_spark.operators.textstats import (
+            gopher_quality_flags)
+        out = gopher_quality_flags(_t(spark, sf, "documents"),
+                                   min_words=30)
+        return out.select(
+            "doc_id", F.col("n_words").cast("long").alias("n_words"),
+            _dec(F.col("avg_word_len"), 4).alias("avg_word_len"),
+            _dec(F.col("symbol_ratio"), 4).alias("symbol_ratio"),
+            _dec(F.col("alpha_word_ratio"), 4).alias("alpha_word_ratio"),
+            "ok_words", "ok_word_len", "ok_symbols", "ok_alpha",
+            "gopher_pass")
+    q["gopher_flags"] = gopher_flags
+
     def quality_scores(spark, sf):
         from weakscraper_spark.operators.textstats import with_quality_score
         return (with_quality_score(_t(spark, sf, "documents"))
@@ -996,6 +1013,41 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS canonical_id,
                    count(*) AS n_members
             FROM documents GROUP BY 1
+        """,
+        "gopher_flags": """
+            WITH tk AS (
+                SELECT doc_id, text,
+                       string_split_regex(trim(text), '\\s+') AS t
+                FROM documents),
+            f AS (
+                SELECT doc_id, len(t) AS n_words,
+                       round(length(regexp_replace(text, '\\s+', '',
+                                                   'g'))
+                             / greatest(len(t), 1), 4) AS avg_word_len,
+                       round(len(regexp_extract_all(text,
+                                 '(#|\\.\\.\\.|…)'))
+                             / greatest(len(t), 1), 4) AS symbol_ratio,
+                       round(len(list_filter(t,
+                                 x -> regexp_matches(x, '[A-Za-z]')))
+                             / greatest(len(t), 1), 4)
+                           AS alpha_word_ratio
+                FROM tk)
+            SELECT doc_id, n_words,
+                   CAST(CAST(avg_word_len AS DECIMAL(18,4)) AS VARCHAR)
+                       AS avg_word_len,
+                   CAST(CAST(symbol_ratio AS DECIMAL(18,4)) AS VARCHAR)
+                       AS symbol_ratio,
+                   CAST(CAST(alpha_word_ratio AS DECIMAL(18,4))
+                        AS VARCHAR) AS alpha_word_ratio,
+                   n_words BETWEEN 30 AND 100000 AS ok_words,
+                   avg_word_len BETWEEN 3.0 AND 10.0 AS ok_word_len,
+                   symbol_ratio <= 0.10 AS ok_symbols,
+                   alpha_word_ratio >= 0.80 AS ok_alpha,
+                   (n_words BETWEEN 30 AND 100000)
+                   AND (avg_word_len BETWEEN 3.0 AND 10.0)
+                   AND (symbol_ratio <= 0.10)
+                   AND (alpha_word_ratio >= 0.80) AS gopher_pass
+            FROM f
         """,
         "url_canon": """
             WITH m AS (

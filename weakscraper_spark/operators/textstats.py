@@ -98,7 +98,13 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
     window counts does not apply to per-doc frames. md5 keeps the
     selection value-checkable in DuckDB (zipped-unnest + identical
     window frame). Returns (doc, fp)."""
-    tk = F.split(F.trim(F.lower(F.col(col))), r"\s+")
+    # token array materialized as a column first — same lambda-CSE
+    # trap as dedup._shingles (element_at on the raw split expression
+    # re-tokenizes per element; measured 2.5-4× on this stage)
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.trim(F.lower(F.col(col))), r"\s+").alias("_t"))
+    tk = F.col("_t")
     n = F.size(tk)
     grams = F.when(
         n >= shingle_k,
@@ -108,8 +114,7 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
                 " ", *[F.element_at(tk, i + j)
                        for j in range(shingle_k)]), "UTF-8"))),
     ).otherwise(F.array().cast("array<string>"))
-    ex = df.select(F.col(id_col).alias("doc"),
-                   F.posexplode(grams).alias("pos", "h"))
+    ex = base.select("doc", F.posexplode(grams).alias("pos", "h"))
     from pyspark.sql import Window
     w = (Window.partitionBy("doc").orderBy("pos")
          .rowsBetween(Window.currentRow, window - 1))
@@ -236,3 +241,57 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
                     F.round(F.coalesce("_dup_chars", F.lit(0)) /
                             F.greatest("_chars", F.lit(1)), 6)
                     .alias("dup_ngram_char_frac")))
+
+
+def gopher_quality_flags(df: DataFrame, id_col: str = "doc_id",
+                         col: str = "text",
+                         min_words: int = 50,
+                         max_words: int = 100_000,
+                         min_avg_word_len: float = 3.0,
+                         max_avg_word_len: float = 10.0,
+                         max_symbol_ratio: float = 0.10,
+                         min_alpha_word_ratio: float = 0.80) -> DataFrame:
+    """The Gopher document-quality rule set (Rae et al. 2021, A1.1)
+    as per-doc boolean flags + a combined ``gopher_pass`` verdict —
+    entirely JVM column expressions (one narrow map, no shuffle):
+
+    - word count within [min_words, max_words];
+    - mean word length within [min_avg_word_len, max_avg_word_len];
+    - symbol-to-word ratio (# and … in the paper; here # and the
+      ellipsis character/``...``) at most max_symbol_ratio;
+    - at least min_alpha_word_ratio of words contain ≥1 alphabetic
+      character.
+
+    Thresholds are the published defaults; callers tune per corpus.
+    The flags are emitted individually so the drop REASON is
+    auditable (same discipline as clean_corpus)."""
+    toks = _TOKENS(col)
+    n_words = F.size(toks)
+    nonspace = F.length(F.regexp_replace(F.col(col), r"\s+", ""))
+    avg_wlen = nonspace / F.greatest(n_words, F.lit(1))
+    n_symbols = (F.size(F.regexp_extract_all(F.col(col),
+                                             F.lit(r"(#|\.\.\.|…)"),
+                                             F.lit(0))))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    out = (df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(avg_wlen, 4).alias("avg_word_len"),
+        F.round(n_symbols / F.greatest(n_words, F.lit(1)), 4)
+        .alias("symbol_ratio"),
+        F.round(alpha_words / F.greatest(n_words, F.lit(1)), 4)
+        .alias("alpha_word_ratio"))
+        .withColumn("ok_words",
+                    (F.col("n_words") >= min_words) &
+                    (F.col("n_words") <= max_words))
+        .withColumn("ok_word_len",
+                    (F.col("avg_word_len") >= min_avg_word_len) &
+                    (F.col("avg_word_len") <= max_avg_word_len))
+        .withColumn("ok_symbols",
+                    F.col("symbol_ratio") <= max_symbol_ratio)
+        .withColumn("ok_alpha",
+                    F.col("alpha_word_ratio") >= min_alpha_word_ratio))
+    return out.withColumn(
+        "gopher_pass",
+        F.col("ok_words") & F.col("ok_word_len") &
+        F.col("ok_symbols") & F.col("ok_alpha"))
