@@ -386,16 +386,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # so "paragraphs" = consecutive 8-word chunks (the span-dedup
         # form) — the chunking is mirrored verbatim in the oracle.
         from weakscraper_spark.operators.dedup import paragraph_dedup
-        toks = _tokens()
         w = 8
-        n_chunks = F.ceil(F.size(toks) / w).cast("int")
-        chunked = _t(spark, sf, "documents").select(
+        # tokens materialized as a column first (lambda-CSE trap:
+        # slice on the raw split expression re-tokenizes per chunk)
+        tk = _t(spark, sf, "documents").select(
+            "doc_id", _tokens().alias("_t"))
+        n_chunks = F.ceil(F.size("_t") / w).cast("int")
+        chunked = tk.select(
             "doc_id",
             F.array_join(
                 F.transform(
                     F.sequence(F.lit(0), n_chunks - 1),
                     lambda i: F.array_join(
-                        F.slice(toks, i * w + 1, w), " ")),
+                        F.slice(F.col("_t"), i * w + 1, w), " ")),
                 "\n").alias("text"))
         out = paragraph_dedup(chunked)
         return out.select("doc_id", "text_dedup",
@@ -651,14 +654,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # %PDF- is env-stubbed, operators/pdf.py) ------------------------------
     def pdf_pages(spark, sf):
         from weakscraper_spark.operators.pdf import pdf_extract
-        toks = _tokens()
         w = 15
-        n_chunks = F.ceil(F.size(toks) / w).cast("int")
+        tk = _t(spark, sf, "documents").select(
+            "doc_id", _tokens().alias("_t"))
+        n_chunks = F.ceil(F.size("_t") / w).cast("int")
         chunks = F.transform(
             F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.array_join(F.slice(toks, i * w + 1, w), " "))
-        docs = _t(spark, sf, "documents").select(
-            "doc_id", chunks.alias("pages"))
+            lambda i: F.array_join(
+                F.slice(F.col("_t"), i * w + 1, w), " "))
+        docs = tk.select("doc_id", chunks.alias("pages"))
         blobs = docs.select(
             "doc_id",
             F.encode(F.concat(
