@@ -735,6 +735,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("status"))
     q["extract_rescued"] = extract_rescued
 
+    # ---- END-TO-END corpus build: pages → extract(+fallback) →
+    # quality/dedup verdict (rows-only; the per-reason counts are
+    # fully deterministic, drift anywhere in the chain moves them) --------
+    def web_corpus(spark, sf):
+        from weakscraper_spark.plans.corpus_pipeline import (
+            build_corpus_plan)
+        from weakscraper_spark.sources.synth import (
+            compiled_specs, synth_pages, synth_templates)
+        n = 1000 if "0.01" in sf else (4000 if "0.1" in sf else 400)
+        pages = synth_pages(spark, n, min_words=48)
+        _cleaned, verdict = build_corpus_plan(
+            pages, synth_templates(spark), compiled_specs(),
+            min_quality=0.2)
+        return (verdict.groupBy("reason")
+                .agg(F.count("*").alias("n")).orderBy("reason"))
+    q["web_corpus"] = web_corpus
+
     return q
 
 

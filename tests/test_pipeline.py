@@ -302,3 +302,32 @@ def test_run_pipeline_with_heuristic_fallback(spark, corpus, tmp_path):
     # template successes unaffected by the fallback path
     base_ok = sink.filter("status = 'ok'").count()
     assert base_ok > 0
+
+
+def test_corpus_pipeline_end_to_end(spark, tmp_path):
+    """pages → extract(+fallback) → clean: every extracted url gets a
+    verdict, cleaned = kept verdicts exactly, reasons are from the
+    documented set, and the heuristic-rescued rows participate."""
+    from weakscraper_spark.plans.corpus_pipeline import build_corpus_plan
+    from weakscraper_spark.sources.synth import (
+        compiled_specs, synth_pages, synth_templates)
+    pages = synth_pages(spark, 250, min_words=48)
+    cleaned, verdict = build_corpus_plan(
+        pages, synth_templates(spark), compiled_specs(),
+        min_quality=0.2)
+    v = verdict.cache()
+    c = cleaned.cache()
+    n_verdict = v.count()
+    n_kept = v.filter("keep").count()
+    assert c.count() == n_kept > 0
+    reasons = {r.reason for r in v.select("reason").distinct().collect()}
+    assert reasons <= {"quality", "exact_dup", "near_dup", "kept"}
+    # rescued rows flow through the corpus stage
+    assert c.filter("status = 'ok_heuristic'").count() > 0
+    # verdict covers every successfully-extracted url
+    from weakscraper_spark.plans.pipeline import build_extract_plan
+    ok = build_extract_plan(pages, synth_templates(spark),
+                            compiled_specs(), fallback="heuristic") \
+        .filter("status IN ('ok', 'ok_heuristic')").count()
+    assert n_verdict == ok
+    v.unpersist(); c.unpersist()
