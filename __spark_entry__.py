@@ -601,6 +601,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "gopher_pass")
     q["gopher_flags"] = gopher_flags
 
+    def doc_len_quantiles(spark, sf):
+        # exact percentiles (linear interpolation — same definition
+        # as DuckDB quantile_cont)
+        docs = _t(spark, sf, "documents")
+        qs = F.expr(
+            "percentile(n_chars, array(0.25, 0.5, 0.75, 0.95))")
+        return (docs.groupBy("lang")
+                .agg(F.count("*").alias("n"), qs.alias("_q"))
+                .select("lang", "n",
+                        _dec(F.col("_q")[0], 2).alias("p25"),
+                        _dec(F.col("_q")[1], 2).alias("p50"),
+                        _dec(F.col("_q")[2], 2).alias("p75"),
+                        _dec(F.col("_q")[3], 2).alias("p95")))
+    q["doc_len_quantiles"] = doc_len_quantiles
+
+    def grouping_sets_stats(spark, sf):
+        _t(spark, sf, "documents").createOrReplaceTempView("_docs_gs")
+        return spark.sql("""
+            SELECT coalesce(lang, '(all)') AS lang_g,
+                   coalesce(source, '(all)') AS source_g,
+                   count(*) AS n, sum(n_chars) AS chars
+            FROM _docs_gs
+            GROUP BY GROUPING SETS ((lang, source), (source), ())
+        """)
+    q["grouping_sets_stats"] = grouping_sets_stats
+
     def quality_scores(spark, sf):
         from weakscraper_spark.operators.textstats import with_quality_score
         return (with_quality_score(_t(spark, sf, "documents"))
@@ -1034,6 +1060,26 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS canonical_id,
                    count(*) AS n_members
             FROM documents GROUP BY 1
+        """,
+        "doc_len_quantiles": """
+            SELECT lang, count(*) AS n,
+                   CAST(CAST(round(quantile_cont(n_chars, 0.25), 2)
+                             AS DECIMAL(18,2)) AS VARCHAR) AS p25,
+                   CAST(CAST(round(quantile_cont(n_chars, 0.50), 2)
+                             AS DECIMAL(18,2)) AS VARCHAR) AS p50,
+                   CAST(CAST(round(quantile_cont(n_chars, 0.75), 2)
+                             AS DECIMAL(18,2)) AS VARCHAR) AS p75,
+                   CAST(CAST(round(quantile_cont(n_chars, 0.95), 2)
+                             AS DECIMAL(18,2)) AS VARCHAR) AS p95
+            FROM documents GROUP BY lang
+        """,
+        "grouping_sets_stats": """
+            SELECT coalesce(lang, '(all)') AS lang_g,
+                   coalesce(source, '(all)') AS source_g,
+                   count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS chars
+            FROM documents
+            GROUP BY GROUPING SETS ((lang, source), (source), ())
         """,
         "gopher_flags": """
             WITH tk AS (
