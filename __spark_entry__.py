@@ -627,6 +627,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """)
     q["grouping_sets_stats"] = grouping_sets_stats
 
+    def bm25_search(spark, sf):
+        # lexical retrieval: Okapi BM25 for a fixed 3-term query,
+        # scores value-checked term-for-term against the SQL twin
+        from weakscraper_spark.operators.search import bm25_scores
+        out = bm25_scores(_t(spark, sf, "documents"),
+                          ["spark", "shuffle", "table"])
+        return out.select("doc_id",
+                          F.col("n_hits").cast("long").alias("n_hits"),
+                          _dec(F.col("score"), 4).alias("score"))
+    q["bm25_search"] = bm25_search
+
     def quality_scores(spark, sf):
         from weakscraper_spark.operators.textstats import with_quality_score
         return (with_quality_score(_t(spark, sf, "documents"))
@@ -1060,6 +1071,37 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS canonical_id,
                    count(*) AS n_members
             FROM documents GROUP BY 1
+        """,
+        "bm25_search": """
+            WITH tk AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+')
+                           AS t
+                FROM documents),
+            lens AS (SELECT doc_id, len(t) AS dl FROM tk),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl
+                      FROM lens),
+            hits AS (
+                SELECT doc_id, unnest(t) AS term FROM tk),
+            fh AS (SELECT doc_id, term FROM hits
+                   WHERE term IN ('spark', 'shuffle', 'table')),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM fh GROUP BY 1, 2),
+            dft AS (SELECT term, count(DISTINCT doc_id) AS df
+                    FROM fh GROUP BY 1)
+            SELECT tf.doc_id, count(*) AS n_hits,
+                   CAST(CAST(round(sum(
+                       ln(1.0 + (stats.n_docs - dft.df + 0.5)
+                                / (dft.df + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (1 - 0.75
+                          + 0.75 * lens.dl / stats.avgdl))), 4)
+                       AS DECIMAL(18,4)) AS VARCHAR) AS score
+            FROM tf
+            JOIN dft USING (term)
+            JOIN lens USING (doc_id)
+            CROSS JOIN stats
+            GROUP BY tf.doc_id
         """,
         "doc_len_quantiles": """
             SELECT lang, count(*) AS n,

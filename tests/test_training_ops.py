@@ -625,3 +625,44 @@ def test_clean_corpus_transitive_closes_chains(spark):
     assert tr[50] == "kept"
     # exactly one survivor in the near-dup cluster
     assert sum(1 for v in tr.values() if v == "kept") == 2
+
+
+def test_bm25_ranks_relevant_docs(spark):
+    from weakscraper_spark.operators.search import bm25_scores
+    rows = [
+        (1, "spark spark spark shuffle"),       # dense in query terms
+        (2, "spark and other words entirely"),  # one hit
+        (3, "nothing relevant here at all"),    # no hits
+        (4, "table table spark shuffle extra"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           bm25_scores(df, ["spark", "shuffle", "table"]).collect()}
+    assert 3 not in out                      # non-matching doc absent
+    assert out[1].n_hits == 2 and out[4].n_hits == 3
+    assert out[4].score > out[2].score       # 3 terms beat 1 term
+    assert out[1].score > out[2].score
+
+
+def test_bm25_filters_before_shuffle(spark):
+    """The corpus token explode must be filtered to the query terms
+    BEFORE any exchange — the per-query shuffle is O(postings), not
+    O(corpus tokens)."""
+    import contextlib
+    import io
+    from weakscraper_spark.operators.search import bm25_scores
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bm25_scores(df, ["a"]).explain("formatted")
+    txt = buf.getvalue()
+    import re
+    # every Generate (explode) node must be followed by a Filter on
+    # term before the first Exchange in its chain: assert no plan
+    # line shows an Exchange whose direct input is the Generate
+    nodes = re.findall(r"^\s*[*+:\|-]*\s*\((\d+)\)\s+(\w+)", txt,
+                       flags=re.M)
+    ids = {int(i): n for i, n in nodes}
+    gen_ids = [i for i, n in ids.items() if n == "Generate"]
+    filt_ids = [i for i, n in ids.items() if n == "Filter"]
+    assert gen_ids and any(f > g for g in gen_ids for f in filt_ids)

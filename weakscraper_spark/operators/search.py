@@ -1,0 +1,62 @@
+"""Keyword relevance search over the corpus: Okapi BM25 (Robertson &
+Spärck Jones probabilistic relevance framework — the standard lexical
+ranking function) as a declarative Spark plan, complementing the
+embedding-side ANN operators (similarity.py) with the lexical half of
+a hybrid retrieval stack.
+
+Scale shape (the part that matters at 10^12 docs):
+- the corpus-wide token explode is FILTERED TO THE QUERY TERMS
+  map-side before any shuffle — only matching (doc, term) rows ever
+  enter an exchange (per-query data volume is O(postings of the query
+  terms), not O(corpus tokens));
+- document frequency is a groupBy over ≤|query| keys → broadcast;
+- corpus scalars (N, avgdl) ride a 1-row crossJoin broadcast — no
+  driver-side action, the whole plan stays lazy;
+- tf aggregation is map-side combinable.
+
+Everything is JVM expressions with DuckDB-portable semantics (ln,
+same tokenization as the dedup family), so scores are value-checked
+against an oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def bm25_scores(docs: DataFrame, query_terms: list[str],
+                id_col: str = "doc_id", col: str = "text",
+                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """(id, n_hits, score) for every document matching ≥1 query term.
+
+    score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) — the standard Okapi
+    form; dl/avgdl use whitespace token counts over the full corpus.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.trim(F.lower(F.col(col))), r"\s+").alias("_t"))
+    lens = base.select("doc", F.size("_t").alias("dl"))
+    stats = lens.agg(F.count("*").alias("n_docs"),
+                     F.avg("dl").alias("avgdl"))
+
+    hits = (base.select("doc", F.explode("_t").alias("term"))
+            .filter(F.col("term").isin(query_terms)))
+    tf = hits.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    df_t = hits.groupBy("term").agg(
+        F.count_distinct("doc").alias("df"))
+
+    scored = (tf
+              .join(F.broadcast(df_t), "term")
+              .join(lens, "doc")
+              .crossJoin(F.broadcast(stats)))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) /
+                (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    return (scored
+            .withColumn("_s", idf * tf_part)
+            .groupBy("doc")
+            .agg(F.count("*").alias("n_hits"),
+                 F.sum("_s").alias("score"))
+            .select(F.col("doc").alias(id_col), "n_hits", "score"))
