@@ -638,6 +638,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           _dec(F.col("score"), 4).alias("score"))
     q["bm25_search"] = bm25_search
 
+    def hybrid_search(spark, sf):
+        # hybrid retrieval: BM25 top-50 + cosine top-50 (query =
+        # embedding of vec_id 0; doc ids and vec ids share the 0..N
+        # key space) fused with reciprocal-rank fusion
+        from weakscraper_spark.operators.search import (
+            bm25_scores, rrf_fuse)
+        from weakscraper_spark.operators.similarity import cosine_topk
+        lex = bm25_scores(_t(spark, sf, "documents"),
+                          ["spark", "shuffle", "table"])
+        lex_top = lex.orderBy(F.desc("score"), "doc_id").limit(50)
+        wl = Window.orderBy(F.desc("score"), "doc_id")
+        lex_rank = lex_top.select(
+            "doc_id", F.row_number().over(wl).alias("rank"))
+        emb = _t(spark, sf, "embeddings")
+        vec_rank = (cosine_topk(emb,
+                                emb.filter(F.col("vec_id") == 0)
+                                .select(F.col("vec_id")
+                                        .alias("query_id"),
+                                        "embedding"),
+                                k=50)
+                    .select(F.col("neighbor_id").alias("doc_id"),
+                            "rank"))
+        out = rrf_fuse([lex_rank, vec_rank])
+        return out.select("doc_id", "n_lists",
+                          _dec(F.col("rrf_score"), 6).alias("rrf"))
+    q["hybrid_search"] = hybrid_search
+
     def quality_scores(spark, sf):
         from weakscraper_spark.operators.textstats import with_quality_score
         return (with_quality_score(_t(spark, sf, "documents"))
@@ -859,6 +886,42 @@ _MINHASH_PAIRS_CTES = f"""
 """
 
 
+# Okapi BM25 over documents for the fixed 3-term query, mirroring
+# operators/search.py::bm25_scores (k1=1.2, b=0.75) — shared CTEs
+# ending in ``bm(doc_id, n_hits, score)`` for the lexical and hybrid
+# retrieval twins.
+_BM25_CTES = """
+            tk25 AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+')
+                           AS t
+                FROM documents),
+            lens AS (SELECT doc_id, len(t) AS dl FROM tk25),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl
+                      FROM lens),
+            fh AS (SELECT doc_id, term FROM (
+                       SELECT doc_id, unnest(t) AS term FROM tk25)
+                   WHERE term IN ('spark', 'shuffle', 'table')),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM fh GROUP BY 1, 2),
+            dft AS (SELECT term, count(DISTINCT doc_id) AS df
+                    FROM fh GROUP BY 1),
+            bm AS (
+                SELECT tf.doc_id, count(*) AS n_hits,
+                       sum(ln(1.0 + (stats.n_docs - dft.df + 0.5)
+                                    / (dft.df + 0.5))
+                           * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (1 - 0.75
+                              + 0.75 * lens.dl / stats.avgdl)))
+                           AS score
+                FROM tf
+                JOIN dft USING (term)
+                JOIN lens USING (doc_id)
+                CROSS JOIN stats
+                GROUP BY tf.doc_id)
+"""
+
+
 # md5-based SimHash, mirroring operators/dedup.py::_simhash64 exactly:
 # per-token hash = first 8 md5 bytes big-endian; per-bit +1/-1 majority
 # over DISTINCT shingles; docs with < 3 words hash to 0.
@@ -1072,36 +1135,39 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_members
             FROM documents GROUP BY 1
         """,
-        "bm25_search": """
-            WITH tk AS (
+        "bm25_search": f"""
+            WITH {_BM25_CTES}
+            SELECT doc_id, n_hits,
+                   CAST(CAST(round(score, 4) AS DECIMAL(18,4))
+                        AS VARCHAR) AS score
+            FROM bm
+        """,
+        "hybrid_search": f"""
+            WITH {_BM25_CTES},
+            lex AS (
                 SELECT doc_id,
-                       string_split_regex(trim(lower(text)), '\\s+')
-                           AS t
-                FROM documents),
-            lens AS (SELECT doc_id, len(t) AS dl FROM tk),
-            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl
-                      FROM lens),
-            hits AS (
-                SELECT doc_id, unnest(t) AS term FROM tk),
-            fh AS (SELECT doc_id, term FROM hits
-                   WHERE term IN ('spark', 'shuffle', 'table')),
-            tf AS (SELECT doc_id, term, count(*) AS tf
-                   FROM fh GROUP BY 1, 2),
-            dft AS (SELECT term, count(DISTINCT doc_id) AS df
-                    FROM fh GROUP BY 1)
-            SELECT tf.doc_id, count(*) AS n_hits,
-                   CAST(CAST(round(sum(
-                       ln(1.0 + (stats.n_docs - dft.df + 0.5)
-                                / (dft.df + 0.5))
-                       * (tf.tf * 2.2)
-                       / (tf.tf + 1.2 * (1 - 0.75
-                          + 0.75 * lens.dl / stats.avgdl))), 4)
-                       AS DECIMAL(18,4)) AS VARCHAR) AS score
-            FROM tf
-            JOIN dft USING (term)
-            JOIN lens USING (doc_id)
-            CROSS JOIN stats
-            GROUP BY tf.doc_id
+                       row_number() OVER (ORDER BY score DESC, doc_id)
+                           AS rank
+                FROM bm QUALIFY rank <= 50),
+            qv AS (SELECT embedding::DOUBLE[] AS v
+                   FROM embeddings WHERE vec_id = 0),
+            vec AS (
+                SELECT e.vec_id AS doc_id,
+                       row_number() OVER (
+                           ORDER BY list_cosine_similarity(
+                               e.embedding::DOUBLE[], qv.v) DESC,
+                               e.vec_id) AS rank
+                FROM embeddings e CROSS JOIN qv
+                WHERE e.vec_id <> 0
+                QUALIFY rank <= 50),
+            fused AS (
+                SELECT doc_id, 1.0 / (60 + rank) AS c FROM lex
+                UNION ALL
+                SELECT doc_id, 1.0 / (60 + rank) FROM vec)
+            SELECT doc_id, count(*) AS n_lists,
+                   CAST(CAST(round(sum(c), 6) AS DECIMAL(18,6))
+                        AS VARCHAR) AS rrf
+            FROM fused GROUP BY 1
         """,
         "doc_len_quantiles": """
             SELECT lang, count(*) AS n,

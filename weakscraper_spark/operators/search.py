@@ -60,3 +60,25 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
             .agg(F.count("*").alias("n_hits"),
                  F.sum("_s").alias("score"))
             .select(F.col("doc").alias(id_col), "n_hits", "score"))
+
+
+def rrf_fuse(rankings: list[DataFrame], id_col: str = "doc_id",
+             k: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09):
+    fused score = Σ_lists 1/(k + rank). The standard way to combine a
+    lexical (BM25) and a vector (cosine ANN) ranking into one hybrid
+    retrieval result — rank-based, so the two scorers' incomparable
+    score scales never need calibration.
+
+    Each input carries (id, rank) with rank 1-based; k=60 is the
+    published default. Scale shape: inputs are top-k lists (small by
+    construction) — union + one groupBy on the id key."""
+    parts = [r.select(F.col(id_col),
+                      (1.0 / (k + F.col("rank"))).alias("_c"))
+             for r in rankings]
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return (allp.groupBy(id_col)
+            .agg(F.count("*").alias("n_lists"),
+                 F.sum("_c").alias("rrf_score")))
