@@ -203,3 +203,43 @@ def test_fallback_plan_stays_map_only(spark, synth_df):
     # no shuffle of the corpus
     assert "ShuffleExchange" not in plan.replace("BroadcastExchange", "")
     assert "Exchange" not in plan.replace("BroadcastExchange", "")
+
+
+# ---------------------------------------------------------------------------
+# realistic-page robustness (structures the synth corpus doesn't have)
+# ---------------------------------------------------------------------------
+
+def test_article_with_table_list_and_comments():
+    body = " ".join(f"article sentence number {j} with words" for j in range(8))
+    html = (
+        "<html><head><title>T</title><script>nav(1)</script></head><body>"
+        "<!-- header comment -->"
+        "<header><a href='/'>Home</a> <a href='/n'>News</a></header>"
+        f"<article><p>{body}</p>"
+        "<table><tr><td>cell a</td><td>cell b</td></tr></table>"
+        "<ul><li>point one</li><li>point two</li></ul></article>"
+        "<footer><a href='/p'>Privacy</a> <a href='/t'>Terms</a>"
+        "</footer></body></html>")
+    r = main_text(html, mode="largest")
+    assert r["text"] == body          # table cells/list items not mixed in
+    allr = main_text(html, mode="all")
+    assert "Privacy" not in allr["text"] and "Home" not in allr["text"]
+
+
+def test_entities_and_inline_markup_inside_main_text():
+    body = ("the company&#39;s Q3 report &amp; analysis shows "
+            + " ".join(f"metric {j} improving" for j in range(15)))
+    html = f"<div id='c'><p>{body}</p></div>"
+    r = main_text(html, mode="largest")
+    assert "&#39;" not in r["text"] and "company's" in r["text"]
+    assert "&amp;" not in r["text"] and "&" in r["text"]
+
+
+def test_script_style_noise_never_leaks():
+    html = ("<body><style>.x{color:red}</style>"
+            "<script>var words = 'twenty words of script payload that "
+            "would dominate the classifier if leaked into a block';"
+            "</script><p>" + " ".join(["real"] * 20) + "</p></body>")
+    r = main_text(html, mode="all")
+    assert "script" not in r["text"] and "color" not in r["text"]
+    assert r["text"] == " ".join(["real"] * 20)
