@@ -8,9 +8,13 @@ input shape; /root/testdata has no pages table, FIXTURES.md §2).
 pipeline ops + training-data ops) over the driver-provided tables;
 ``oracle_sql()`` mirrors every SQL-expressible one in DuckDB dialect
 with IDENTICAL tokenization/rounding so value-hashes match. Ops that
-are not SQL-expressible (Arrow-batch extraction, SimHash bit
-majority, SRP-LSH ANN, multimodal plumbing, heuristic lang-id) have
-no oracle entry → driver records rows-only checks.
+are not SQL-expressible (Arrow-batch extraction — template AND
+boilerplate-strip heuristic, PDF plumbing, multimodal plumbing,
+IVF ANN's iterative quantizer, the end-to-end corpus build) have no
+oracle entry → driver records rows-only checks; each of those is
+VALUE-PINNED anyway (rows filtered on equality with synthesized
+ground truth, or fully deterministic counts), so drift still moves
+the recorded numbers.
 """
 
 from __future__ import annotations

@@ -22,6 +22,13 @@ engine operators, graded alongside the extraction pipeline):
                        is recall-EXACT for the requested distance —
                        so the pair set equals the brute-force twin
                        and is oracle-checkable too.
+- paragraph_dedup    — CCNet-style corpus-wide first-occurrence
+                       paragraph dedup with per-doc rebuild (two-phase
+                       min agg, never a window on the paragraph key).
+
+Transitive clustering of the candidate pairs lives in graph.py
+(connected components); the single-pass greedy verdict in
+corpus.clean_corpus is the default.
 """
 
 from __future__ import annotations
