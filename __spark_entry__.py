@@ -547,6 +547,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return url_dedup(messy)
     q["url_canon"] = url_canon
 
+    def crawl_waves(spark, sf):
+        # politeness scheduling over a skewed host mix (h0 carries
+        # ~1/3 of urls); hash-based waves, no per-host window
+        from weakscraper_spark.operators.urlnorm import crawl_schedule
+        d = F.col("doc_id")
+        hidx = F.when(d % 3 == 0, F.lit(0)).otherwise(d % 20)
+        urls = _t(spark, sf, "documents").select(
+            F.concat(F.lit("https://h"), hidx.cast("string"),
+                     F.lit(".example.com/d/"),
+                     d.cast("string")).alias("url"))
+        return crawl_schedule(urls, per_host=4)
+    q["crawl_waves"] = crawl_waves
+
     def sample_strata(spark, sf):
         # deterministic hash-based stratified sampling (resume-stable,
         # no RNG) — the draw itself is mirrored bit-for-bit
@@ -1277,6 +1290,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT url_canon, min(url) AS first_url,
                    count(*) AS n_variants
             FROM c GROUP BY 1
+        """,
+        "crawl_waves": """
+            WITH u AS (
+                SELECT 'https://h'
+                       || (CASE WHEN doc_id % 3 = 0 THEN 0
+                                ELSE doc_id % 20 END)::VARCHAR
+                       || '.example.com/d/' || doc_id::VARCHAR AS url
+                FROM documents),
+            h AS (SELECT url,
+                         regexp_extract(url, '^https?://([^/]+)', 1)
+                             AS host
+                  FROM u),
+            c AS (SELECT host, count(*) AS n FROM h GROUP BY 1)
+            SELECT h.url, h.host,
+                   CAST(floor(
+                       ('0x' || substr(md5('42:w:' || h.url), 1, 15))
+                           ::UBIGINT / (16.0 ** 15)
+                       * greatest(ceil(c.n / 4.0), 1)) AS BIGINT)
+                       AS wave,
+                   CAST(floor(
+                       ('0x' || substr(md5('42:s:' || h.url), 1, 15))
+                           ::UBIGINT / (16.0 ** 15) * 4) AS BIGINT)
+                       AS slot
+            FROM h JOIN c USING (host)
         """,
         "contamination": f"""
             WITH {_SHINGLES_CTE},

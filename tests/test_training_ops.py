@@ -666,3 +666,25 @@ def test_bm25_filters_before_shuffle(spark):
     gen_ids = [i for i, n in ids.items() if n == "Generate"]
     filt_ids = [i for i, n in ids.items() if n == "Filter"]
     assert gen_ids and any(f > g for g in gen_ids for f in filt_ids)
+
+
+def test_crawl_schedule_waves_bound_parallelism(spark):
+    from weakscraper_spark.operators.urlnorm import crawl_schedule
+    urls = spark.createDataFrame(
+        [(f"https://big.example.com/p/{i}",) for i in range(200)] +
+        [(f"https://small.example.com/p/{i}",) for i in range(3)],
+        "url string")
+    out = crawl_schedule(urls, per_host=4).collect()
+    big = [r for r in out if r.host == "big.example.com"]
+    small = [r for r in out if r.host == "small.example.com"]
+    assert len(big) == 200 and len(small) == 3
+    # waves span ~ceil(200/4)=50 buckets; binomial slack allowed but
+    # the max wave must land inside the host's wave space
+    assert 0 <= max(r.wave for r in big) < 50
+    assert all(r.wave == 0 for r in small)  # ceil(3/4)=1 wave
+    assert all(0 <= r.slot < 4 for r in out)
+    # deterministic and partitioning-independent
+    again = {(r.url, r.wave, r.slot)
+             for r in crawl_schedule(urls.repartition(7),
+                                     per_host=4).collect()}
+    assert {(r.url, r.wave, r.slot) for r in out} == again

@@ -60,3 +60,37 @@ def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
             .groupBy("url_canon")
             .agg(F.min("_u").alias("first_url"),
                  F.count("*").alias("n_variants")))
+
+
+def crawl_schedule(df: DataFrame, per_host: int = 2,
+                   url_col: str = "url", seed: int = 42) -> DataFrame:
+    """Politeness scheduling for a fetch fleet: each url gets a
+    (host, wave, slot) assignment such that a host with n urls is
+    spread over ``ceil(n / per_host)`` sequential waves with at most
+    ~``per_host`` parallel fetches per wave.
+
+    Assignment is HASH-based, not rank-based: a row_number window
+    per host would funnel the head host (30% of a CC crawl) through
+    one task — the same corpus-hot-window straggler this repo bans
+    everywhere else. Instead wave = floor(u(url) · n_waves) with
+    u = the md5-uniform draw from ``hash_sample``'s family — so wave
+    sizes are binomial around per_host rather than exact, which a
+    fetch fleet absorbs, and the schedule is deterministic,
+    partitioning-independent, resume-stable, and mirrored
+    bit-for-bit in the DuckDB oracle. Per-host counts are a
+    two-phase agg broadcast back onto the rows."""
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    rows = df.select(F.col(url_col).alias("url"), host.alias("host"))
+    counts = rows.groupBy("host").agg(F.count("*").alias("_n"))
+    n_waves = F.greatest(F.ceil(F.col("_n") / per_host), F.lit(1))
+
+    def u(salt: str):
+        return (F.conv(F.substring(
+            F.md5(F.encode(F.concat(F.lit(f"{seed}:{salt}:"),
+                                    F.col("url")), "UTF-8")),
+            1, 15), 16, 10).cast("double") / F.lit(float(16 ** 15)))
+
+    return (rows.join(F.broadcast(counts), "host")
+            .select("url", "host",
+                    F.floor(u("w") * n_waves).cast("long").alias("wave"),
+                    F.floor(u("s") * per_host).cast("long").alias("slot")))
