@@ -560,6 +560,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return crawl_schedule(urls, per_host=4)
     q["crawl_waves"] = crawl_waves
 
+    def robots_frontier(spark, sf):
+        # robots policy over a synthetic frontier: even hosts
+        # disallow /private/, odd hosts allow all. The operator runs
+        # the REAL stdlib robots parser; the oracle mirrors the
+        # synthetic policy's closed form — value-checked end-to-end
+        from weakscraper_spark.operators.robots import robots_filter
+        d = F.col("doc_id")
+        hidx = d % 10
+        path = F.when(d % 4 == 0,
+                      F.concat(F.lit("/private/p"), d.cast("string"))) \
+            .otherwise(F.concat(F.lit("/public/p"), d.cast("string")))
+        urls = _t(spark, sf, "documents").select(
+            F.concat(F.lit("https://r"), hidx.cast("string"),
+                     F.lit(".example.com"), path).alias("url"))
+        hosts = spark.range(10).select(
+            F.concat(F.lit("r"), F.col("id").cast("string"),
+                     F.lit(".example.com")).alias("host"),
+            F.when(F.col("id") % 2 == 0,
+                   F.lit("User-agent: *\nDisallow: /private/"))
+            .otherwise(F.lit("")).alias("robots_txt"))
+        return robots_filter(urls, hosts)
+    q["robots_frontier"] = robots_frontier
+
     def sample_strata(spark, sf):
         # deterministic hash-based stratified sampling (resume-stable,
         # no RNG) — the draw itself is mirrored bit-for-bit
@@ -1290,6 +1313,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT url_canon, min(url) AS first_url,
                    count(*) AS n_variants
             FROM c GROUP BY 1
+        """,
+        "robots_frontier": """
+            SELECT 'https://r' || (doc_id % 10)::VARCHAR
+                   || '.example.com'
+                   || CASE WHEN doc_id % 4 = 0
+                           THEN '/private/p' || doc_id::VARCHAR
+                           ELSE '/public/p' || doc_id::VARCHAR END
+                       AS url,
+                   'r' || (doc_id % 10)::VARCHAR || '.example.com'
+                       AS host,
+                   NOT (doc_id % 10 % 2 = 0 AND doc_id % 4 = 0)
+                       AS allowed
+            FROM documents
         """,
         "crawl_waves": """
             WITH u AS (

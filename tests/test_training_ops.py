@@ -688,3 +688,39 @@ def test_crawl_schedule_waves_bound_parallelism(spark):
              for r in crawl_schedule(urls.repartition(7),
                                      per_host=4).collect()}
     assert {(r.url, r.wave, r.slot) for r in out} == again
+
+
+def test_robots_semantics_direct():
+    from weakscraper_spark.operators.robots import allowed_by
+    # stdlib robotparser applies rules in FILE ORDER (first match
+    # wins, not longest-match) — Allow must precede the broader
+    # Disallow to take effect; that ordering semantics is the pinned
+    # contract here
+    txt = ("User-agent: *\nAllow: /private/ok\nDisallow: /private/\n"
+           "User-agent: badbot\nDisallow: /")
+    assert allowed_by(txt, "https://h/x") is True
+    assert allowed_by(txt, "https://h/private/x") is False
+    assert allowed_by(txt, "https://h/private/ok") is True
+    assert allowed_by(txt, "https://h/x", agent="badbot") is False
+    assert allowed_by(None, "https://h/private/x") is True
+    assert allowed_by("", "https://h/private/x") is True
+
+
+def test_robots_filter_broadcast_and_audit(spark):
+    from weakscraper_spark.operators.robots import robots_filter
+    urls = spark.createDataFrame(
+        [("https://a.com/private/1",), ("https://a.com/pub/1",),
+         ("https://b.com/private/1",), ("https://c.com/x",)],
+        "url string")
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private/"),
+         ("b.com", "")],
+        "host string, robots_txt string")
+    out = {r.url: r.allowed for r in robots_filter(urls, robots).collect()}
+    assert out == {"https://a.com/private/1": False,
+                   "https://a.com/pub/1": True,
+                   "https://b.com/private/1": True,   # empty policy
+                   "https://c.com/x": True}           # no robots row
+    plan = robots_filter(urls, robots)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
