@@ -410,6 +410,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "n_kept")
     q["para_dedup"] = para_dedup
 
+    def incr_dedup(spark, sf):
+        # incremental corpus update: every 5th doc arrives as "new",
+        # the rest are the existing corpus; verdicts value-checked
+        from weakscraper_spark.operators.dedup import incremental_dedup
+        docs = _t(spark, sf, "documents")
+        return incremental_dedup(
+            docs.filter(F.col("doc_id") % 5 == 0),
+            docs.filter(F.col("doc_id") % 5 != 0))
+    q["incr_dedup"] = incr_dedup
+
     def dup_components(spark, sf):
         # transitive duplicate clusters: MinHash-LSH pairs → iterative
         # min-label connected components; value-checked against a
@@ -1436,6 +1446,50 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": f"""
             WITH {_MINHASH_PAIRS_CTES}
             SELECT doc_a, doc_b, n_bands FROM mh_pairs
+        """,
+        "incr_dedup": f"""
+            WITH {_SHINGLES_CTE},
+            sigs AS (SELECT doc,
+                     min(md5('0:' || tok)) AS s0, min(md5('1:' || tok)) AS s1,
+                     min(md5('2:' || tok)) AS s2, min(md5('3:' || tok)) AS s3,
+                     min(md5('4:' || tok)) AS s4, min(md5('5:' || tok)) AS s5,
+                     min(md5('6:' || tok)) AS s6, min(md5('7:' || tok)) AS s7
+                     FROM sh GROUP BY doc),
+            bands_all AS (
+                SELECT doc, 0 AS band, s0 || '|' || s1 AS bkey FROM sigs
+                UNION ALL
+                SELECT doc, 1, s2 || '|' || s3 FROM sigs
+                UNION ALL
+                SELECT doc, 2, s4 || '|' || s5 FROM sigs
+                UNION ALL
+                SELECT doc, 3, s6 || '|' || s7 FROM sigs),
+            nb AS (SELECT doc AS nid, band, bkey FROM bands_all
+                   WHERE doc % 5 = 0),
+            cb AS (SELECT doc AS cid, band, bkey FROM bands_all
+                   WHERE doc % 5 <> 0
+                   QUALIFY count(*) OVER (PARTITION BY band, bkey)
+                           <= 64),
+            near AS (SELECT nid, min(cid) AS near_match
+                     FROM nb JOIN cb USING (band, bkey) GROUP BY 1),
+            fp AS (SELECT doc_id,
+                          md5(regexp_replace(lower(trim(text)),
+                                             '\\s+', ' ', 'g')) AS f
+                   FROM documents),
+            ex AS (SELECT n.doc_id AS nid, min(c.doc_id) AS exact_match
+                   FROM fp n JOIN fp c
+                     ON n.f = c.f AND c.doc_id % 5 <> 0
+                   WHERE n.doc_id % 5 = 0 GROUP BY 1)
+            SELECT n.doc_id,
+                   CASE WHEN ex.exact_match IS NOT NULL
+                        THEN 'exact_dup'
+                        WHEN near.near_match IS NOT NULL
+                        THEN 'near_dup'
+                        ELSE 'new' END AS verdict,
+                   coalesce(ex.exact_match, near.near_match)
+                       AS match_id
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) n
+            LEFT JOIN ex ON ex.nid = n.doc_id
+            LEFT JOIN near ON near.nid = n.doc_id
         """,
         "dup_components": f"""
             WITH RECURSIVE {_MINHASH_PAIRS_CTES},

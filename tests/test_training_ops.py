@@ -724,3 +724,23 @@ def test_robots_filter_broadcast_and_audit(spark):
     plan = robots_filter(urls, robots)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_dedup_verdicts(spark):
+    from weakscraper_spark.operators.dedup import incremental_dedup
+    corpus = spark.createDataFrame(
+        [(1, BASE), (2, "another corpus document with several words "
+                        "about gardens rivers and mountains today")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(100, BASE),                                   # exact dup of 1
+         (101, BASE.replace("lazy dog", "idle dog")),   # near dup of 1
+         (102, "a genuinely novel document mentioning pottery "
+               "astronomy recipes telescopes and more unique words")],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.verdict, r.match_id)
+           for r in incremental_dedup(new, corpus).collect()}
+    assert out[100] == ("exact_dup", 1)
+    assert out[101] == ("near_dup", 1)
+    assert out[102] == ("new", None)
+    assert len(out) == 3   # every new doc gets a verdict row

@@ -500,3 +500,72 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     ``simhash_band_pairs`` for the degenerate-bucket rationale)."""
     return simhash_band_pairs(simhash(df, id_col, col), max_hamming,
                               drop_zero=drop_zero, max_bucket=max_bucket)
+
+
+def incremental_dedup(new_docs: DataFrame, corpus: DataFrame,
+                      id_col: str = "doc_id", col: str = "text",
+                      n_hashes: int = 8, band_size: int = 2,
+                      shingle_k: int = 3,
+                      max_bucket: int = 64) -> DataFrame:
+    """Incremental corpus update: classify each NEW document against
+    the EXISTING corpus without recomputing the corpus —
+
+    - ``exact_dup``   — fingerprint already present in the corpus;
+    - ``near_dup``    — shares ≥1 MinHash band bucket with a corpus
+                        doc (new-vs-existing equi-join, NOT a
+                        corpus-wide self-join: per-update cost is
+                        O(new × bucket overlap));
+    - ``new``         — neither.
+
+    Returns (id, verdict, match_id) for every new doc, where
+    ``match_id`` is the smallest matching corpus doc id (NULL for
+    ``new``) — auditable like every other drop path. The corpus side
+    recomputes fingerprints/signatures here for self-containment; a
+    production deployment persists those as tables and feeds them in
+    directly (both sides of the joins are plain DataFrames, so the
+    saved-state form is the same call).
+
+    Within-batch duplicates (two NEW docs duplicating each other but
+    not the corpus) are deliberately out of scope — run the batch
+    through ``exact_dedup``/``minhash_lsh_pairs``/``clean_corpus``
+    first; this operator answers only "is it already in the corpus".
+
+    The ``max_bucket`` cap applies to CORPUS-side buckets (the only
+    side that can hold a giant cluster): new docs landing in an
+    over-cap bucket still match via the exact path or surface in the
+    cluster-canonical audit, mirroring ``minhash_lsh_pairs``."""
+    new_fp = with_fingerprint(new_docs.select(id_col, col), col) \
+        .select(F.col(id_col).alias("nid"), col, "fingerprint")
+    corp_fp = with_fingerprint(corpus.select(id_col, col), col) \
+        .select(F.col(id_col).alias("cid"), "fingerprint")
+    exact = (new_fp.join(corp_fp, "fingerprint")
+             .groupBy("nid").agg(F.min("cid").alias("exact_match")))
+
+    new_bands = _minhash_bands(new_docs, id_col, col, n_hashes,
+                               band_size, shingle_k) \
+        .select(F.col("doc").alias("nid"), "band", "bkey")
+    corp_bands = _minhash_bands(corpus, id_col, col, n_hashes,
+                                band_size, shingle_k,
+                                persist_sigs=max_bucket is not None) \
+        .select(F.col("doc").alias("cid"), "band", "bkey")
+    if max_bucket is not None:
+        overcap = _overcap_keys(corp_bands, ["band", "bkey"],
+                                max_bucket)
+        corp_bands = corp_bands.join(
+            F.broadcast(overcap.select("band", "bkey")),
+            ["band", "bkey"], "left_anti")
+    near = (new_bands.join(corp_bands, ["band", "bkey"])
+            .groupBy("nid").agg(F.min("cid").alias("near_match")))
+
+    verdict = (F.when(F.col("exact_match").isNotNull(),
+                      F.lit("exact_dup"))
+               .when(F.col("near_match").isNotNull(),
+                     F.lit("near_dup"))
+               .otherwise(F.lit("new")))
+    return (new_fp.select("nid")
+            .join(exact, "nid", "left")
+            .join(near, "nid", "left")
+            .select(F.col("nid").alias(id_col),
+                    verdict.alias("verdict"),
+                    F.coalesce("exact_match", "near_match")
+                    .alias("match_id")))
