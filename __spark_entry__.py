@@ -593,6 +593,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return robots_filter(urls, hosts)
     q["robots_frontier"] = robots_frontier
 
+    def frontier(spark, sf):
+        # the composed crawl-side pipeline (canonicalize → dedup →
+        # robots → schedule); rows-only, fully deterministic output
+        from weakscraper_spark.plans.frontier import build_frontier_plan
+        d = F.col("doc_id")
+        raw = _t(spark, sf, "documents").select(
+            F.concat(
+                F.when(d % 2 == 0, F.lit("HTTPS://WWW.F"))
+                .otherwise(F.lit("https://f")),
+                (d % 6).cast("string"),
+                F.lit(".example.com"),
+                F.when(d % 4 == 0,
+                       F.concat(F.lit("/private/p"), d.cast("string")))
+                .otherwise(F.concat(F.lit("/p/"), d.cast("string"))),
+                F.when(d % 2 == 0, F.lit("?utm_source=x"))
+                .otherwise(F.lit(""))).alias("url"))
+        robots = spark.range(6).select(
+            F.concat(F.lit("f"), F.col("id").cast("string"),
+                     F.lit(".example.com")).alias("host"),
+            F.lit("User-agent: *\nDisallow: /private/")
+            .alias("robots_txt"))
+        return build_frontier_plan(raw, robots, per_host=4)
+    q["frontier"] = frontier
+
     def sample_strata(spark, sf):
         # deterministic hash-based stratified sampling (resume-stable,
         # no RNG) — the draw itself is mirrored bit-for-bit

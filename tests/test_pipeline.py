@@ -331,3 +331,25 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
         .filter("status IN ('ok', 'ok_heuristic')").count()
     assert n_verdict == ok
     v.unpersist(); c.unpersist()
+
+
+def test_frontier_pipeline_end_to_end(spark):
+    """raw urls → canonical dedup → robots filter → schedule: variant
+    collapse, policy drops, and bounded slots all visible in one
+    output."""
+    from weakscraper_spark.plans.frontier import build_frontier_plan
+    raw = spark.createDataFrame(
+        [("HTTPS://WWW.A.com:443/x?utm_source=1",),   # variant 1
+         ("https://a.com/x",),                         # variant 2
+         ("https://a.com/private/1",),                 # robots-blocked
+         ("https://b.com/y",), ("https://b.com/z",)],
+        "url string")
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private/")],
+        "host string, robots_txt string")
+    out = {r.url: r for r in
+           build_frontier_plan(raw, robots, per_host=2).collect()}
+    assert set(out) == {"https://a.com/x", "https://b.com/y",
+                        "https://b.com/z"}
+    assert out["https://a.com/x"].n_variants == 2
+    assert all(0 <= r.slot < 2 and r.wave == 0 for r in out.values())
