@@ -52,8 +52,12 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     sym = sym.union(
         sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.distinct().localCheckpoint(eager=True)
-    labels = (sym.select(F.col("a").alias("node")).distinct()
-              .withColumn("lbl", F.col("node")))
+    # seed labels with min(node, direct neighbors) — the first
+    # propagation round for free inside the node derivation (cliques
+    # and stars then converge on the first convergence check)
+    labels = (sym.groupBy("a")
+              .agg(F.least(F.first("a"), F.min("b")).alias("lbl"))
+              .select(F.col("a").alias("node"), "lbl"))
     for _ in range(max_iter):
         nbr_min = (sym.join(labels.select(F.col("node").alias("b"),
                                           F.col("lbl").alias("nlbl")),
