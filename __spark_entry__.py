@@ -712,6 +712,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           _dec(F.col("score"), 4).alias("score"))
     q["bm25_search"] = bm25_search
 
+    def vocab_top(spark, sf):
+        # tokenizer prep: corpus word frequencies, deterministic
+        # top-k
+        from weakscraper_spark.operators.vocab import vocab_counts
+        return vocab_counts(_t(spark, sf, "documents"), top_k=25)
+    q["vocab_top"] = vocab_top
+
+    def bpe_pairs(spark, sf):
+        # first BPE round: frequency-weighted adjacent symbol-pair
+        # counts over the distinct-word table (the oracle-checkable
+        # primitive of train_bpe)
+        from weakscraper_spark.operators.vocab import (
+            _pair_counts, _syms_df, vocab_counts)
+        return _pair_counts(_syms_df(
+            vocab_counts(_t(spark, sf, "documents"))))
+    q["bpe_pairs"] = bpe_pairs
+
+    def bpe_merges(spark, sf):
+        # the learned merge list itself (iterative, driver-
+        # coordinated — rows-only; fully deterministic)
+        from weakscraper_spark.operators.vocab import train_bpe
+        merges = train_bpe(_t(spark, sf, "documents"), n_merges=12)
+        return spark.createDataFrame(
+            [(i, l, r) for i, (l, r) in enumerate(merges)],
+            "merge_rank int, left string, right string")
+    q["bpe_merges"] = bpe_merges
+
     def hybrid_search(spark, sf):
         # hybrid retrieval: BM25 top-50 + cosine top-50 (query =
         # embedding of vec_id 0; doc ids and vec ids share the 0..N
@@ -1242,6 +1269,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(round(sum(c), 6) AS DECIMAL(18,6))
                         AS VARCHAR) AS rrf
             FROM fused GROUP BY 1
+        """,
+        "vocab_top": """
+            SELECT word, count(*) AS n FROM (
+                SELECT unnest(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS word
+                FROM documents)
+            WHERE word <> ''
+            GROUP BY word
+            ORDER BY n DESC, word
+            LIMIT 25
+        """,
+        "bpe_pairs": """
+            WITH w AS (
+                SELECT word, count(*) AS n FROM (
+                    SELECT unnest(string_split_regex(trim(lower(text)),
+                                                     '\\s+')) AS word
+                    FROM documents)
+                WHERE word <> '' GROUP BY word),
+            s AS (
+                SELECT n,
+                       list_append(string_split(word, ''), '</w>')
+                           AS syms
+                FROM w),
+            p AS (
+                SELECT n,
+                       unnest(list_transform(range(1, len(syms)),
+                              i -> syms[i] || ' ' || syms[i+1]))
+                           AS pair
+                FROM s WHERE len(syms) >= 2)
+            SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
+            FROM p GROUP BY 1
         """,
         "doc_len_quantiles": """
             SELECT lang, count(*) AS n,

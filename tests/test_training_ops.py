@@ -744,3 +744,37 @@ def test_incremental_dedup_verdicts(spark):
     assert out[101] == ("near_dup", 1)
     assert out[102] == ("new", None)
     assert len(out) == 3   # every new doc gets a verdict row
+
+
+def test_vocab_counts_topk_deterministic(spark):
+    from weakscraper_spark.operators.vocab import vocab_counts
+    df = spark.createDataFrame(
+        [(1, "b a a c b a"), (2, "c b")], "doc_id long, text string")
+    out = [(r.word, r.n) for r in
+           vocab_counts(df, top_k=2).orderBy(F.desc("n"), "word").collect()]
+    assert out == [("a", 3), ("b", 3)]  # tie a/b -> word asc
+
+
+def test_train_bpe_learns_expected_merges(spark):
+    """Worked example in the BPE paper's style: 'low'x5 'lowest'x2 —
+    the most frequent pair is (l,o) then (lo,w); 'low</w>' becomes a
+    single token after 3 merges."""
+    from weakscraper_spark.operators.vocab import (
+        EOW, segment_word, train_bpe)
+    text = " ".join(["low"] * 5 + ["lowest"] * 2)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges = train_bpe(df, n_merges=3)
+    assert merges[0] == ("l", "o")
+    assert merges[1] == ("lo", "w")
+    seg = segment_word("low", merges)
+    assert seg == ["low" + EOW]
+    # unseen word degrades gracefully to partial merges
+    assert segment_word("lower", merges)[0] == "low"
+
+
+def test_train_bpe_stops_when_dry(spark):
+    from weakscraper_spark.operators.vocab import train_bpe
+    df = spark.createDataFrame([(1, "ab cd ef")],
+                               "doc_id long, text string")
+    # every pair occurs once -> nothing to merge
+    assert train_bpe(df, n_merges=5) == []
