@@ -675,6 +675,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "gopher_pass")
     q["gopher_flags"] = gopher_flags
 
+    def pii_scrub(spark, sf):
+        # PII redaction over deterministically injected emails/IPs/
+        # phones (the injection is mirrored in the oracle, so counts
+        # AND the scrubbed text are value-checked)
+        from weakscraper_spark.operators.textstats import scrub_pii
+        d = F.col("doc_id")
+        injected = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(d % 3 == 0,
+                       F.concat(F.lit(" contact user"),
+                                d.cast("string"),
+                                F.lit("@example.com now")))
+                .otherwise(F.lit("")),
+                F.when(d % 4 == 0, F.lit(" from 192.168.1.10 logged"))
+                .otherwise(F.lit("")),
+                F.when(d % 5 == 0,
+                       F.concat(F.lit(" call +1 555 010 "),
+                                (d % 90 + 10).cast("string")))
+                .otherwise(F.lit(""))).alias("text"))
+        out = scrub_pii(injected)
+        return out.select(
+            "doc_id",
+            F.col("n_email").cast("long").alias("n_email"),
+            F.col("n_ip").cast("long").alias("n_ip"),
+            F.col("n_phone").cast("long").alias("n_phone"),
+            "text_scrubbed")
+    q["pii_scrub"] = pii_scrub
+
     def doc_len_quantiles(spark, sf):
         # exact percentiles (linear interpolation — same definition
         # as DuckDB quantile_cont)
@@ -1320,6 +1350,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS chars
             FROM documents
             GROUP BY GROUPING SETS ((lang, source), (source), ())
+        """,
+        "pii_scrub": """
+            WITH m AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN ' contact user' || doc_id::VARCHAR
+                                    || '@example.com now'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 4 = 0
+                               THEN ' from 192.168.1.10 logged'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN ' call +1 555 010 '
+                                    || (doc_id % 90 + 10)::VARCHAR
+                               ELSE '' END AS t
+                FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS n_email,
+                   len(regexp_extract_all(t,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                       AS n_ip,
+                   len(regexp_extract_all(t,
+                       '\\+\\d[\\d()\\- ]{7,}\\d')) AS n_phone,
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                       '<IP>', 'g'),
+                       '\\+\\d[\\d()\\- ]{7,}\\d', '<PHONE>', 'g')
+                       AS text_scrubbed
+            FROM m
         """,
         "gopher_flags": """
             WITH tk AS (

@@ -778,3 +778,22 @@ def test_train_bpe_stops_when_dry(spark):
                                "doc_id long, text string")
     # every pair occurs once -> nothing to merge
     assert train_bpe(df, n_merges=5) == []
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from weakscraper_spark.operators.textstats import scrub_pii
+    rows = [
+        (1, "mail a.b+c@sub.ex.com and d@ex.org, ip 10.0.0.1, "
+            "call +1 (555) 010-4242 ok"),
+        (2, "clean text with no pii at all"),
+        (3, "version 1.2.3 is not an ip and a@b is not an email"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert (out[1].n_email, out[1].n_ip, out[1].n_phone) == (2, 1, 1)
+    s = out[1].text_scrubbed
+    assert "<EMAIL>" in s and "<IP>" in s and "<PHONE>" in s
+    assert "@" not in s and "10.0.0.1" not in s and "4242" not in s
+    assert out[2].text_scrubbed == rows[1][1]
+    assert (out[3].n_email, out[3].n_ip) == (0, 0)
+    assert "1.2.3" in out[3].text_scrubbed  # not over-redacted

@@ -295,3 +295,37 @@ def gopher_quality_flags(df: DataFrame, id_col: str = "doc_id",
         "gopher_pass",
         F.col("ok_words") & F.col("ok_word_len") &
         F.col("ok_symbols") & F.col("ok_alpha"))
+
+
+# PII patterns: lookaround-free so the SAME regex runs under Java
+# (Spark) and RE2 (DuckDB oracle). Conservative by design — a corpus
+# scrub prefers false positives on pseudo-PII over leaks.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d()\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def scrub_pii(df: DataFrame, col: str = "text",
+              out_col: str = "text_scrubbed") -> DataFrame:
+    """Regex-based PII redaction (emails, IPv4 addresses,
+    international-format phone numbers) with per-kind hit counts —
+    the standard pre-training scrub pass. Pure JVM regexp chain
+    (narrow map, no shuffle, no Python); patterns are lookaround-free
+    so the DuckDB oracle applies the identical expressions.
+
+    Counts are computed BEFORE redaction from the same column, so
+    ``n_email + n_ip + n_phone`` is the auditable number of
+    redactions per doc. Replacement order is email → ip → phone
+    (later patterns cannot match inside earlier placeholders)."""
+    out = df
+    scrubbed = F.col(col)
+    for name, pat, repl in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name.replace('ipv4', 'ip')}",
+            F.size(F.regexp_extract_all(F.col(col), F.lit(pat),
+                                        F.lit(0))))
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return out.withColumn(out_col, scrubbed)
