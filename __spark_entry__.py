@@ -705,6 +705,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_scrubbed")
     q["pii_scrub"] = pii_scrub
 
+    def lm_scores(spark, sf):
+        # perplexity-filter stand-in: corpus-trained add-k bigram LM,
+        # mean log-prob per doc (CCNet-style quality signal)
+        from weakscraper_spark.operators.textstats import (
+            bigram_logprob)
+        out = bigram_logprob(_t(spark, sf, "documents"))
+        return out.select(
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            _dec(F.col("avg_logprob"), 4).alias("avg_logprob"))
+    q["lm_scores"] = lm_scores
+
     def doc_len_quantiles(spark, sf):
         # exact percentiles (linear interpolation — same definition
         # as DuckDB quantile_cont)
@@ -1350,6 +1362,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS chars
             FROM documents
             GROUP BY GROUPING SETS ((lang, source), (source), ())
+        """,
+        "lm_scores": """
+            WITH tk AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+')
+                           AS t
+                FROM documents),
+            b AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                              i -> t[i] || ' ' || t[i+1])) AS bi
+                FROM tk WHERE len(t) >= 2),
+            c2 AS (SELECT bi, count(*) AS c2 FROM b GROUP BY 1),
+            u AS (SELECT unnest(t) AS w FROM tk),
+            c1 AS (SELECT w, count(*) AS c1 FROM u GROUP BY 1),
+            v AS (SELECT count(*) AS v FROM c1),
+            s AS (
+                SELECT b.doc_id, count(*) AS n_bigrams,
+                       avg(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v)))
+                           AS avg_logprob
+                FROM b
+                JOIN c2 USING (bi)
+                JOIN c1 ON c1.w = string_split(b.bi, ' ')[1]
+                CROSS JOIN v
+                GROUP BY 1)
+            SELECT tk.doc_id,
+                   coalesce(s.n_bigrams, 0) AS n_bigrams,
+                   CAST(CAST(round(s.avg_logprob, 4) AS DECIMAL(18,4))
+                        AS VARCHAR) AS avg_logprob
+            FROM tk LEFT JOIN s USING (doc_id)
         """,
         "pii_scrub": """
             WITH m AS (

@@ -797,3 +797,16 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert out[2].text_scrubbed == rows[1][1]
     assert (out[3].n_email, out[3].n_ip) == (0, 0)
     assert "1.2.3" in out[3].text_scrubbed  # not over-redacted
+
+
+def test_bigram_logprob_ranks_typical_above_gibberish(spark):
+    from weakscraper_spark.operators.textstats import bigram_logprob
+    common = "the spark engine shuffles the arrow batches"
+    rows = [(i, common) for i in range(10)]          # typical docs
+    rows.append((100, "zyx qwv plk mnb vcx asd"))    # gibberish
+    rows.append((101, "x"))                          # unscorable
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_logprob(df).collect()}
+    assert out[0].avg_logprob > out[100].avg_logprob
+    assert out[101].n_bigrams == 0 and out[101].avg_logprob is None
+    assert out[0].n_bigrams == 6

@@ -329,3 +329,56 @@ def scrub_pii(df: DataFrame, col: str = "text",
                                         F.lit(0))))
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return out.withColumn(out_col, scrubbed)
+
+
+def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                   col: str = "text", k: float = 0.5) -> DataFrame:
+    """Corpus-trained bigram language-model score per document — the
+    model-free stand-in for CCNet-style perplexity filtering: train
+    add-k-smoothed bigram probabilities on the corpus itself, then
+    score each doc by its mean bigram log-probability (higher =
+    more typical of the corpus; gibberish and boilerplate-mangled
+    docs score low). Returns (id, n_bigrams, avg_logprob).
+
+    P(w2|w1) = (c(w1 w2) + k) / (c(w1·) + k·V), V = unigram vocab
+    size; natural log; docs with < 2 tokens get n_bigrams = 0 and
+    NULL avg_logprob (nothing to score — visible, not defaulted).
+
+    Scale shape: two corpus-wide aggregations (bigram and unigram
+    counts, both map-side combinable) + a broadcast 1-row (V) cross
+    join; scoring joins each doc's bigrams against the count tables
+    on the gram key — the same shuffle pattern as the dedup family,
+    no windows. Deterministic; mirrored exactly in the DuckDB
+    oracle."""
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.trim(F.lower(F.col(col))), r"\s+").alias("_t"))
+    tk = F.col("_t")
+    bigrams = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(tk, i),
+                                  F.element_at(tk, i + 1))),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_bi = base.select("doc", F.explode(bigrams).alias("bi"))
+    c_bi = doc_bi.groupBy("bi").agg(F.count("*").alias("c2"))
+    c_uni = (base.select(F.explode(tk).alias("w"))
+             .groupBy("w").agg(F.count("*").alias("c1")))
+    vocab = c_uni.agg(F.count("*").alias("v"))
+    scored = (doc_bi
+              .join(c_bi, "bi")
+              .join(c_uni.withColumnRenamed(
+                  "w", "_w1"),
+                  F.split(F.col("bi"), " ")[0] == F.col("_w1"))
+              .crossJoin(F.broadcast(vocab))
+              .withColumn("_lp", F.log((F.col("c2") + k) /
+                                       (F.col("c1") + k * F.col("v")))))
+    agg = scored.groupBy("doc").agg(
+        F.count("*").alias("n_bigrams"),
+        F.avg("_lp").alias("avg_logprob"))
+    return (base.select("doc").distinct()
+            .join(agg, "doc", "left")
+            .select(F.col("doc").alias(id_col),
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    "avg_logprob"))
