@@ -119,8 +119,8 @@ def _run_queries(sf_dir: str, cpus: int,
         "winnow_fps", "ivf_ann_topk", "para_dedup", "repetition",
         "contamination", "url_canon", "gopher_flags", "bm25_search",
         "hybrid_search", "dup_components", "incr_dedup",
-        "crawl_waves", "robots_frontier", "extract_pages",
-        "boiler_extract",
+        "crawl_waves", "robots_frontier", "lm_scores", "pii_scrub",
+        "extract_pages", "boiler_extract",
     ]
     # embedding_near_dup (exact all-pairs baseline) is deliberately
     # NOT a headline: it is the documented small-N correctness twin of
