@@ -243,3 +243,14 @@ def test_script_style_noise_never_leaks():
     r = main_text(html, mode="all")
     assert "script" not in r["text"] and "color" not in r["text"]
     assert r["text"] == " ".join(["real"] * 20)
+
+
+def test_unclosed_head_does_not_swallow_body():
+    # malformed-but-common: no </head>; body content must survive
+    html = ("<html><head><title>Site Title</title>"
+            "<meta charset='utf-8'>"
+            "<body><p>" + PROSE + "</p></body></html>")
+    r = main_text(html, mode="largest")
+    assert r["text"] == PROSE
+    # and the title never leaks into content
+    assert "Site Title" not in main_text(html, mode="all")["text"]

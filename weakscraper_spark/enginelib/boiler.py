@@ -42,9 +42,15 @@ from html.parser import HTMLParser
 
 from .dom import VOID_ELEMENTS
 
-#: tags whose entire subtree carries no rendered text
+#: tags whose entire subtree carries no rendered text. Deliberately
+#: NOT ``head``: real-world malformed pages often omit ``</head>``,
+#: and an unclosed ignored subtree would swallow the entire body —
+#: instead the head's text carriers (title; script/style) are
+#: ignored individually, and meta/link are void anyway. A short
+#: title that does surface becomes an ordinary (boilerplate-
+#: classified) block.
 IGNORED_SUBTREES = frozenset(
-    "script style noscript svg template head iframe object".split())
+    "script style noscript svg template title iframe object".split())
 
 #: tags that terminate the current text block (start AND end); inline
 #: tags (a, span, b, i, em, strong, code, ...) continue the block
