@@ -353,3 +353,17 @@ def test_frontier_pipeline_end_to_end(spark):
                         "https://b.com/z"}
     assert out["https://a.com/x"].n_variants == 2
     assert all(0 <= r.slot < 2 and r.wave == 0 for r in out.values())
+
+
+def test_catalog_parquet_seam(spark, tmp_path):
+    """The Catalog read/append/overwrite seam on its executable
+    (parquet) branch — the exact call sites prod swaps to Iceberg."""
+    from weakscraper_spark.sources.tables import Catalog
+    cat = Catalog(spark, fmt="parquet")
+    ref = str(tmp_path / "t")
+    df = spark.range(5).withColumnRenamed("id", "v")
+    cat.append(df, ref)
+    cat.append(df, ref)
+    assert cat.read(ref).count() == 10
+    cat.overwrite_partitions(df, ref)
+    assert cat.read(ref).count() == 5
