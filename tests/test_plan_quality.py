@@ -250,3 +250,32 @@ def test_url_dedup_is_single_agg_no_python(spark):
     names = [n for _, n in nodes]
     assert "MapInPandas" not in names and "BatchEvalPython" not in names
     assert sum(1 for n in names if n == "Exchange") <= 1
+
+
+def test_gram_explodes_reference_materialized_token_arrays(spark):
+    """Lambda-CSE guard (r03): Catalyst does not CSE inside
+    transform() lambdas, so a gram explode whose Generate expression
+    still contains the raw split(...) re-tokenizes the document per
+    element (measured 8-10x on contamination/winnow at sf0.1). The
+    explode argument must reference the materialized token column;
+    the split belongs in the Project below it."""
+    from weakscraper_spark.operators.dedup import _shingles
+    from weakscraper_spark.operators.textstats import (
+        winnow_fingerprints)
+    from weakscraper_spark.operators.vocab import (
+        _pair_counts, _syms_df, vocab_counts)
+    df = spark.createDataFrame([(1, "a b c d e f")],
+                               "doc_id long, text string")
+    plans = [
+        _shingles(df, "doc_id", "text"),
+        winnow_fingerprints(df),
+        _pair_counts(_syms_df(vocab_counts(df))),
+    ]
+    for p in plans:
+        txt = p._jdf.queryExecution().executedPlan().toString()
+        for line in txt.splitlines():
+            # a DIRECT explode(split(...)) is fine (split runs once
+            # per row); the hazard is split() captured inside the
+            # per-element lambda
+            if "lambdafunction" in line:
+                assert "split(" not in line, line
