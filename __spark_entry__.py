@@ -52,7 +52,11 @@ def _dec(col, scale: int):
 def entry(spark: SparkSession) -> DataFrame:
     from weakscraper_spark.plans.pipeline import synth_and_extract
 
-    return synth_and_extract(spark, 600).select(
+    # flagship = the COMPLETE extraction: template-first with the
+    # in-stage boilerplate-strip fallback (the north rule's two legs
+    # in one map-only plan) — structurally-mismatched pages come back
+    # as ok_heuristic rows instead of bare status rows
+    return synth_and_extract(spark, 600, fallback="heuristic").select(
         "url", "template_id", "status", "error", "text", "fields_json",
         "n_nodes")
 

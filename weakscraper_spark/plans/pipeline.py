@@ -357,7 +357,8 @@ def _dir_has_parquet(path: str) -> bool:
 
 def synth_and_extract(spark: SparkSession, n_pages: int,
                       n_salts: int = 0,
-                      num_partitions: int | None = None) -> DataFrame:
+                      num_partitions: int | None = None,
+                      fallback: str | None = None) -> DataFrame:
     """``n_salts=0`` (map-only heavy path) is the default here exactly
     as in ``build_extract_plan`` — this is the plan ``entry()`` and the
     bench headline run, and it must BE the plan the module docstring
@@ -368,4 +369,5 @@ def synth_and_extract(spark: SparkSession, n_pages: int,
     templates = synth_templates(spark)
     return build_extract_plan(pages, templates, compiled_specs(),
                               n_salts=n_salts,
-                              num_partitions=num_partitions)
+                              num_partitions=num_partitions,
+                              fallback=fallback)
