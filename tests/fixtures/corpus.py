@@ -255,4 +255,78 @@ FIXTURES = [
         expected_status="mismatch:TextError",
         expected_text=None,
     ),
+    # ---- r03 depth fixtures: wp-until / wp-name-attrs edges (the two
+    # §3A markers flagged LOW-CONFIDENCE in SURVEY — these pin OUR
+    # semantics precisely until the reference tree appears) ----------------
+    dict(
+        fixture_id="until_stops_at_first_occurrence",
+        template='<div><wp-ignore wp-until="p"/><p wp-name="x">t</p></div>',
+        page='<div><span>j1</span><nav>j2</nav><p>first</p><p>second</p></div>',
+        expected=None,
+        expected_status="mismatch:ExcessNodeError",
+        expected_text=None,
+    ),
+    dict(
+        fixture_id="until_target_never_appears",
+        template='<div><wp-ignore wp-until="footer"/>'
+                 '<footer wp-name="f">t</footer></div>',
+        page='<div><span>junk</span></div>',
+        expected=None,
+        expected_status="mismatch:MissingNodeError",
+        expected_text=None,
+    ),
+    dict(
+        fixture_id="until_immediately_satisfied",
+        template='<div><wp-ignore wp-until="p"/><p wp-name="x">t</p></div>',
+        page='<div><p>only</p></div>',
+        expected={"x": "only"},
+        expected_status="ok",
+        expected_text="only",
+    ),
+    dict(
+        fixture_id="attrs_capture_empty_attrs",
+        template='<div wp-name-attrs="m" wp-ignore-content></div>',
+        page='<div><span>c</span></div>',
+        expected={"m": {}},
+        expected_status="ok",
+        expected_text="",
+    ),
+    dict(
+        fixture_id="attrs_and_text_capture_same_node",
+        template='<div wp-name-attrs="m" wp-name="t">x</div>',
+        page='<div id="7">content</div>',
+        expected={"m": {"id": "7"}, "t": "content"},
+        expected_status="ok",
+        expected_text="content",
+    ),
+    dict(
+        fixture_id="list_item_own_attrs_capture",
+        # an attrs capture on the list item itself must never be
+        # silently dropped: items become per-item dicts
+        template='<ul><li wp-list wp-name="items" wp-name-attrs="a">x</li></ul>',
+        page='<ul><li id="1">a</li><li id="2">b</li></ul>',
+        expected={"items": [{"a": {"id": "1"}, "items": "a"},
+                            {"a": {"id": "2"}, "items": "b"}]},
+        expected_status="ok",
+        expected_text="",
+    ),
+    dict(
+        fixture_id="until_then_attrs_capture",
+        template='<div><wp-ignore wp-until="footer"/>'
+                 '<footer class="f" wp-name-attrs="fa" wp-ignore-content>'
+                 '</footer></div>',
+        page='<div><p>j</p><footer class="f" data-x="1"></footer></div>',
+        expected={"fa": {"class": "f", "data-x": "1"}},
+        expected_status="ok",
+        expected_text="",
+    ),
+    dict(
+        fixture_id="nugget_after_until_ignore",
+        template='<body><wp-ignore wp-until="b"/><b>Price</b>'
+                 '<wp-nugget wp-name="p"/><b>USD</b></body>',
+        page='<body><i>junk</i><b>Price</b> 12.50 <b>USD</b></body>',
+        expected={"p": "12.50"},
+        expected_status="ok",
+        expected_text="12.50",
+    ),
 ]

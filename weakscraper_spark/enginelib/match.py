@@ -158,6 +158,10 @@ def _match_list_item(spec: Spec, node: Node, functions: Functions,
     """One accepted wp-list repetition → the item value:
     - wp-recursive list → serialized subtree per item
     - nested captures   → per-item dict of the nested captures
+    - own wp-name-attrs → per-item dict {attrs key: attrs, list key:
+      atomic text} (an attrs capture on the item node itself must
+      never be silently dropped — same no-silent-loss rule as
+      everywhere else)
     - otherwise         → atomic text (A7 applied per item)
     """
     sub: Results = {}
@@ -174,6 +178,13 @@ def _match_list_item(spec: Spec, node: Node, functions: Functions,
                        path + (spec["tag"],))
         return sub
     _capture_atomic(spec, node, sub, functions, path + (spec["tag"],))
+    if spec["capture_attrs"]:
+        return {
+            spec["capture_attrs"]: _apply_fn(
+                spec["function_attrs"], dict(node["attrs"]),
+                functions, path),
+            spec["capture"]: sub[spec["capture"]],
+        }
     return sub[spec["capture"]]
 
 
