@@ -329,4 +329,65 @@ FIXTURES = [
         expected_status="ok",
         expected_text="12.50",
     ),
+    dict(
+        fixture_id="recursive_list_serializes_each_item",
+        template='<div><section wp-list wp-recursive wp-name="blocks">x</section></div>',
+        page='<div><section><p>a</p></section><section><b>b</b></section></div>',
+        expected={"blocks": ["<section><p>a</p></section>",
+                             "<section><b>b</b></section>"]},
+        expected_status="ok",
+        expected_text="",
+    ),
+    dict(
+        fixture_id="optional_list_zero_items",
+        template='<ul><li wp-list wp-optional wp-name="xs">x</li></ul>',
+        page='<ul></ul>',
+        expected={"xs": []},
+        expected_status="ok",
+        expected_text="",
+    ),
+    dict(
+        fixture_id="function_attrs_hook",
+        template='<div wp-name-attrs="m" wp-function-attrs="upper_keys" wp-ignore-content></div>',
+        page='<div a="1"></div>',
+        functions={"upper_keys": lambda d: {k.upper(): v
+                                            for k, v in d.items()}},
+        expected={"m": {"A": "1"}},
+        expected_status="ok",
+        expected_text="",
+    ),
+    dict(
+        fixture_id="optional_inside_list_items",
+        # a missing optional capture OMITS the key in that item dict
+        template='<ul><li wp-list wp-name="rows"><b wp-name="k">x</b>'
+                 '<i wp-optional wp-name="v">y</i></li></ul>',
+        page='<ul><li><b>a</b><i>1</i></li><li><b>b</b></li></ul>',
+        expected={"rows": [{"k": "a", "v": "1"}, {"k": "b"}]},
+        expected_status="ok",
+        expected_text="",
+    ),
+    dict(
+        fixture_id="double_ignore_runs_merge",
+        template='<div><wp-ignore/><wp-ignore/><p wp-name="x">t</p></div>',
+        page='<div><a>j</a><b>k</b><p>v</p></div>',
+        expected={"x": "v"},
+        expected_status="ok",
+        expected_text="v",
+    ),
+    dict(
+        fixture_id="trailing_ignore_eats_page_tail",
+        template='<div><p wp-name="x">t</p><wp-ignore/></div>',
+        page='<div><p>v</p><a>j1</a><b>j2</b></div>',
+        expected={"x": "v"},
+        expected_status="ok",
+        expected_text="v",
+    ),
+    dict(
+        fixture_id="text_literal_whitespace_normalized",
+        template='<div><b>Label</b><p wp-name="x">t</p></div>',
+        page='<div><b>  Label  </b><p>v</p></div>',
+        expected={"x": "v"},
+        expected_status="ok",
+        expected_text="v",
+    ),
 ]
