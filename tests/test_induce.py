@@ -141,3 +141,22 @@ def test_induce_templates_distributed(spark):
         n_ok += 1
     assert n_ok > 0
     pages.unpersist()
+
+
+def test_disjoint_samples_fail_honestly():
+    """Totally disagreeing documents must raise, not induce a
+    template that accepts every page and captures nothing (root-level
+    ignore_content is bypassed by the extract entry)."""
+    import pytest
+    from weakscraper_spark.enginelib.errors import TemplateError
+    with pytest.raises(TemplateError):
+        induce_template(['<div><h1>A</h1></div>',
+                         '<table><tr><td>B</td></tr></table>'])
+    # robust: an alignable pair + one disjoint outlier still induces
+    # from the pair
+    from weakscraper_spark.enginelib.induce import induce_template_robust
+    spec = induce_template_robust(['<div><h1>A</h1><p>x</p></div>',
+                                   '<div><h1>B</h1><p>y</p></div>',
+                                   '<table><tr><td>z</td></tr></table>'])
+    from weakscraper_spark.enginelib.match import extract
+    assert extract(spec, '<div><h1>C</h1><p>w</p></div>')["status"] == "ok"

@@ -206,7 +206,16 @@ def induce_template(sample_htmls: list[str], slot_prefix: str = "slot") -> Spec:
         raise TemplateError("induction needs >= 2 sample pages")
     roots = [parse_html(h) for h in sample_htmls]
     slots = itertools.count(1)
-    return _induce_tag(roots, slots, slot_prefix)
+    spec = _induce_tag(roots, slots, slot_prefix)
+    if spec.get("ignore_content"):
+        # the WHOLE document diverged: the degrade-to-ignore rule is
+        # meaningful for subtrees, but a root-level ignore would be a
+        # template that accepts every page and captures nothing (and
+        # the extract entry aligns root children directly, bypassing
+        # the flag) — fail honestly instead
+        raise TemplateError(
+            "samples do not align at the document root")
+    return spec
 
 
 def _n_slots(spec: Spec) -> int:
