@@ -254,3 +254,24 @@ def test_unclosed_head_does_not_swallow_body():
     assert r["text"] == PROSE
     # and the title never leaks into content
     assert "Site Title" not in main_text(html, mode="all")["text"]
+
+
+def test_null_html_becomes_status_row_not_batch_failure(spark):
+    """One-bad-doc-never-fails-a-batch: a NULL html cell (possible in
+    any raw crawl table) must yield a status row in BOTH extractors."""
+    import datetime as dt
+    from weakscraper_spark.operators.extract import extract_pages
+    from weakscraper_spark.sources.synth import compiled_specs
+    rows = [("u1", dt.datetime(2026, 1, 1), "t_article", None),
+            ("u2", dt.datetime(2026, 1, 1), "t_article",
+             b"<html><body><h1>t</h1></body></html>")]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, template_id string, "
+              "html binary")
+    st = {r.url: r.status
+          for r in extract_pages(df, compiled_specs()).collect()}
+    assert st["u1"] == "error:NullInput"
+    assert st["u2"].startswith("mismatch") or st["u2"] == "ok"
+    st2 = {r.url: r.status for r in heuristic_extract(
+        df.select("url", "warc_ts", "html")).collect()}
+    assert st2["u1"] == "error:NullInput"

@@ -114,6 +114,14 @@ def extract_pages(df: DataFrame,
             htmls = pdf["html"].tolist()
             for j in range(n):
                 raw = htmls[j]
+                if raw is None:
+                    # a NULL html cell must become a status row, not a
+                    # TypeError that fails the whole Arrow batch (the
+                    # pipeline filters NULLs upstream; the OPERATOR
+                    # contract is one-bad-doc-never-fails-a-batch)
+                    out["status"][j] = "error:NullInput"
+                    out["error"][j] = "html is NULL"
+                    continue
                 if isinstance(raw, str):
                     # lineage bytes_in must be BYTES even for string
                     # inputs (len(str) undercounts multi-byte UTF-8)

@@ -60,6 +60,11 @@ def heuristic_extract(df: DataFrame, mode: str = "largest",
             htmls = pdf[html_col].tolist()
             for j in range(n):
                 raw = htmls[j]
+                if raw is None:
+                    # NULL html → status row, never a batch failure
+                    out["status"][j] = "error:NullInput"
+                    out["text"][j] = ""
+                    continue
                 if isinstance(raw, str):
                     html = raw
                     out["n_bytes"][j] = len(raw.encode("utf-8"))
