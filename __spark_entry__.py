@@ -1412,24 +1412,31 @@ def oracle_sql() -> dict[str, str]:
                                THEN ' call +1 555 010 '
                                     || (doc_id % 90 + 10)::VARCHAR
                                ELSE '' END AS t
-                FROM documents)
+                FROM documents),
+            -- counts mirror Spark's progressive-scrub semantics:
+            -- pattern i counts on the text with patterns 1..i-1
+            -- already replaced, so sum(counts) == replacements
+            s1 AS (SELECT doc_id, t, regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+                   FROM m),
+            s2 AS (SELECT doc_id, t, t1, regexp_replace(t1,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                       '<IP>', 'g') AS t2
+                   FROM s1)
             SELECT doc_id,
                    len(regexp_extract_all(t,
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
                        AS n_email,
-                   len(regexp_extract_all(t,
+                   len(regexp_extract_all(t1,
                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
                        AS n_ip,
-                   len(regexp_extract_all(t,
+                   len(regexp_extract_all(t2,
                        '\\+\\d[\\d()\\- ]{7,}\\d')) AS n_phone,
-                   regexp_replace(regexp_replace(regexp_replace(t,
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-                       '<EMAIL>', 'g'),
-                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
-                       '<IP>', 'g'),
+                   regexp_replace(t2,
                        '\\+\\d[\\d()\\- ]{7,}\\d', '<PHONE>', 'g')
                        AS text_scrubbed
-            FROM m
+            FROM s2
         """,
         "gopher_flags": """
             WITH tk AS (

@@ -38,6 +38,37 @@ def test_stream_extract_available_now(spark, tmp_path):
     assert spark.read.parquet(out).count() == pages.count()
 
 
+def test_stream_extract_fallback_threaded(spark, tmp_path):
+    """fallback='heuristic' reaches the per-batch extract on the
+    NON-stateful streaming path too (ADVICE r03: it was silently
+    dropped): mismatch pages come back as ok_heuristic rows in the
+    sink, matching the batch twin's rescue count."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pages = synth_pages(spark, 120)
+    pages.write.parquet(src)
+    templates = synth_templates(spark)
+
+    q = stream_extract(spark, src, PAGES_SCHEMA, templates,
+                       compiled_specs(), out, ckpt,
+                       fallback="heuristic")
+    q.awaitTermination(240)
+    got = spark.read.parquet(out)
+    assert got.filter(F.col("status") == "ok_heuristic").count() > 0
+
+    # batch twin WITHOUT dedup_latest — the stateless stream extracts
+    # every snapshot, so compare per-snapshot rescue counts
+    from weakscraper_spark.operators.extract import extract_pages
+    from weakscraper_spark.plans.pipeline import (
+        attach_template, prepare_pages)
+    batch = extract_pages(
+        attach_template(prepare_pages(pages), templates),
+        compiled_specs(), fallback="heuristic")
+    assert (got.filter("status = 'ok_heuristic'").count()
+            == batch.filter("status = 'ok_heuristic'").count())
+
+
 def test_stream_watermarked_window_agg(spark, tmp_path):
     """Watermark + event-time tumbling window over the stream (the
     late-data path): counts per (window, lang) accumulate across

@@ -33,6 +33,7 @@ corpus.clean_corpus is the default.
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -463,10 +464,16 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
     10⁹×) is combined map-side instead of buffered in one task —
     → equi-join back on par → groupBy(id) rebuild. Two shuffles, both
     on narrow (id, pos, hash-sized) rows; the heavy text column never
-    fans out beyond its own paragraphs."""
+    fans out beyond its own paragraphs.
+
+    ``sep`` is a LITERAL separator (regex-escaped before it reaches
+    ``F.split``, which takes a Java regex — ADVICE r03: a sep like
+    '.' or '|' would otherwise silently switch semantics and diverge
+    from the string-literal DuckDB oracle twin)."""
+    sep_re = re.escape(sep)
     pars = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(col), sep)).alias("pos", "par"))
+        F.posexplode(F.split(F.col(col), sep_re)).alias("pos", "par"))
     first = pars.groupBy("par").agg(
         F.min(F.struct(id_col, "pos")).alias("_first"))
     kept = (pars.join(first, "par")
@@ -482,7 +489,7 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
         F.count("*").alias("n_kept"))
     totals = df.select(
         F.col(id_col),
-        F.size(F.split(F.col(col), sep)).alias("n_pars"))
+        F.size(F.split(F.col(col), sep_re)).alias("n_pars"))
     return (totals.join(rebuilt, id_col, "left")
             .select(id_col,
                     F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),

@@ -10,17 +10,22 @@ label changes. Converges in O(graph diameter) rounds; duplicate
 clusters in web corpora are near-cliques (diameter ≤ ~3 via the
 shared bucket/band structure), so 3-5 rounds close them. Each round
 is one equi-join + groupBy-min (map-side combinable) — no windows,
-no driver-side graph. Lineage is truncated per round with
-``localCheckpoint`` (an iterative plan would otherwise grow
-exponentially and re-execute every prior round); the per-round
-convergence check is one count action. For adversarial long-chain
-graphs at 10^12 edges, the published O(log n)-round alternating
-large-star/small-star algorithm (Kiveris et al., "Connected
-Components in MapReduce and Beyond", SoCC'14) drops in behind the
-same signature; min-propagation is chosen here because it is
-deterministic, simple to audit, and exactly mirrorable as a DuckDB
-recursive CTE — which makes cluster assignment VALUE-CHECKED, not
-just plausible.
+no driver-side graph. Lineage is truncated per round (an iterative
+plan would otherwise grow exponentially and re-execute every prior
+round) — ``localCheckpoint`` by default, reliable ``checkpoint``
+into ``checkpoint_dir`` when given (localCheckpoint pins lineage
+blocks to executor storage: lost on executor death, so preemptible
+clusters should pass a durable dir); the per-round convergence
+check is one count action. For adversarial long-chain graphs at
+10^12 edges, ``algorithm="star"`` switches to the published
+O(log n)-round alternating large-star/small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14) behind the same signature — a path of 2^k nodes converges
+in O(k) alternations instead of 2^k propagation rounds (tested).
+Min-propagation stays the default because it is deterministic,
+simple to audit, and exactly mirrorable as a DuckDB recursive CTE —
+which makes cluster assignment VALUE-CHECKED, not just plausible;
+both algorithms produce the identical (node → min id) labeling.
 
 Determinism: labels are node ids, min is total, iteration count
 depends only on the graph — same output on any partitioning.
@@ -31,13 +36,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _ckpt(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Truncate lineage: localCheckpoint (fast, executor-storage — lost
+    on executor death) or reliable checkpoint when a durable dir is
+    given (the preemptible-cluster setting)."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=True)
+
+
 def connected_components(edges: DataFrame, src: str = "doc_a",
                          dst: str = "doc_b",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         algorithm: str = "minprop",
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """(src, dst) pair rows → (node, component) where ``component``
     is the minimum node id reachable from ``node``. Output covers
     every node appearing in ``edges`` (isolated docs never enter a
     pair list; union them back as their own component if needed).
+
+    ``algorithm``: "minprop" (default, O(diameter) rounds) or "star"
+    (alternating large-star/small-star, O(log n) rounds — the
+    adversarial-long-chain choice; module docstring). Identical
+    output either way.
 
     Sandbox timing note: per-round wall here is dominated by fixed
     job/stage scheduling on near-empty partitions (the candidate
@@ -48,10 +71,13 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
 
     Raises after ``max_iter`` non-converged rounds rather than
     returning a silently-partial clustering."""
+    if algorithm == "star":
+        return _connected_components_star(edges, src, dst, max_iter,
+                                          checkpoint_dir)
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(
         sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.distinct().localCheckpoint(eager=True)
+    sym = _ckpt(sym.distinct(), checkpoint_dir)
     # seed labels with min(node, direct neighbors) — the first
     # propagation round for free inside the node derivation (cliques
     # and stars then converge on the first convergence check)
@@ -69,17 +95,81 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         # shuffle per round, measured ~40% of the per-round wall)
         upd = F.least(F.col("lbl"),
                       F.coalesce(F.col("min_nbr"), F.col("lbl")))
-        new = (labels.join(nbr_min,
-                           labels["node"] == nbr_min["a"], "left")
-               .select(F.col("node"), upd.alias("new_lbl"),
-                       (upd < F.col("lbl")).alias("_changed"))
-               .localCheckpoint(eager=True))
+        new = _ckpt(labels.join(nbr_min,
+                                labels["node"] == nbr_min["a"], "left")
+                    .select(F.col("node"), upd.alias("new_lbl"),
+                            (upd < F.col("lbl")).alias("_changed")),
+                    checkpoint_dir)
         n_changed = new.filter(F.col("_changed")).count()
         labels = new.select("node", F.col("new_lbl").alias("lbl"))
         if n_changed == 0:
             return labels.select("node", F.col("lbl").alias("component"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds")
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Kiveris et al. large-star: for each node u over its full
+    (symmetrized) neighborhood, m = min(Γ(u) ∪ {u}); emit (v, m) for
+    every strictly-larger neighbor v. Output edges satisfy a > b."""
+    adj = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    m = adj.groupBy("a").agg(
+        F.least(F.min("b"), F.first("a")).alias("m"))
+    return (adj.join(m, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Kiveris et al. small-star over edges oriented a > b: group by
+    the larger endpoint u, m = min(Γ(u)); emit (v, m) for every
+    v ∈ Γ(u) ∪ {u} except m itself. Output edges satisfy a > b
+    (every emitted v is ≥ m with v ≠ m)."""
+    m = e.groupBy("a").agg(F.min("b").alias("m"))
+    joined = e.join(m, "a")
+    out = (joined.select(F.col("b").alias("v"), "m")
+           .union(m.select(F.col("a").alias("v"), "m"))
+           .filter(F.col("v") != F.col("m"))
+           .select(F.col("v").alias("a"), F.col("m").alias("b"))
+           .distinct())
+    return out
+
+
+def _connected_components_star(edges: DataFrame, src: str, dst: str,
+                               max_iter: int,
+                               checkpoint_dir: str | None) -> DataFrame:
+    """Alternating large-star/small-star (SoCC'14): converges in
+    O(log n) alternations on ANY graph — a path of 2^k nodes closes
+    in ~k rounds where min-propagation needs 2^k. Convergence = the
+    oriented edge set reaches a fixpoint (checked exactly: equal
+    counts + empty set-difference, both cheap actions on the deduped
+    edge set); at the fixpoint every edge is (node, component-min),
+    i.e. a star forest rooted at component minima."""
+    pairs = (edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+             .filter(F.col("x") != F.col("y")))
+    nodes = (edges.select(F.col(src).alias("node"))
+             .union(edges.select(F.col(dst).alias("node")))
+             .distinct())
+    e = _ckpt(pairs.select(F.greatest("x", "y").alias("a"),
+                           F.least("x", "y").alias("b")).distinct(),
+              checkpoint_dir)
+    n_prev = e.count()
+    for _ in range(max_iter):
+        e_new = _ckpt(_small_star(_large_star(e)), checkpoint_dir)
+        n_new = e_new.count()
+        if n_new == n_prev and e_new.subtract(e).count() == 0:
+            e = e_new
+            break
+        e, n_prev = e_new, n_new
+    else:
+        raise RuntimeError(
+            f"star connected_components did not converge in "
+            f"{max_iter} rounds")
+    parents = e.groupBy("a").agg(F.min("b").alias("parent"))
+    return (nodes.join(parents, nodes["node"] == parents["a"], "left")
+            .select("node",
+                    F.coalesce("parent", "node").alias("component")))
 
 
 def dedup_clusters(pairs: DataFrame, id_a: str = "doc_a",

@@ -54,7 +54,8 @@ def robots_filter(df: DataFrame, robots: DataFrame,
     ``filter("allowed")`` for the fetchable frontier; the full flag
     set keeps the drop auditable (same discipline as clean_corpus)."""
     rows = (df.select(F.col(url_col).alias("url"))
-            .withColumn("host", F.parse_url("url", F.lit("HOST")))
+            .withColumn("host",  # try_: bad url → NULL host → left
+                        F.try_parse_url("url", F.lit("HOST")))  # join keeps it, robots_txt NULL → allowed
             .join(F.broadcast(robots.select("host", "robots_txt")),
                   "host", "left"))
 

@@ -36,19 +36,26 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
     base = docs.select(
         F.col(id_col).alias("doc"),
         F.split(F.trim(F.lower(F.col(col))), r"\s+").alias("_t"))
-    lens = base.select("doc", F.size("_t").alias("dl"))
-    stats = lens.agg(F.count("*").alias("n_docs"),
+    stats = base.select(F.size("_t").alias("dl")) \
+                .agg(F.count("*").alias("n_docs"),
                      F.avg("dl").alias("avgdl"))
 
-    hits = (base.select("doc", F.explode("_t").alias("term"))
+    # dl rides the postings rows through the explode: after the
+    # map-side term filter every surviving row already carries its
+    # document length, so no join against a corpus-width (doc, dl)
+    # relation is ever needed (VERDICT r03 #3 — at 10^12 docs that
+    # join was a full-corpus shuffle per query). dl is functionally
+    # dependent on doc, so adding it to the tf grouping key changes
+    # nothing about the aggregation.
+    hits = (base.select("doc", F.size("_t").alias("dl"),
+                        F.explode("_t").alias("term"))
             .filter(F.col("term").isin(query_terms)))
-    tf = hits.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    tf = hits.groupBy("doc", "dl", "term").agg(F.count("*").alias("tf"))
     df_t = hits.groupBy("term").agg(
         F.count_distinct("doc").alias("df"))
 
     scored = (tf
               .join(F.broadcast(df_t), "term")
-              .join(lens, "doc")
               .crossJoin(F.broadcast(stats)))
     idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) /
                 (F.col("df") + 0.5))

@@ -133,8 +133,12 @@ def srp_cosine_near_pairs(emb: DataFrame, threshold: float = 0.9,
                                 (_norm(F.col("_va")) * _norm(F.col("_vb"))),
                                 4))
             .filter(F.col("cosine") >= threshold)
-            .select("id_a", "id_b", "cosine")
-            .distinct())
+            .select("id_a", "id_b", "cosine"))
+    # no trailing distinct: srp_signature packs ALL n_planes bits into
+    # ONE bucket key per doc, so the bucket equi-self-join emits each
+    # (id_a < id_b) pair at most once — a distinct here would be a
+    # full extra shuffle of the pair set for nothing (VERDICT r03 #4).
+    # Revisit only if multi-probe / multi-table signatures are added.
 
 
 def _ivf_centroids(emb: DataFrame, id_col: str, vec_col: str,

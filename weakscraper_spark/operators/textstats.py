@@ -316,16 +316,20 @@ def scrub_pii(df: DataFrame, col: str = "text",
     (narrow map, no shuffle, no Python); patterns are lookaround-free
     so the DuckDB oracle applies the identical expressions.
 
-    Counts are computed BEFORE redaction from the same column, so
-    ``n_email + n_ip + n_phone`` is the auditable number of
-    redactions per doc. Replacement order is email → ip → phone
-    (later patterns cannot match inside earlier placeholders)."""
+    Each count is computed against the PROGRESSIVELY-scrubbed text
+    (pattern i counts on the text after patterns 1..i-1 replaced), so
+    ``n_email + n_ip + n_phone`` EQUALS the number of replacements
+    performed — a phone-shaped token inside an email local part
+    (``+15551234567@example.com``) is redacted once as <EMAIL> and
+    counted once (ADVICE r03: counting every pattern on the raw text
+    double-counted such overlaps). Replacement order is email → ip →
+    phone; later patterns cannot match inside earlier placeholders."""
     out = df
     scrubbed = F.col(col)
     for name, pat, repl in PII_PATTERNS:
         out = out.withColumn(
             f"n_{name.replace('ipv4', 'ip')}",
-            F.size(F.regexp_extract_all(F.col(col), F.lit(pat),
+            F.size(F.regexp_extract_all(scrubbed, F.lit(pat),
                                         F.lit(0))))
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return out.withColumn(out_col, scrubbed)

@@ -78,8 +78,18 @@ def crawl_schedule(df: DataFrame, per_host: int = 2,
     fetch fleet absorbs, and the schedule is deterministic,
     partitioning-independent, resume-stable, and mirrored
     bit-for-bit in the DuckDB oracle. Per-host counts are a
-    two-phase agg broadcast back onto the rows."""
-    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    two-phase agg broadcast back onto the rows.
+
+    Unparseable urls are NOT silently dropped (and don't crash the
+    job — ``try_parse_url``, since Spark 4's ANSI ``parse_url``
+    RAISES on an invalid url): host is coalesced to the sentinel
+    ``""`` before the groupBy/join, so every input url gets a
+    schedule row — the sentinel "host" gets politeness waves like
+    any other, and the caller can audit/route ``host = ''`` rows
+    explicitly (the DuckDB oracle's regexp_extract mirrors this: no
+    match → '')."""
+    host = F.coalesce(F.try_parse_url(F.col(url_col), F.lit("HOST")),
+                      F.lit(""))
     rows = df.select(F.col(url_col).alias("url"), host.alias("host"))
     counts = rows.groupBy("host").agg(F.count("*").alias("_n"))
     n_waves = F.greatest(F.ceil(F.col("_n") / per_host), F.lit(1))

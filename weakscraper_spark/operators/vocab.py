@@ -9,12 +9,30 @@ Scale shapes:
 - ``train_bpe`` — the iterative merge loop, but over the DISTINCT-
   WORD table (vocab-sized, millions of rows), never the corpus:
   corpus word frequencies are aggregated ONCE, and every merge round
-  operates on (word, freq, symbols) rows. Per round: one pair-count
-  aggregation weighted by word frequency (map-side combinable), one
-  1-row collect of the argmax pair (count desc, pair asc — fully
-  deterministic), and one Arrow-batched merge map. Lineage is
-  truncated by localCheckpoint every few rounds (same iterative-plan
-  discipline as graph.connected_components).
+  operates on (word, freq, symbols) rows. Per driver round: one
+  pair-count aggregation weighted by word frequency (map-side
+  combinable), one small collect of the top pairs, an EXACT batch
+  selection (below), and one Arrow-batched merge map applying the
+  whole batch. Lineage is truncated every few rounds (same
+  iterative-plan discipline as graph.connected_components);
+  ``checkpoint_dir`` switches truncation from executor-storage
+  localCheckpoint to reliable checkpoint for preemptible clusters.
+
+  Batched-merge exactness (VERDICT r03 #5 — one driver round-trip
+  per merge is ~64k Spark jobs at a real 32k vocab): applying the
+  top-m pairs in one pass replays sequential BPE verbatim iff
+  (a) accepted pairs are pairwise SYMBOL-DISJOINT (then no accepted
+  merge can create or destroy another accepted pair's occurrences:
+  a merge replaces two symbols with one and only touches pairs
+  sharing its symbols), and (b) every accepted count is STRICTLY
+  greater than the first conflicting/truncated count — a merge of
+  (a,b) can mint new pairs like (x,ab), but every occurrence of
+  (x,ab) was an occurrence of old pair (x,a), which shares symbol
+  ``a`` and is therefore at or below the first conflict in the
+  (count desc, pair asc) order; strict dominance means sequential's
+  argmax at every sub-step is exactly the next accepted pair, ties
+  included. Worst case (immediate conflict) degrades to batch size
+  1 = the sequential algorithm.
 
 Not SQL-expressible (iterative, driver-coordinated) except the
 first round — ``vocab_counts`` and the pair-count primitive are the
@@ -72,50 +90,143 @@ def _pair_counts(syms: DataFrame) -> DataFrame:
             .groupBy("pair").agg(F.sum("n").alias("cnt")))
 
 
-def train_bpe(df: DataFrame, n_merges: int,
-              col: str = "text") -> list[tuple[str, str]]:
+def _select_exact_batch(rows, max_take: int) -> list[tuple[str, str]]:
+    """Greedy exact-batch selection over collected (pair, cnt) rows,
+    already sorted (cnt desc, pair asc). Accept pairs while symbol-
+    disjoint from everything accepted so far (left, right, AND the
+    minted left+right symbol); on the first conflict — or if the
+    collected window was truncated — keep only accepted pairs whose
+    count STRICTLY exceeds the bounding count (see module docstring
+    for why that replays sequential BPE exactly). Always returns at
+    least the argmax pair when any pair has cnt >= 2."""
+    accepted: list[tuple[str, str, int]] = []
+    touched: set[str] = set()
+    bound: int | None = None
+    for r in rows:
+        if r["cnt"] < 2:
+            break
+        left, right = r["pair"].split(" ", 1)
+        if left in touched or right in touched or (left + right) in touched:
+            bound = r["cnt"]
+            break
+        accepted.append((left, right, r["cnt"]))
+        touched.update((left, right, left + right))
+    else:
+        # no conflict seen; if the window was full it may be truncated
+        # mid-tie — bound by the last row we could see
+        if len(rows) >= max_take and rows:
+            bound = rows[-1]["cnt"]
+    if bound is not None:
+        kept = [(a, b) for a, b, c in accepted if c > bound]
+        if not kept and accepted:
+            kept = [accepted[0][:2]]  # argmax alone = sequential step
+        return kept
+    return [(a, b) for a, b, _ in accepted]
+
+
+def _select_greedy_batch(rows) -> list[tuple[str, str]]:
+    """Scale-mode batch selection: accept every symbol-disjoint pair
+    in the window in (cnt desc, pair asc) order, SKIPPING conflicting
+    ones instead of stopping. Not a verbatim sequential replay — when
+    top pairs share symbols ("t h" / "h e"), sequential interleaves
+    them while this takes the disjoint subset first — but every merge
+    chosen is a then-most-frequent disjoint pair, the batching rule
+    fast tokenizer trainers use. O(merges/batch) driver rounds."""
+    batch: list[tuple[str, str]] = []
+    touched: set[str] = set()
+    for r in rows:
+        if r["cnt"] < 2:
+            break
+        left, right = r["pair"].split(" ", 1)
+        if (left in touched or right in touched
+                or (left + right) in touched):
+            continue
+        batch.append((left, right))
+        touched.update((left, right, left + right))
+    return batch
+
+
+def train_bpe(df: DataFrame, n_merges: int, col: str = "text",
+              batch_m: int = 64, exact: bool = True,
+              checkpoint_dir: str | None = None) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus; returns the
     ordered merge list [(left, right), ...] — the artifact a
-    tokenizer ships. Ends early when no pair occurs twice."""
-    state = _syms_df(vocab_counts(df, col)) \
-        .localCheckpoint(eager=True)
+    tokenizer ships. Ends early when no pair occurs twice.
+
+    ``batch_m``: top-pair window collected per driver round.
+    ``exact`` (default): batches only up to the dominance bound, so
+    the merge list replays single-step BPE VERBATIM — on corpora
+    whose top pairs share symbols this degrades toward one merge per
+    round (the sequential data dependency is real, not an
+    implementation artifact). ``exact=False`` is the 32k-vocab scale
+    path: greedy disjoint batching (``_select_greedy_batch``) does
+    ~batch_m merges per driver round — O(vocab/batch_m) rounds — at
+    the cost of a slightly reordered, still-valid merge list.
+    ``checkpoint_dir``: when set, lineage truncation uses reliable
+    ``checkpoint()`` into that directory instead of
+    ``localCheckpoint`` — localCheckpoint pins lineage to executor
+    storage and is lost on executor death, so on a preemptible
+    cluster pass a durable dir; locally the default is faster."""
+    state = _ckpt(_syms_df(vocab_counts(df, col)), checkpoint_dir)
     merges: list[tuple[str, str]] = []
-    for rnd in range(n_merges):
+    rnd = 0
+    while len(merges) < n_merges:
         top = (_pair_counts(state)
-               .orderBy(F.desc("cnt"), "pair").limit(1).collect())
-        if not top or top[0]["cnt"] < 2:
+               .orderBy(F.desc("cnt"), "pair").limit(batch_m).collect())
+        batch = (_select_exact_batch(top, batch_m) if exact
+                 else _select_greedy_batch(top))
+        batch = batch[:n_merges - len(merges)]
+        if not batch:
             break
-        left, right = top[0]["pair"].split(" ", 1)
-        merges.append((left, right))
-        state = _merge_pair(state, left, right)
-        if (rnd + 1) % 5 == 0:
-            state = state.localCheckpoint(eager=True)
+        merges.extend(batch)
+        state = _merge_pairs(state, batch)
+        rnd += 1
+        if rnd % 5 == 0:
+            state = _ckpt(state, checkpoint_dir)
     return merges
 
 
-def _merge_pair(syms: DataFrame, left: str, right: str) -> DataFrame:
-    """Replace every adjacent (left, right) in the symbol arrays with
-    the merged symbol — a linear scan per word, Arrow-batched (array
-    look-ahead rewriting has no clean built-in form)."""
+def _ckpt(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=True)
+
+
+def _merge_pairs(syms: DataFrame,
+                 pairs: list[tuple[str, str]]) -> DataFrame:
+    """Replace adjacent occurrences of each (left, right) in ``pairs``
+    (applied in order, same greedy left-to-right scan as
+    ``segment_word``) with the merged symbol — linear scans per word,
+    Arrow-batched (array look-ahead rewriting has no clean built-in
+    form). One Spark map applies the whole batch."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for s in pdf["syms"]:
                 s = list(s)
-                merged, i = [], 0
-                while i < len(s):
-                    if (i + 1 < len(s) and s[i] == left
-                            and s[i + 1] == right):
-                        merged.append(left + right)
-                        i += 2
-                    else:
-                        merged.append(s[i])
-                        i += 1
-                out.append(merged)
+                for left, right in pairs:
+                    merged, i = [], 0
+                    while i < len(s):
+                        if (i + 1 < len(s) and s[i] == left
+                                and s[i + 1] == right):
+                            merged.append(left + right)
+                            i += 2
+                        else:
+                            merged.append(s[i])
+                            i += 1
+                    s = merged
+                out.append(s)
             yield pd.DataFrame({"n": pdf["n"], "syms": out})
 
     return syms.mapInPandas(run, "n long, syms array<string>")
+
+
+def _merge_pair(syms: DataFrame, left: str, right: str) -> DataFrame:
+    """Single-pair form of ``_merge_pairs`` (kept for tests/tools)."""
+    return _merge_pairs(syms, [(left, right)])
 
 
 def segment_word(word: str, merges: list[tuple[str, str]]) -> list[str]:

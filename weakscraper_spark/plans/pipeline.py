@@ -56,7 +56,9 @@ def prepare_pages(pages: DataFrame, langs: list[str] | None = None) -> DataFrame
     out = pages.filter(F.length("html") > 0)
     if langs:
         out = out.filter(F.col("lang").isin(langs))
-    return out.withColumn("host", F.parse_url("url", F.lit("HOST")))
+    # try_: a malformed url in real CC data must NULL its host, not
+    # crash the job (Spark 4 ANSI parse_url raises)
+    return out.withColumn("host", F.try_parse_url("url", F.lit("HOST")))
 
 
 # --------------------------------------------------------------------------
@@ -156,7 +158,7 @@ def host_stats_salted(pages: DataFrame, n_salts: int = 16) -> DataFrame:
 
 def host_report(out: DataFrame, k: int = 10) -> DataFrame:
     per_host = (
-        out.withColumn("host", F.parse_url("url", F.lit("HOST")))
+        out.withColumn("host", F.try_parse_url("url", F.lit("HOST")))
         .groupBy("host")
         .agg(F.count("*").alias("n_pages"),
              F.sum(F.when(F.col("status") == "ok", 0).otherwise(1))

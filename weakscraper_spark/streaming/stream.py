@@ -58,7 +58,7 @@ def stream_extract(spark: SparkSession, source_dir: str,
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         staged = attach_template(prepare_pages(batch_df), templates)
-        out = extract_pages(staged, specs)
+        out = extract_pages(staged, specs, fallback=fallback)
         out.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={batch_id}"))
 
