@@ -861,8 +861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- PDF/layout parse plumbing (rows-only BUT value-pinned: a
     # row survives only when the parsed page text round-trips the
-    # source chunk exactly; fake %FPDF container — kernel for real
-    # %PDF- is env-stubbed, operators/pdf.py) ------------------------------
+    # source chunk exactly; fake %FPDF container exercises the flat-
+    # map plumbing; pdf_real_pages below drives the REAL kernel) ----------
     def pdf_pages(spark, sf):
         from weakscraper_spark.operators.pdf import pdf_extract
         w = 15
@@ -887,6 +887,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .filter("status = 'ok' AND text = want")
                 .select("doc_id", "page_no", "n_lines", "n_bytes"))
     q["pdf_pages"] = pdf_pages
+
+    # ---- REAL %PDF- kernel end-to-end, ORACLE-VALUE-CHECKED: render
+    # each document's 15-token chunks as a spec-valid multi-page PDF
+    # (FlateDecode streams, operators/pdf.py::render_minimal_pdf),
+    # parse it back distributed (object scan → page tree → inflate →
+    # text operators), and emit per-page rows; DuckDB recomputes the
+    # chunking from `documents` directly, so every byte of extracted
+    # page text is hash-compared against the source ----------------------
+    def pdf_real_pages(spark, sf):
+        import pandas as pd
+        from weakscraper_spark.operators.pdf import (
+            pdf_extract, render_minimal_pdf)
+        w = 15
+        tk = _t(spark, sf, "documents").select(
+            "doc_id", _tokens().alias("_t"))
+        n_chunks = F.ceil(F.size("_t") / w).cast("int")
+        chunks = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(F.col("_t"), i * w + 1, w), " "))
+        docs = tk.select("doc_id", chunks.alias("pages"))
+
+        def render(batches):
+            for pdf in batches:
+                yield pd.DataFrame({
+                    "doc_id": pdf["doc_id"],
+                    "blob": [render_minimal_pdf(list(p))
+                             for p in pdf["pages"]]})
+
+        blobs = docs.mapInPandas(render, "doc_id long, blob binary")
+        return (pdf_extract(blobs, blob_col="blob")
+                .select("doc_id",
+                        F.col("page_no").cast("long").alias("page_no"),
+                        "status", "text",
+                        F.col("n_lines").cast("long").alias("n_lines")))
+    q["pdf_real_pages"] = pdf_real_pages
 
     # ---- the extraction operator itself (rows-only BUT value-pinned:
     # a row survives only if extraction matched the synthesized ground
@@ -946,6 +982,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("status"))
     q["extract_rescued"] = extract_rescued
 
+    # ---- WARC ingestion, ORACLE-VALUE-CHECKED: render one gzip'd
+    # WARC archive per document (response record wrapping the doc
+    # text as an HTML body; every 7th doc is an image/png record that
+    # the pages view must FILTER), parse distributed, and compare
+    # url/timestamp/body/byte-count against DuckDB's direct
+    # reconstruction from `documents` ---------------------------------------
+    def warc_ingest(spark, sf):
+        import pandas as pd
+        from weakscraper_spark.sources.warc import build_warc, warc_pages
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+
+        def mk(batches):
+            for pdf in batches:
+                paths, blobs = [], []
+                for did, text in zip(pdf["doc_id"], pdf["text"]):
+                    mime = ("image/png" if did % 7 == 0
+                            else "text/html; charset=utf-8")
+                    rec = {"type": "response",
+                           "url": f"https://w{did % 20}.example.com"
+                                  f"/d/{did}",
+                           "date": "2024-05-01T00:00:00Z",
+                           "body": f"<html><body>{text}</body></html>",
+                           "http_status": 200, "mime": mime}
+                    paths.append(f"part-{did}.warc.gz")
+                    blobs.append(build_warc([rec]))
+                yield pd.DataFrame({"path": paths, "content": blobs})
+
+        files = docs.mapInPandas(mk, "path string, content binary")
+        return (warc_pages(files)
+                .select("url",
+                        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss")
+                        .alias("ts_str"),
+                        F.decode("html", "UTF-8").alias("html_text"),
+                        F.col("n_bytes").cast("long").alias("n_bytes")))
+    q["warc_ingest"] = warc_ingest
+
+    # ---- charset sniff + decode, ORACLE-VALUE-CHECKED: three
+    # encoding scenarios per doc (meta-declared latin-1, undeclared
+    # utf-8, undeclared latin-1 that must fall back), WHATWG sniff
+    # order mirrored as a closed form in SQL -------------------------------
+    def decode_pages(spark, sf):
+        from weakscraper_spark.operators.charset import decode_html
+        d = F.col("doc_id")
+        body = F.concat(F.lit("<p>"), F.col("text"),
+                        F.lit(" café</p>"))
+        declared = F.concat(F.lit('<meta charset="iso-8859-1">'), body)
+        raw = (F.when(d % 3 == 0, F.encode(declared, "ISO-8859-1"))
+               .when(d % 3 == 1, F.encode(body, "UTF-8"))
+               .otherwise(F.encode(body, "ISO-8859-1")))
+        src = _t(spark, sf, "documents").select(
+            "doc_id", raw.alias("html"))
+        return (decode_html(src)
+                .select("doc_id", "text_decoded", "encoding", "status"))
+    q["decode_pages"] = decode_pages
+
+    # ---- head-metadata extraction, ORACLE-VALUE-CHECKED: synthesize
+    # title/description/canonical/og/lang/h1 from doc fields, walk
+    # the real DOM parser distributed, mirror the fields in SQL ------------
+    def page_meta(spark, sf):
+        from weakscraper_spark.operators.metadata import page_metadata
+        d = F.col("doc_id")
+        html = F.concat(
+            F.lit('<html lang="en"><head><title>Doc '),
+            d.cast("string"),
+            F.lit('</title><meta name="description" content="'),
+            F.col("source"), F.lit(' doc">'),
+            F.when(d % 2 == 0, F.concat(
+                F.lit('<link rel="canonical" '
+                      'href="https://c.example.com/'),
+                d.cast("string"), F.lit('">'))).otherwise(F.lit("")),
+            F.lit("</head><body><h1>H"), d.cast("string"),
+            F.lit("</h1><p>"), F.col("text"),
+            F.lit("</p></body></html>"))
+        src = _t(spark, sf, "documents").select(
+            F.concat(F.lit("https://m.example.com/"),
+                     d.cast("string")).alias("url"),
+            F.encode(html, "UTF-8").alias("html"))
+        return page_metadata(src).select(
+            "url", "title", "meta_description", "canonical",
+            "og_title", "lang_attr", "h1", "status")
+    q["page_meta"] = page_meta
+
     # ---- END-TO-END corpus build: pages → extract(+fallback) →
     # quality/dedup verdict (rows-only; the per-reason counts are
     # fully deterministic, drift anywhere in the chain moves them) --------
@@ -963,7 +1081,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count("*").alias("n")).orderBy("reason"))
     q["web_corpus"] = web_corpus
 
-    return q
+    # Driver sampling order (VERDICT r03 #2): the driver checks ~50
+    # queries per round IN DICT ORDER, so entries that have never
+    # appeared in a CORRECTNESS_r*.json ledger go FIRST — every
+    # operator earns a hard external correctness row across rounds;
+    # the 50 r03-green queries rotate into the remaining slots.
+    _sample_first = [
+        "pii_scrub", "lm_scores", "doc_len_quantiles",
+        "grouping_sets_stats", "bm25_search", "vocab_top",
+        "bpe_pairs", "bpe_merges", "hybrid_search", "pdf_pages",
+        "pdf_real_pages", "warc_ingest", "decode_pages", "page_meta",
+        "boiler_extract", "extract_rescued", "web_corpus",
+    ]
+    return {**{k: q[k] for k in _sample_first},
+            **{k: v for k, v in q.items() if k not in _sample_first}}
 
 
 # ---------------------------------------------------------------------------
@@ -1396,6 +1527,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(round(s.avg_logprob, 4) AS DECIMAL(18,4))
                         AS VARCHAR) AS avg_logprob
             FROM tk LEFT JOIN s USING (doc_id)
+        """,
+        "warc_ingest": """
+            SELECT 'https://w' || (doc_id % 20)::VARCHAR
+                   || '.example.com/d/' || doc_id::VARCHAR AS url,
+                   '2024-05-01 00:00:00' AS ts_str,
+                   '<html><body>' || text || '</body></html>'
+                       AS html_text,
+                   octet_length(encode('<html><body>' || text
+                                || '</body></html>'))::BIGINT AS n_bytes
+            FROM documents
+            WHERE doc_id % 7 <> 0
+        """,
+        "decode_pages": """
+            SELECT doc_id,
+                   CASE doc_id % 3
+                        WHEN 0 THEN '<meta charset="iso-8859-1"><p>'
+                                    || text || ' café</p>'
+                        ELSE '<p>' || text || ' café</p>' END
+                       AS text_decoded,
+                   CASE doc_id % 3 WHEN 1 THEN 'utf-8'
+                        ELSE 'cp1252' END AS encoding,
+                   CASE doc_id % 3 WHEN 0 THEN 'ok:meta'
+                        WHEN 1 THEN 'ok:utf8'
+                        ELSE 'ok:fallback' END AS status
+            FROM documents
+        """,
+        "page_meta": """
+            SELECT 'https://m.example.com/' || doc_id::VARCHAR AS url,
+                   'Doc ' || doc_id::VARCHAR AS title,
+                   source || ' doc' AS meta_description,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'https://c.example.com/'
+                             || doc_id::VARCHAR END AS canonical,
+                   NULL::VARCHAR AS og_title,
+                   'en' AS lang_attr,
+                   'H' || doc_id::VARCHAR AS h1,
+                   'ok' AS status
+            FROM documents
+        """,
+        "pdf_real_pages": """
+            WITH tk AS (SELECT doc_id,
+                               string_split_regex(trim(text), '\\s+') AS t
+                        FROM documents),
+            pg AS (SELECT doc_id,
+                          unnest(range(0, cast(ceil(len(t) / 15.0)
+                                               AS INT))) AS page_no,
+                          t
+                   FROM tk)
+            SELECT doc_id,
+                   page_no::BIGINT AS page_no,
+                   'ok' AS status,
+                   array_to_string(t[(page_no * 15 + 1):
+                                     (page_no * 15 + 15)], ' ') AS text,
+                   CASE WHEN array_to_string(
+                            t[(page_no * 15 + 1):(page_no * 15 + 15)],
+                            ' ') = '' THEN 0 ELSE 1 END::BIGINT
+                       AS n_lines
+            FROM pg
         """,
         "pii_scrub": """
             WITH m AS (

@@ -10,14 +10,13 @@ noisy-neighbor interference): noise-probe gating before every timed
 round, >=2 interleaved rounds with min-per-item, raw walls emitted
 for audit.
 
-Output keys:
-  metric/value/unit/queries/sf      — driver contract (queries =
-                                      min across gated rounds)
-  query_walls_per_round             — raw per-round query walls
-  extraction                        — pages/sec at both parallelism
-                                      levels + scaling_efficiency
-                                      ((p@4N / p@N) / 4, target >=0.8,
-                                      min-based) + paired-median twin
+Output: the FINAL stdout line is a compact JSON headline —
+metric/value/unit/queries/sf (queries = min across gated rounds) and
+extraction (pages/sec at both parallelism levels, scaling_efficiency
+= (p@4N / p@N) / 4 with target >=0.8, min-based, + paired-median
+twin). Raw per-round walls and noise probes go to the sidecar
+BENCH/walls_latest.json so the audit trail survives without
+overflowing the driver's stdout tail capture.
 """
 
 from __future__ import annotations
@@ -120,7 +119,8 @@ def _run_queries(sf_dir: str, cpus: int,
         "contamination", "url_canon", "gopher_flags", "bm25_search",
         "hybrid_search", "dup_components", "incr_dedup",
         "crawl_waves", "robots_frontier", "lm_scores", "pii_scrub",
-        "extract_pages", "boiler_extract",
+        "extract_pages", "boiler_extract", "pdf_real_pages",
+        "warc_ingest", "page_meta",
     ]
     # embedding_near_dup (exact all-pairs baseline) is deliberately
     # NOT a headline: it is the documented small-N correctness twin of
@@ -333,12 +333,26 @@ def main() -> None:
     times, total, query_walls = _run_queries(sf_dir, cpus, workdir)
     shutil.rmtree(workdir, ignore_errors=True)
 
+    # The driver captures only the TAIL of stdout: r03's single fat
+    # JSON line (raw per-round walls for 33 queries) outgrew that
+    # window and lost its head → BENCH_r03.json parsed:null (VERDICT
+    # r03 #1). So: FULL payload (raw walls, noise probes) goes to a
+    # sidecar file for audit; the FINAL stdout line is a compact
+    # headline the driver can always parse.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sidecar = os.path.join(repo, "BENCH", "walls_latest.json")
+    os.makedirs(os.path.dirname(sidecar), exist_ok=True)
+    with open(sidecar, "w") as fh:
+        json.dump({"query_walls_per_round": query_walls,
+                   "extraction_all_walls": scaling.pop("all_walls"),
+                   "noise_probe_per_round":
+                       scaling.pop("noise_probe_per_round")}, fh)
+    print(f"raw walls -> {sidecar}")
     print(json.dumps({
         "metric": "headline query wall-clock + extraction scaling",
         "value": total,
         "unit": "sec",
         "queries": times,
-        "query_walls_per_round": query_walls,
         "sf": float(sf),
         "extraction": scaling,
     }))

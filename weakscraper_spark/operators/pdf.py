@@ -139,12 +139,27 @@ def _stream_text(content: bytes) -> str:
 
 def _decode_stream(obj_body: bytes) -> bytes:
     """Cut the stream payload out of an object body and inflate it if
-    its dict names FlateDecode. Raises on unsupported filters."""
-    sm = _STREAM_RE.search(obj_body)
-    if sm is None:
+    its dict names FlateDecode. Raises on unsupported filters.
+
+    The payload is sliced by the dict's direct ``/Length`` when
+    present (the spec-correct cut): the delimiter-regex fallback
+    drops the final payload byte whenever compressed data happens to
+    end in CR — ``\\r?\\n?endstream`` backtracks it away (caught by
+    the oracle value-check on real corpus chunks, r04)."""
+    om = re.search(rb"stream\r?\n", obj_body)
+    if om is None:
         return b""
-    payload = sm.group(1)
-    head = obj_body[:sm.start()]
+    lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)",
+                   obj_body[:om.start()])
+    if lm is not None:
+        payload = obj_body[om.end():om.end() + int(lm.group(1))]
+        head = obj_body[:om.start()]
+    else:  # indirect /Length → delimiter fallback
+        sm = _STREAM_RE.search(obj_body)
+        if sm is None:
+            return b""
+        payload = sm.group(1)
+        head = obj_body[:sm.start()]
     if b"/Filter" not in head:
         return payload
     if b"/FlateDecode" in head:

@@ -1,0 +1,263 @@
+"""WARC ingestion — the wire format Common Crawl actually ships
+(ISO 28500 / WARC 1.0; cites the public weakscraper's assumed input
+per SURVEY §2.1: Document = one crawled page). This closes the gap
+between "a parquet pages table exists" and "raw crawl archives on
+object storage": ``warc_records``/``warc_pages`` turn whole ``.warc``
+/ ``.warc.gz`` files into the repo's standard pages rows
+(url, warc_ts, html binary, ...), ready for ``prepare_pages``.
+
+Parser shape (pure stdlib, total — same taxonomy discipline as the
+HTML/PDF parsers: malformed records become status rows, never
+exceptions):
+
+- gzip handling: CC archives are MULTI-MEMBER gzip (one member per
+  record, so byte-range fetches work). ``_inflate_members`` walks
+  members with zlib ``unused_data`` — stdlib ``gzip.decompress``
+  already concatenates members, but looping explicitly lets a
+  corrupt TAIL degrade to the records already decoded instead of
+  losing the file.
+- record framing: ``WARC/<ver>\\r\\n`` header block to the first
+  blank line, then exactly ``Content-Length`` payload bytes, then
+  ``\\r\\n\\r\\n``. Length-first slicing (no delimiter scanning over
+  payloads — same lesson as the PDF stream cutter).
+- HTTP unwrap: ``response`` records carry an HTTP/1.x message;
+  ``_split_http`` peels status + headers and returns the body bytes
+  untouched (bytes, not str — charset decoding is a separate,
+  explicit stage: operators/charset.py).
+
+Spark shape: one task per archive (an archive is one independent
+byte stream — the natural parallel unit; CC ships ~64k files per
+crawl, far more than executor slots, so file-level parallelism
+saturates any cluster). ``mapInPandas`` flat-maps (path, content)
+rows to per-record rows; no shuffle.
+
+``build_warc`` is the test-fixture construction path (header
+serialization, per-record gzip members) and shares no code with the
+parser.
+"""
+
+from __future__ import annotations
+
+import zlib
+from email.utils import parsedate_to_datetime
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+WARC_PAGES_SCHEMA = (
+    "src string, record_no int, status string, record_type string, "
+    "url string, warc_ts timestamp, http_status int, mime string, "
+    "html binary, n_bytes int"
+)
+
+
+def _inflate_members(raw: bytes) -> bytes:
+    """Concatenated-gzip-member inflate; a corrupt tail yields what
+    decoded so far (plus the parser emits a status row for it)."""
+    out = []
+    data = raw
+    while data[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(31)
+        try:
+            out.append(d.decompress(data))
+        except zlib.error:
+            break
+        if not d.eof:  # truncated final member
+            break
+        data = d.unused_data
+    return b"".join(out)
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    """Lenient header block → lowercase-keyed dict (folded lines and
+    malformed entries skipped, not fatal)."""
+    headers: dict[str, str] = {}
+    for line in block.split(b"\r\n"):
+        if b":" not in line:
+            continue
+        k, v = line.split(b":", 1)
+        headers[k.strip().decode("latin-1").lower()] = \
+            v.strip().decode("latin-1")
+    return headers
+
+
+def _split_http(payload: bytes) -> tuple[int | None, dict[str, str],
+                                         bytes]:
+    """HTTP/1.x message → (status, headers, body). Non-HTTP payloads
+    come back as (None, {}, payload) — caller decides."""
+    if not payload.startswith(b"HTTP/"):
+        return None, {}, payload
+    head, sep, body = payload.partition(b"\r\n\r\n")
+    if not sep:
+        return None, {}, payload
+    first, _, rest = head.partition(b"\r\n")
+    parts = first.split(None, 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        return None, {}, payload
+    return status, _parse_headers(rest), body
+
+
+def iter_warc_records(raw: bytes) -> Iterator[dict]:
+    """Total parse of one archive's bytes (gzip'd or plain) into
+    record dicts: {record_type, url, date, http_status, mime, body,
+    status}. A malformed region emits one error record and stops
+    (frame sync is gone past it — honest truncation, never a raise)."""
+    if raw[:2] == b"\x1f\x8b":
+        raw = _inflate_members(raw)
+    pos = 0
+    while pos < len(raw):
+        # skip inter-record padding
+        while raw[pos:pos + 2] in (b"\r\n",) and pos < len(raw):
+            pos += 2
+        if pos >= len(raw):
+            return
+        if not raw.startswith(b"WARC/", pos):
+            yield {"status": "error:FrameSync", "record_type": None,
+                   "url": None, "date": None, "http_status": None,
+                   "mime": None, "body": b""}
+            return
+        head_end = raw.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            yield {"status": "error:TruncatedHeader", "record_type": None,
+                   "url": None, "date": None, "http_status": None,
+                   "mime": None, "body": b""}
+            return
+        headers = _parse_headers(raw[pos:head_end])
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            yield {"status": "error:NoLength", "record_type":
+                   headers.get("warc-type"), "url":
+                   headers.get("warc-target-uri"), "date": None,
+                   "http_status": None, "mime": None, "body": b""}
+            return
+        body_start = head_end + 4
+        payload = raw[body_start:body_start + length]
+        truncated = len(payload) < length
+        rtype = headers.get("warc-type")
+        url = headers.get("warc-target-uri")
+        date = headers.get("warc-date")
+        http_status, http_headers, body = (None, {}, payload)
+        mime = headers.get("content-type")
+        if rtype == "response":
+            http_status, http_headers, body = _split_http(payload)
+            mime = http_headers.get("content-type", mime)
+        yield {"status": ("error:TruncatedBody" if truncated else "ok"),
+               "record_type": rtype, "url": url, "date": date,
+               "http_status": http_status, "mime": mime, "body": body}
+        if truncated:
+            return
+        pos = body_start + length
+
+
+def _warc_date(date: str | None):
+    """WARC-Date (ISO 8601 Zulu) or HTTP date → naive UTC datetime,
+    None when unparseable (the column is typed, errors stay visible
+    in `status`)."""
+    if not date:
+        return None
+    try:
+        from datetime import datetime
+        return datetime.fromisoformat(date.replace("Z", "+00:00")) \
+            .replace(tzinfo=None)
+    except ValueError:
+        try:
+            return parsedate_to_datetime(date).replace(tzinfo=None)
+        except Exception:
+            return None
+
+
+def warc_records(files: DataFrame, path_col: str = "path",
+                 content_col: str = "content") -> DataFrame:
+    """(path, content-bytes) rows → one row PER WARC RECORD (all
+    types — response/request/warcinfo/metadata; callers filter).
+    Narrow flat map; html = the unwrapped HTTP body for responses,
+    the raw block otherwise."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("src", "record_no", "status",
+                                   "record_type", "url", "warc_ts",
+                                   "http_status", "mime", "html",
+                                   "n_bytes")}
+            for path, raw in zip(pdf[path_col], pdf[content_col]):
+                raw = bytes(raw) if raw is not None else b""
+                n = 0
+                for rec in iter_warc_records(raw):
+                    out["src"].append(path)
+                    out["record_no"].append(n)
+                    out["status"].append(rec["status"])
+                    out["record_type"].append(rec["record_type"])
+                    out["url"].append(rec["url"])
+                    out["warc_ts"].append(_warc_date(rec["date"]))
+                    out["http_status"].append(rec["http_status"])
+                    out["mime"].append(rec["mime"])
+                    out["html"].append(rec["body"])
+                    out["n_bytes"].append(len(rec["body"]))
+                    n += 1
+                if n == 0:  # empty/garbage file: visible, not vanished
+                    out["src"].append(path)
+                    out["record_no"].append(-1)
+                    out["status"].append("error:Empty")
+                    out["record_type"].append(None)
+                    out["url"].append(None)
+                    out["warc_ts"].append(None)
+                    out["http_status"].append(None)
+                    out["mime"].append(None)
+                    out["html"].append(None)
+                    out["n_bytes"].append(0)
+            yield pd.DataFrame(out)
+
+    return (files.select(path_col, content_col)
+            .mapInPandas(run, WARC_PAGES_SCHEMA))
+
+
+def warc_pages(files: DataFrame, path_col: str = "path",
+               content_col: str = "content") -> DataFrame:
+    """The pages-table view of an archive set: HTML 200-response
+    records only, columns aligned with the standard pages schema
+    (url, warc_ts, html) so `prepare_pages` composes directly."""
+    from pyspark.sql import functions as F
+    recs = warc_records(files, path_col, content_col)
+    return (recs.filter((F.col("status") == "ok") &
+                        (F.col("record_type") == "response") &
+                        (F.col("http_status") == 200) &
+                        F.col("mime").startswith("text/html"))
+            .select("url", "warc_ts", "html", "src", "n_bytes"))
+
+
+def build_warc(records: list[dict], gzip_members: bool = True) -> bytes:
+    """Fixture construction path (disjoint from the parser): each
+    record dict carries {type, url, date, body, http_status, mime};
+    response bodies are wrapped in an HTTP/1.1 message. One gzip
+    member per record when ``gzip_members`` (the CC layout)."""
+    out = []
+    for r in records:
+        body = r.get("body", b"")
+        if isinstance(body, str):
+            body = body.encode("utf-8")
+        if r.get("type") == "response":
+            http = (b"HTTP/1.1 %d OK\r\nContent-Type: %s\r\n"
+                    b"Content-Length: %d\r\n\r\n"
+                    % (r.get("http_status", 200),
+                       r.get("mime", "text/html").encode("latin-1"),
+                       len(body)))
+            payload = http + body
+        else:
+            payload = body
+        head = [b"WARC/1.0",
+                b"WARC-Type: " + r["type"].encode("latin-1")]
+        if r.get("url"):
+            head.append(b"WARC-Target-URI: " + r["url"].encode("latin-1"))
+        if r.get("date"):
+            head.append(b"WARC-Date: " + r["date"].encode("latin-1"))
+        head.append(b"Content-Length: %d" % len(payload))
+        rec = b"\r\n".join(head) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+        if gzip_members:
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            rec = co.compress(rec) + co.flush()
+        out.append(rec)
+    return b"".join(out)
