@@ -1064,6 +1064,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "og_title", "lang_attr", "h1", "status")
     q["page_meta"] = page_meta
 
+    # ---- snapshot-log table semantics (Iceberg stand-in,
+    # sources/snaptable.py), ORACLE-VALUE-CHECKED: two appends + an
+    # overwrite over partitions of `documents`, then time travel to
+    # every version plus an incremental read — row counts and id sums
+    # must equal DuckDB's closed-form per-partition aggregates ------------
+    def snap_versions(spark, sf):
+        import tempfile
+        from weakscraper_spark.sources.snaptable import SnapTable
+        docs = _t(spark, sf, "documents").select("doc_id")
+        t = SnapTable(spark, tempfile.mkdtemp(prefix="snapq_"))
+        t.commit_append(docs.filter(F.col("doc_id") % 3 == 0))
+        t.commit_append(docs.filter(F.col("doc_id") % 3 == 1))
+        t.commit_overwrite(docs.filter(F.col("doc_id") % 3 == 2))
+
+        def summarize(df, tag):
+            return (df.agg(F.count("*").alias("n_rows"),
+                           F.sum("doc_id").alias("sum_ids"))
+                    .select(F.lit(tag).cast("long").alias("version"),
+                            "n_rows", "sum_ids"))
+
+        out = summarize(t.read(version=1), 1)
+        out = out.unionByName(summarize(t.read(version=2), 2))
+        out = out.unionByName(summarize(t.read(version=3), 3))
+        return out.unionByName(summarize(t.incremental(1, 2), 99))
+    q["snap_versions"] = snap_versions
+
     # ---- END-TO-END corpus build: pages → extract(+fallback) →
     # quality/dedup verdict (rows-only; the per-reason counts are
     # fully deterministic, drift anywhere in the chain moves them) --------
@@ -1091,7 +1117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_stats", "bm25_search", "vocab_top",
         "bpe_pairs", "bpe_merges", "hybrid_search", "pdf_pages",
         "pdf_real_pages", "warc_ingest", "decode_pages", "page_meta",
-        "boiler_extract", "extract_rescued", "web_corpus",
+        "snap_versions", "boiler_extract", "extract_rescued",
+        "web_corpus",
     ]
     return {**{k: q[k] for k in _sample_first},
             **{k: v for k, v in q.items() if k not in _sample_first}}
@@ -1527,6 +1554,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(round(s.avg_logprob, 4) AS DECIMAL(18,4))
                         AS VARCHAR) AS avg_logprob
             FROM tk LEFT JOIN s USING (doc_id)
+        """,
+        "snap_versions": """
+            SELECT 1::BIGINT AS version, count(*) AS n_rows,
+                   sum(doc_id)::BIGINT AS sum_ids
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT 2, count(*), sum(doc_id)::BIGINT
+            FROM documents WHERE doc_id % 3 IN (0, 1)
+            UNION ALL
+            SELECT 3, count(*), sum(doc_id)::BIGINT
+            FROM documents WHERE doc_id % 3 = 2
+            UNION ALL
+            SELECT 99, count(*), sum(doc_id)::BIGINT
+            FROM documents WHERE doc_id % 3 = 1
         """,
         "warc_ingest": """
             SELECT 'https://w' || (doc_id % 20)::VARCHAR
