@@ -1090,6 +1090,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.unionByName(summarize(t.incremental(1, 2), 99))
     q["snap_versions"] = snap_versions
 
+    # ---- raw-crawl extraction (rows-only BUT value-pinned, same
+    # filter-on-truth rule as extract_pages): synth pages packed into
+    # gzip'd WARC archives IN-STAGE → record parse → charset decode →
+    # template extract → dedup-latest; a row survives only when the
+    # whole chain reproduced the synthesized ground truth ------------------
+    def raw_extract(spark, sf):
+        import pandas as pd
+        from weakscraper_spark.plans.pipeline import build_extract_plan
+        from weakscraper_spark.plans.raw_pipeline import warc_to_pages
+        from weakscraper_spark.sources.synth import (
+            compiled_specs, synth_pages, synth_templates)
+        from weakscraper_spark.sources.warc import build_warc
+        n = 2000 if "0.01" in sf else (6000 if "0.1" in sf else 600)
+        pages = synth_pages(spark, n)
+
+        def pack(batches):
+            for pdf in batches:
+                recs = [
+                    {"type": "response", "url": u,
+                     "date": pd.Timestamp(ts).strftime(
+                         "%Y-%m-%dT%H:%M:%SZ"),
+                     "body": bytes(h), "http_status": 200,
+                     "mime": "text/html; charset=utf-8"}
+                    for u, ts, h in zip(pdf["url"], pdf["warc_ts"],
+                                        pdf["html"])]
+                yield pd.DataFrame({"path": ["mem.warc.gz"],
+                                    "content": [build_warc(recs)]})
+
+        files = pages.select("url", "warc_ts", "html") \
+            .mapInPandas(pack, "path string, content binary")
+        out = build_extract_plan(warc_to_pages(files),
+                                 synth_templates(spark),
+                                 compiled_specs())
+        truth = synth_pages(spark, n).select(
+            "url", "warc_ts", F.col("text").alias("truth"))
+        ok_match = (F.col("status") == "ok") & \
+            (F.col("text") == F.col("truth"))
+        fail_match = (F.col("status") != "ok") & (F.col("truth") == "")
+        return (out.join(truth, ["url", "warc_ts"])
+                .filter(ok_match | fail_match)
+                .select("url", "status", "text", "n_nodes"))
+    q["raw_extract"] = raw_extract
+
     # ---- END-TO-END corpus build: pages → extract(+fallback) →
     # quality/dedup verdict (rows-only; the per-reason counts are
     # fully deterministic, drift anywhere in the chain moves them) --------
@@ -1117,8 +1160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_stats", "bm25_search", "vocab_top",
         "bpe_pairs", "bpe_merges", "hybrid_search", "pdf_pages",
         "pdf_real_pages", "warc_ingest", "decode_pages", "page_meta",
-        "snap_versions", "boiler_extract", "extract_rescued",
-        "web_corpus",
+        "snap_versions", "raw_extract", "boiler_extract",
+        "extract_rescued", "web_corpus",
     ]
     return {**{k: q[k] for k in _sample_first},
             **{k: v for k, v in q.items() if k not in _sample_first}}

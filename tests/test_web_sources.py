@@ -201,6 +201,65 @@ def test_page_metadata_fields_sparse_and_garbage():
     assert isinstance(f, dict)
 
 
+def test_warc_to_pages_charset_leg(spark):
+    """A cp1252 body with a transport charset comes out as clean
+    UTF-8 html bytes with the encoding recorded."""
+    from weakscraper_spark.plans.raw_pipeline import warc_to_pages
+    body = "<p>café page</p>".encode("cp1252")
+    files = spark.createDataFrame(
+        [("f", build_warc([
+            {"type": "response", "url": "https://x.example.com/1",
+             "date": "2024-05-01T00:00:00Z", "body": body,
+             "http_status": 200,
+             "mime": "text/html; charset=windows-1252"}]))],
+        "path string, content binary")
+    rows = warc_to_pages(files).collect()
+    assert len(rows) == 1
+    assert rows[0].encoding == "cp1252"
+    assert bytes(rows[0].html).decode("utf-8") == "<p>café page</p>"
+
+
+def test_raw_warc_extract_end_to_end(spark, tmp_path):
+    """The full raw-crawl plan: synthesized template pages packed
+    into gzip'd WARC archives on disk → binaryFile scan → record
+    parse → charset decode → template extract (+fallback) →
+    latest-per-url. Every template-ok row's text is BYTE-IDENTICAL
+    to the synthesized ground truth (the north rule's invariant,
+    end-to-end from archive bytes)."""
+    from weakscraper_spark.plans.raw_pipeline import (
+        build_raw_extract_plan)
+    from weakscraper_spark.sources.synth import (
+        compiled_specs, rows_for_index, synth_templates)
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    truth_latest: dict[str, tuple] = {}
+    recs = []
+    for i in range(40):
+        for (url, ts, html, text, _lang) in rows_for_index(
+                i, 50, 0.3, 42):
+            if url not in truth_latest or ts > truth_latest[url][0]:
+                truth_latest[url] = (ts, text)
+            recs.append({"type": "response", "url": url,
+                         "date": ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                         "body": html, "http_status": 200,
+                         "mime": "text/html; charset=utf-8"})
+    for k in range(4):
+        (wdir / f"part-{k}.warc.gz").write_bytes(build_warc(recs[k::4]))
+
+    out = build_raw_extract_plan(spark, str(wdir),
+                                 synth_templates(spark),
+                                 compiled_specs()).collect()
+    assert len(out) == len(truth_latest)        # one row per url
+    ok = [r for r in out if r.status == "ok"]
+    assert ok, "no template-extracted rows came through the raw plan"
+    for r in ok:
+        assert r.text == truth_latest[r.url][1], r.url
+    # ground-truth-empty pages (mismatch/malformed) never fake an ok
+    for r in out:
+        if truth_latest[r.url][1] == "":
+            assert r.status != "ok"
+
+
 def test_page_metadata_spark(spark):
     df = spark.createDataFrame(
         [("u1", FULL_PAGE.encode("utf-8")), ("u2", None)],
