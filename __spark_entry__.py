@@ -414,6 +414,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "n_kept")
     q["para_dedup"] = para_dedup
 
+    def line_freq(spark, sf):
+        # C4's boilerplate-line rule over the same 8-word chunking as
+        # para_dedup: every chunk occurring in >2 distinct docs is
+        # removed EVERYWHERE (not first-kept); mirrored in SQL
+        from weakscraper_spark.operators.dedup import (
+            line_frequency_filter)
+        w = 8
+        tk = _t(spark, sf, "documents").select(
+            "doc_id", _tokens().alias("_t"))
+        n_chunks = F.ceil(F.size("_t") / w).cast("int")
+        chunked = tk.select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.array_join(
+                        F.slice(F.col("_t"), i * w + 1, w), " ")),
+                "\n").alias("text"))
+        out = line_frequency_filter(chunked, max_docs=2)
+        return out.select("doc_id", "text_kept",
+                          F.col("n_lines").cast("long").alias("n_lines"),
+                          "n_kept")
+    q["line_freq"] = line_freq
+
     def incr_dedup(spark, sf):
         # incremental corpus update: every 5th doc arrives as "new",
         # the rest are the existing corpus; verdicts value-checked
@@ -1160,8 +1184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_stats", "bm25_search", "vocab_top",
         "bpe_pairs", "bpe_merges", "hybrid_search", "pdf_pages",
         "pdf_real_pages", "warc_ingest", "decode_pages", "page_meta",
-        "snap_versions", "raw_extract", "boiler_extract",
-        "extract_rescued", "web_corpus",
+        "snap_versions", "raw_extract", "line_freq",
+        "boiler_extract", "extract_rescued", "web_corpus",
     ]
     return {**{k: q[k] for k in _sample_first},
             **{k: v for k, v in q.items() if k not in _sample_first}}
@@ -1912,6 +1936,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id,
                    coalesce(a.text_dedup, '') AS text_dedup,
                    len(string_split(c.text, chr(10))) AS n_pars,
+                   coalesce(a.n_kept, 0) AS n_kept
+            FROM ch c LEFT JOIN agg a USING (doc_id)
+        """,
+        "line_freq": """
+            WITH tk AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS t
+                FROM documents),
+            ch AS (
+                SELECT doc_id,
+                       array_to_string(list_transform(
+                           range(0, cast(ceil(len(t) / 8.0) AS INT)),
+                           i -> array_to_string(t[i*8+1 : i*8+8], ' ')),
+                           chr(10)) AS text
+                FROM tk),
+            pars AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS par,
+                       unnest(range(0, len(string_split(text, chr(10)))))
+                           AS pos
+                FROM ch),
+            freq AS (
+                SELECT par, count(DISTINCT doc_id) AS ndocs
+                FROM pars GROUP BY par),
+            agg AS (
+                SELECT p.doc_id,
+                       string_agg(p.par, chr(10) ORDER BY p.pos)
+                           AS text_kept,
+                       count(*) AS n_kept
+                FROM pars p JOIN freq f USING (par)
+                WHERE f.ndocs <= 2
+                GROUP BY p.doc_id)
+            SELECT c.doc_id,
+                   coalesce(a.text_kept, '') AS text_kept,
+                   len(string_split(c.text, chr(10))) AS n_lines,
                    coalesce(a.n_kept, 0) AS n_kept
             FROM ch c LEFT JOIN agg a USING (doc_id)
         """,

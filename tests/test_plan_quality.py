@@ -226,6 +226,19 @@ def test_paragraph_dedup_no_window(spark):
     assert "HashAggregate" in names or "ObjectHashAggregate" in names
 
 
+def test_line_frequency_filter_no_window(spark):
+    """The distinct-doc line count must be a two-phase aggregation,
+    never a window — the hottest boilerplate line at corpus scale
+    would otherwise buffer in one task."""
+    from weakscraper_spark.operators.dedup import line_frequency_filter
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, "b\nc")], "doc_id long, text string")
+    nodes = _plan_nodes(line_frequency_filter(df))
+    names = [n for _, n in nodes]
+    assert "Window" not in names
+    assert "HashAggregate" in names or "ObjectHashAggregate" in names
+
+
 def test_repetition_windows_are_per_doc_only(spark):
     """The only window in repetition_stats partitions by doc_id
     (bounded by doc length) — never by gram (corpus-hot)."""

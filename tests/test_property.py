@@ -140,3 +140,72 @@ def test_pdf_parse_total_on_arbitrary_bytes(raw):
     from weakscraper_spark.operators.pdf import parse_any_pdf
     status, pages = parse_any_pdf(raw)
     assert isinstance(status, str) and isinstance(pages, list)
+
+
+@given(st.binary(max_size=300))
+def test_warc_parse_total_on_arbitrary_bytes(raw):
+    from weakscraper_spark.sources.warc import iter_warc_records
+    for rec in iter_warc_records(raw):
+        assert isinstance(rec["status"], str)
+
+
+@given(st.lists(
+    st.fixed_dictionaries({
+        "type": st.sampled_from(["response", "request", "metadata"]),
+        "url": st.text(alphabet="abc:/._-", max_size=40),
+        "date": st.just("2024-05-01T00:00:00Z"),
+        "body": st.binary(max_size=200),
+        "http_status": st.sampled_from([200, 301, 404]),
+        "mime": st.sampled_from(["text/html", "image/png"]),
+    }), max_size=5),
+    st.booleans())
+def test_warc_roundtrip_property(recs, gz):
+    """Any record list survives build→parse with types, urls, bodies
+    and statuses intact (construction path disjoint from parser)."""
+    from weakscraper_spark.sources.warc import (
+        build_warc, iter_warc_records)
+    got = list(iter_warc_records(build_warc(recs, gzip_members=gz)))
+    assert len(got) == len(recs)
+    for r, g in zip(recs, got):
+        assert g["status"] == "ok"
+        assert g["record_type"] == r["type"]
+        assert g["body"] == r["body"]
+        if r["type"] == "response":
+            assert g["http_status"] == r["http_status"]
+
+
+@given(st.binary(max_size=300),
+       st.one_of(st.none(), st.text(max_size=12)))
+def test_sniff_decode_total(raw, label):
+    from weakscraper_spark.operators.charset import sniff_decode
+    t, enc, status = sniff_decode(raw, label)
+    assert isinstance(t, str) and isinstance(enc, str)
+    assert status.startswith("ok")
+
+
+@given(st.text(alphabet="<>/=\"' abceihlmtu&#;!-nav", max_size=400))
+def test_page_metadata_total_on_taggy_garbage(doc):
+    from weakscraper_spark.operators.metadata import (
+        page_metadata_fields)
+    f = page_metadata_fields(doc)
+    assert set(f) == {"title", "meta_description", "canonical",
+                      "og_title", "lang_attr", "h1"}
+
+
+@given(st.lists(st.text(
+    alphabet=" abcdef()\\\n", max_size=60), min_size=1, max_size=4),
+    st.booleans())
+def test_pdf_real_roundtrip_property(pages, compress):
+    """render_minimal_pdf → stdlib kernel round-trips ANY latin-1
+    page text with parens/backslashes/newlines, compressed or not."""
+    from weakscraper_spark.operators.pdf import (
+        parse_any_pdf, render_minimal_pdf)
+    # the renderer emits one Tj line per \n-split segment and the
+    # parser joins non-empty lines — normalize expectation the same
+    # way
+    want = ["\n".join(s for s in p.split("\n") if s != "")
+            for p in pages]
+    status, got = parse_any_pdf(
+        render_minimal_pdf(pages, compress=compress))
+    assert status == "ok"
+    assert got == want

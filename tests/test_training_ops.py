@@ -1020,6 +1020,34 @@ def test_crawl_schedule_keeps_unparseable_urls(spark):
     assert by_url["https://ok.example.com/a"].host == "ok.example.com"
 
 
+def test_line_frequency_filter_removes_all_copies(spark):
+    """C4 rule vs paragraph_dedup: a line in >max_docs docs vanishes
+    EVERYWHERE (no surviving first copy); rarer lines keep every
+    occurrence, including within-doc repeats."""
+    from weakscraper_spark.operators.dedup import (
+        line_frequency_filter, paragraph_dedup)
+    rows = [
+        (1, "cookie banner\nreal content one"),
+        (2, "cookie banner\nreal content two"),
+        (3, "cookie banner\nunique text\nunique text"),
+        (4, "only here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           line_frequency_filter(df, max_docs=2).collect()}
+    # 'cookie banner' is in 3 docs -> gone everywhere
+    assert out[1].text_kept == "real content one"
+    assert out[2].text_kept == "real content two"
+    # within-doc repeats of a 1-doc line are BOTH kept (frequency is
+    # distinct-docs, not occurrences)
+    assert out[3].text_kept == "unique text\nunique text"
+    assert out[3].n_kept == 2 and out[3].n_lines == 3
+    assert out[4].text_kept == "only here"
+    # contrast: paragraph_dedup keeps the banner's first occurrence
+    pd_out = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    assert pd_out[1].text_dedup.startswith("cookie banner")
+
+
 def test_paragraph_dedup_sep_is_literal(spark):
     """A regex-special separator ('.') splits literally (ADVICE r03:
     F.split takes a Java regex — the op escapes it)."""

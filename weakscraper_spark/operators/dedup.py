@@ -497,6 +497,49 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
                     F.coalesce("n_kept", F.lit(0)).alias("n_kept")))
 
 
+def line_frequency_filter(df: DataFrame, id_col: str = "doc_id",
+                          col: str = "text", max_docs: int = 2,
+                          sep: str = "\n") -> DataFrame:
+    """C4's boilerplate-line rule (Raffel et al., JMLR'20 §2.2 —
+    "any line occurring in three or more documents is removed"):
+    drop EVERY occurrence of a line that appears in more than
+    ``max_docs`` DISTINCT documents. Complements ``paragraph_dedup``
+    (first-occurrence-wins keeps one copy; this removes ALL copies of
+    corpus-frequent boilerplate like cookie banners).
+
+    Returns (id, text_kept, n_lines, n_kept) for every input doc.
+
+    Scale shape: posexplode (narrow) → two-phase count_distinct per
+    line (map-side partial; the hot boilerplate line combines before
+    the shuffle) → equi-join back → groupBy(id) rebuild. Same
+    two-shuffle narrow-row profile as ``paragraph_dedup``; ``sep``
+    is a literal (regex-escaped)."""
+    sep_re = re.escape(sep)
+    pars = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(col), sep_re)).alias("pos", "par"))
+    freq = pars.groupBy("par").agg(
+        F.count_distinct(id_col).alias("_ndocs"))
+    kept = (pars.join(freq, "par")
+            .filter(F.col("_ndocs") <= max_docs)
+            .select(id_col, "pos", "par"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "par"))),
+                lambda s: s["par"]),
+            sep).alias("text_kept"),
+        F.count("*").alias("n_kept"))
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(col), sep_re)).alias("n_lines"))
+    return (totals.join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce("text_kept", F.lit("")).alias("text_kept"),
+                    "n_lines",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept")))
+
+
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
                        col: str = "text", max_hamming: int = 3,
                        drop_zero: bool = True,
