@@ -438,6 +438,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "n_kept")
     q["line_freq"] = line_freq
 
+    def pack_seqs(spark, sf):
+        # pretraining sequence-packing placement: md5-binned shards,
+        # per-bin running token offsets, window indices — the whole
+        # placement value-checked against the mirrored draw in SQL
+        from weakscraper_spark.operators.corpus import pack_sequences
+        return pack_sequences(_t(spark, sf, "documents"),
+                              seq_len=128, n_bins=4)
+    q["pack_seqs"] = pack_seqs
+
     def incr_dedup(spark, sf):
         # incremental corpus update: every 5th doc arrives as "new",
         # the rest are the existing corpus; verdicts value-checked
@@ -1184,7 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_stats", "bm25_search", "vocab_top",
         "bpe_pairs", "bpe_merges", "hybrid_search", "pdf_pages",
         "pdf_real_pages", "warc_ingest", "decode_pages", "page_meta",
-        "snap_versions", "raw_extract", "line_freq",
+        "snap_versions", "raw_extract", "line_freq", "pack_seqs",
         "boiler_extract", "extract_rescued", "web_corpus",
     ]
     return {**{k: q[k] for k in _sample_first},
@@ -1973,6 +1982,29 @@ def oracle_sql() -> dict[str, str]:
                    len(string_split(c.text, chr(10))) AS n_lines,
                    coalesce(a.n_kept, 0) AS n_kept
             FROM ch c LEFT JOIN agg a USING (doc_id)
+        """,
+        "pack_seqs": """
+            WITH tk AS (
+                SELECT doc_id,
+                       len(string_split_regex(trim(lower(text)),
+                           '\\s+'))::BIGINT AS n_tokens,
+                       CAST(floor(
+                           ('0x' || substr(md5('42:bin:'
+                                || doc_id::VARCHAR), 1, 15))::UBIGINT
+                           / (16.0 ** 15) * 4) AS BIGINT) AS bin
+                FROM documents),
+            w AS (
+                SELECT *, sum(n_tokens) OVER (
+                           PARTITION BY bin ORDER BY doc_id
+                       )::BIGINT AS end_tok
+                FROM tk)
+            SELECT doc_id, bin, n_tokens,
+                   (end_tok - n_tokens)::BIGINT AS start_tok, end_tok,
+                   CAST(floor((end_tok - n_tokens) / 128.0) AS BIGINT)
+                       AS seq_first,
+                   CAST(floor((end_tok - 1) / 128.0) AS BIGINT)
+                       AS seq_last
+            FROM w
         """,
         "minhash_lsh": f"""
             WITH {_MINHASH_PAIRS_CTES}

@@ -1020,6 +1020,37 @@ def test_crawl_schedule_keeps_unparseable_urls(spark):
     assert by_url["https://ok.example.com/a"].host == "ok.example.com"
 
 
+def test_pack_sequences_contiguous_and_invariant(spark):
+    """Within every bin the doc intervals tile [0, total) with no
+    gaps or overlaps in id order; boundary-spanning docs are flagged
+    by seq_last > seq_first; placement is partitioning-invariant."""
+    from weakscraper_spark.operators.corpus import pack_sequences
+    rows = [(i, " ".join(["w"] * (5 + i % 40))) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, seq_len=32, n_bins=3).collect()
+    assert len(out) == 60
+    by_bin: dict = {}
+    for r in out:
+        by_bin.setdefault(r.bin, []).append(r)
+    assert len(by_bin) > 1
+    for rows_b in by_bin.values():
+        rows_b.sort(key=lambda r: r.doc_id)
+        at = 0
+        for r in rows_b:
+            assert r.start_tok == at          # contiguous, no gaps
+            assert r.end_tok == at + r.n_tokens
+            assert r.seq_first == r.start_tok // 32
+            assert r.seq_last == (r.end_tok - 1) // 32
+            at = r.end_tok
+    # docs longer than seq_len MUST span windows
+    for r in out:
+        if r.n_tokens > 32:
+            assert r.seq_last > r.seq_first
+    again = sorted(map(tuple, pack_sequences(
+        df.repartition(7), seq_len=32, n_bins=3).collect()))
+    assert again == sorted(map(tuple, out))
+
+
 def test_line_frequency_filter_removes_all_copies(spark):
     """C4 rule vs paragraph_dedup: a line in >max_docs docs vanishes
     EVERYWHERE (no surviving first copy); rarer lines keep every

@@ -124,3 +124,51 @@ def contamination_overlap(train: DataFrame, evalset: DataFrame,
             .groupBy("doc")
             .agg(F.count("*").alias("n_overlap"))
             .select(F.col("doc").alias(id_col), "n_overlap"))
+
+
+def pack_sequences(df: DataFrame, id_col: str = "doc_id",
+                   col: str = "text", seq_len: int = 512,
+                   n_bins: int = 8, seed: int = 42) -> DataFrame:
+    """Concat-and-chunk sequence packing PLACEMENT (the GPT-style
+    pretraining layout: documents concatenated in a fixed order and
+    cut into ``seq_len``-token windows, documents spanning window
+    boundaries split): for every doc, which shard ("bin") it packs
+    into and its token interval there.
+
+    Returns (id, bin, n_tokens, start_tok, end_tok[exclusive],
+    seq_first, seq_last) — seq_first/seq_last are the first/last
+    window indices the doc touches; seq_last > seq_first means the
+    doc is split across window boundaries. The actual byte shuffling
+    into training files is the (trivial) consumer of this placement.
+
+    Determinism + scale shape: the bin is the md5-uniform draw used
+    by ``hash_sample`` (mirrored bit-for-bit in DuckDB → the whole
+    placement is value-checked, and identical on every run /
+    partitioning / resume). Offsets are a running sum over a window
+    PARTITIONED BY BIN in id order — bounded per-bin work, so choose
+    ``n_bins ≈ corpus_docs / 10k`` at scale (10^12 docs → 10^8 bins
+    of ~10k docs); packing is inherently a per-shard prefix sum, and
+    bins ARE the shards, exactly how production packing pipelines
+    parallelize. Sequence indices are bin-local; (bin, seq) is the
+    global sequence key."""
+    from pyspark.sql import Window
+
+    u = (F.conv(F.substring(
+            F.md5(F.encode(F.concat(F.lit(f"{seed}:bin:"),
+                                    F.col(id_col).cast("string")),
+                           "UTF-8")), 1, 15), 16, 10)
+         .cast("double") / F.lit(float(16 ** 15)))
+    toks = df.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(F.lower(F.col(col))),
+                       r"\s+")).cast("long").alias("n_tokens"),
+        F.floor(u * n_bins).cast("long").alias("bin"))
+    w = Window.partitionBy("bin").orderBy(id_col)
+    placed = (toks
+              .withColumn("end_tok", F.sum("n_tokens").over(w))
+              .withColumn("start_tok",
+                          F.col("end_tok") - F.col("n_tokens")))
+    return placed.select(
+        id_col, "bin", "n_tokens", "start_tok", "end_tok",
+        F.floor(F.col("start_tok") / seq_len).alias("seq_first"),
+        F.floor((F.col("end_tok") - 1) / seq_len).alias("seq_last"))
