@@ -625,7 +625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.concat(F.lit("r"), F.col("id").cast("string"),
                      F.lit(".example.com")).alias("host"),
             F.when(F.col("id") % 2 == 0,
-                   F.lit("User-agent: *\nDisallow: /private/"))
+                   F.lit("User-agent: *\nDisallow: /private/\n"
+                         "Crawl-delay: 2"))
             .otherwise(F.lit("")).alias("robots_txt"))
         return robots_filter(urls, hosts)
     q["robots_frontier"] = robots_frontier
@@ -1839,7 +1840,9 @@ def oracle_sql() -> dict[str, str]:
                    'r' || (doc_id % 10)::VARCHAR || '.example.com'
                        AS host,
                    NOT (doc_id % 10 % 2 = 0 AND doc_id % 4 = 0)
-                       AS allowed
+                       AS allowed,
+                   CASE WHEN doc_id % 10 % 2 = 0 THEN 2.0 END
+                       AS crawl_delay
             FROM documents
         """,
         "crawl_waves": """

@@ -239,6 +239,24 @@ def test_line_frequency_filter_no_window(spark):
     assert "HashAggregate" in names or "ObjectHashAggregate" in names
 
 
+def test_frontier_plan_no_corpus_width_rejoin(spark):
+    """Lineage columns ride the passthrough operators — the frontier
+    plan's only joins are the broadcast robots/host-count sides, no
+    url-keyed shuffle join to re-attach n_variants (r04)."""
+    from weakscraper_spark.plans.frontier import build_frontier_plan
+    urls = spark.createDataFrame(
+        [(f"https://h{i % 3}.example.com/p/{i}",) for i in range(30)],
+        "url string")
+    robots = spark.createDataFrame(
+        [("h0.example.com", "User-agent: *\nDisallow: /x")],
+        "host string, robots_txt string")
+    plan = build_frontier_plan(urls, robots)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_repetition_windows_are_per_doc_only(spark):
     """The only window in repetition_stats partitions by doc_id
     (bounded by doc length) — never by gram (corpus-hot)."""

@@ -818,6 +818,17 @@ def test_robots_semantics_direct():
     assert allowed_by("", "https://h/private/x") is True
 
 
+def test_robots_crawl_delay():
+    from weakscraper_spark.operators.robots import delay_of
+    txt = ("User-agent: badbot\nCrawl-delay: 30\n\n"
+           "User-agent: *\nDisallow: /private/\nCrawl-delay: 2")
+    assert delay_of(txt) == 2.0
+    assert delay_of(txt, agent="badbot") == 30.0
+    assert delay_of("User-agent: *\nDisallow: /x") is None
+    assert delay_of(None) is None
+    assert delay_of("") is None
+
+
 def test_robots_filter_broadcast_and_audit(spark):
     from weakscraper_spark.operators.robots import robots_filter
     urls = spark.createDataFrame(

@@ -51,7 +51,9 @@ def _norm_label(label: str) -> str | None:
         return "cp1252"
     try:
         return codecs.lookup(label).name
-    except LookupError:
+    except (LookupError, ValueError):
+        # ValueError: labels with embedded NULs (found by the
+        # property fuzz) — codecs.lookup raises it, not LookupError
         return None
 
 

@@ -23,7 +23,6 @@ from urllib.robotparser import RobotFileParser
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-ROBOTS_SCHEMA = "url string, host string, allowed boolean"
 
 _PARSER_CACHE: dict[str, RobotFileParser] = {}
 
@@ -48,27 +47,46 @@ def allowed_by(txt: str | None, url: str, agent: str = "*") -> bool:
         return True
 
 
+def delay_of(txt: str | None, agent: str = "*") -> float | None:
+    """Crawl-delay for ``agent`` (RFC 9309 extension the fetch fleet
+    must honor per host): None when absent/unparseable — the
+    scheduler then uses its politeness default."""
+    if not txt:
+        return None
+    try:
+        d = _parser(txt).crawl_delay(agent)
+        return None if d is None else float(d)
+    except Exception:
+        return None
+
+
 def robots_filter(df: DataFrame, robots: DataFrame,
                   url_col: str = "url", agent: str = "*") -> DataFrame:
-    """urls × (host, robots_txt) → (url, host, allowed). Callers
-    ``filter("allowed")`` for the fetchable frontier; the full flag
-    set keeps the drop auditable (same discipline as clean_corpus)."""
-    rows = (df.select(F.col(url_col).alias("url"))
-            .withColumn("host",  # try_: bad url → NULL host → left
-                        F.try_parse_url("url", F.lit("HOST")))  # join keeps it, robots_txt NULL → allowed
+    """urls × (host, robots_txt) → input columns + (host, allowed,
+    crawl_delay). Callers ``filter("allowed")`` for the fetchable
+    frontier; the full flag set keeps the drop auditable (same
+    discipline as clean_corpus). Input columns PASS THROUGH so
+    upstream lineage (e.g. url_dedup's n_variants) rides the rows —
+    no corpus-width re-join downstream. ``try_parse_url``: a bad url
+    gets a NULL host, the left join keeps it, NULL policy → allowed."""
+    in_cols = list(df.columns)
+    rows = (df.withColumn("host",
+                          F.try_parse_url(url_col, F.lit("HOST")))
             .join(F.broadcast(robots.select("host", "robots_txt")),
                   "host", "left"))
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+    ) + ", host string, allowed boolean, crawl_delay double"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            txts = pdf["robots_txt"].tolist()
-            urls = pdf["url"].tolist()
-            yield pd.DataFrame({
-                "url": urls,
-                "host": pdf["host"].tolist(),
-                "allowed": [allowed_by(t if isinstance(t, str) else None,
-                                       u, agent)
-                            for t, u in zip(txts, urls)],
-            })
+            out = pdf[in_cols + ["host"]].copy()
+            urls = pdf[url_col].tolist()
+            norm = [t if isinstance(t, str) else None
+                    for t in pdf["robots_txt"]]
+            out["allowed"] = [allowed_by(t, u, agent)
+                              for t, u in zip(norm, urls)]
+            out["crawl_delay"] = [delay_of(t, agent) for t in norm]
+            yield out
 
-    return rows.mapInPandas(run, ROBOTS_SCHEMA)
+    return rows.mapInPandas(run, schema)

@@ -87,20 +87,28 @@ def crawl_schedule(df: DataFrame, per_host: int = 2,
     schedule row — the sentinel "host" gets politeness waves like
     any other, and the caller can audit/route ``host = ''`` rows
     explicitly (the DuckDB oracle's regexp_extract mirrors this: no
-    match → '')."""
-    host = F.coalesce(F.try_parse_url(F.col(url_col), F.lit("HOST")),
-                      F.lit(""))
-    rows = df.select(F.col(url_col).alias("url"), host.alias("host"))
+    match → '').
+
+    Input columns PASS THROUGH (appended: host — reused if the input
+    already carries one, e.g. from robots_filter — plus wave, slot),
+    so upstream lineage rides the rows instead of needing a
+    corpus-width re-join."""
+    if "host" in df.columns:
+        rows = df
+    else:
+        host = F.coalesce(
+            F.try_parse_url(F.col(url_col), F.lit("HOST")), F.lit(""))
+        rows = df.withColumn("host", host)
     counts = rows.groupBy("host").agg(F.count("*").alias("_n"))
     n_waves = F.greatest(F.ceil(F.col("_n") / per_host), F.lit(1))
 
     def u(salt: str):
         return (F.conv(F.substring(
             F.md5(F.encode(F.concat(F.lit(f"{seed}:{salt}:"),
-                                    F.col("url")), "UTF-8")),
+                                    F.col(url_col)), "UTF-8")),
             1, 15), 16, 10).cast("double") / F.lit(float(16 ** 15)))
 
     return (rows.join(F.broadcast(counts), "host")
-            .select("url", "host",
+            .select(*rows.columns,
                     F.floor(u("w") * n_waves).cast("long").alias("wave"),
                     F.floor(u("s") * per_host).cast("long").alias("slot")))
