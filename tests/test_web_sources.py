@@ -66,6 +66,22 @@ def test_warc_truncated_and_garbage_are_status_not_raise():
     assert got and got[0]["record_type"] == "warcinfo"
 
 
+def test_warc_streaming_frames_span_members():
+    """Records are framed incrementally from the member stream: a
+    whole multi-record archive compressed as ONE gzip member (records
+    span member boundaries in the rolling buffer) parses identically
+    to the one-member-per-record CC layout."""
+    import zlib
+    plain = build_warc(RECS, gzip_members=False)
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    one_member = co.compress(plain) + co.flush()
+    a = list(iter_warc_records(one_member))
+    b = list(iter_warc_records(build_warc(RECS, gzip_members=True)))
+    assert [(r["record_type"], r["status"], r["body"]) for r in a] == \
+        [(r["record_type"], r["status"], r["body"]) for r in b]
+    assert len(a) == len(RECS)
+
+
 def test_warc_spark_flatmap_and_pages_view(spark):
     files = spark.createDataFrame(
         [("f1.warc.gz", build_warc(RECS)),

@@ -11,15 +11,17 @@ HTML/PDF parsers: malformed records become status rows, never
 exceptions):
 
 - gzip handling: CC archives are MULTI-MEMBER gzip (one member per
-  record, so byte-range fetches work). ``_inflate_members`` walks
-  members with zlib ``unused_data`` — stdlib ``gzip.decompress``
-  already concatenates members, but looping explicitly lets a
-  corrupt TAIL degrade to the records already decoded instead of
-  losing the file.
+  record, so byte-range fetches work). ``_iter_member_chunks`` walks
+  members LAZILY with zlib ``unused_data`` — stdlib
+  ``gzip.decompress`` would inflate the whole archive up front
+  (~1 GB compressed → ~4 GB in one task); streaming member-at-a-time
+  caps peak memory at one record and lets a corrupt TAIL degrade to
+  the records already decoded instead of losing the file.
 - record framing: ``WARC/<ver>\\r\\n`` header block to the first
   blank line, then exactly ``Content-Length`` payload bytes, then
   ``\\r\\n\\r\\n``. Length-first slicing (no delimiter scanning over
-  payloads — same lesson as the PDF stream cutter).
+  payloads — same lesson as the PDF stream cutter), framed
+  INCREMENTALLY from a rolling buffer so records may span members.
 - HTTP unwrap: ``response`` records carry an HTTP/1.x message;
   ``_split_http`` peels status + headers and returns the body bytes
   untouched (bytes, not str — charset decoding is a separate,
@@ -52,21 +54,23 @@ WARC_PAGES_SCHEMA = (
 )
 
 
-def _inflate_members(raw: bytes) -> bytes:
-    """Concatenated-gzip-member inflate; a corrupt tail yields what
-    decoded so far (plus the parser emits a status row for it)."""
-    out = []
+def _iter_member_chunks(raw: bytes):
+    """Yield each gzip member's inflated bytes IN TURN (generator —
+    peak memory is one member, not the whole archive: CC archives
+    are ~1 GB compressed / ~4 GB inflated, but one member = one
+    record ≈ 100s of KB). A corrupt/truncated tail yields what
+    decoded so far and stops."""
     data = raw
     while data[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(31)
         try:
-            out.append(d.decompress(data))
+            chunk = d.decompress(data)
         except zlib.error:
-            break
+            return
+        yield chunk
         if not d.eof:  # truncated final member
-            break
+            return
         data = d.unused_data
-    return b"".join(out)
 
 
 def _parse_headers(block: bytes) -> dict[str, str]:
@@ -100,57 +104,94 @@ def _split_http(payload: bytes) -> tuple[int | None, dict[str, str],
     return status, _parse_headers(rest), body
 
 
+_NEED_MORE = object()
+
+
+def _next_frame(buf: bytes, pos: int, final: bool):
+    """One framing step over ``buf[pos:]``. Returns (record|None,
+    new_pos) — record None with unchanged meaning "clean end of
+    input"; the sentinel ``_NEED_MORE`` as the record means the
+    buffer ends mid-frame and the caller should append more inflated
+    bytes first (only when not ``final``). Error records carry a
+    status and end the stream (frame sync is gone past a malformed
+    region — honest truncation, never a raise)."""
+    n = len(buf)
+    while buf[pos:pos + 2] == b"\r\n":  # inter-record padding
+        pos += 2
+    if pos >= n:
+        return None, pos
+    if not buf.startswith(b"WARC/", pos):
+        if not final and n - pos < 5:
+            return _NEED_MORE, pos
+        return {"status": "error:FrameSync", "record_type": None,
+                "url": None, "date": None, "http_status": None,
+                "mime": None, "body": b""}, n
+    head_end = buf.find(b"\r\n\r\n", pos)
+    if head_end < 0:
+        if not final:
+            return _NEED_MORE, pos
+        return {"status": "error:TruncatedHeader", "record_type": None,
+                "url": None, "date": None, "http_status": None,
+                "mime": None, "body": b""}, n
+    headers = _parse_headers(buf[pos:head_end])
+    try:
+        length = int(headers.get("content-length", ""))
+    except ValueError:
+        return {"status": "error:NoLength", "record_type":
+                headers.get("warc-type"), "url":
+                headers.get("warc-target-uri"), "date": None,
+                "http_status": None, "mime": None, "body": b""}, n
+    body_start = head_end + 4
+    if body_start + length > n and not final:
+        return _NEED_MORE, pos
+    payload = buf[body_start:body_start + length]
+    truncated = len(payload) < length
+    rtype = headers.get("warc-type")
+    mime = headers.get("content-type")
+    http_status, http_headers, body = (None, {}, payload)
+    if rtype == "response":
+        http_status, http_headers, body = _split_http(payload)
+        mime = http_headers.get("content-type", mime)
+    rec = {"status": ("error:TruncatedBody" if truncated else "ok"),
+           "record_type": rtype, "url": headers.get("warc-target-uri"),
+           "date": headers.get("warc-date"),
+           "http_status": http_status, "mime": mime, "body": body}
+    return rec, (n if truncated else body_start + length)
+
+
 def iter_warc_records(raw: bytes) -> Iterator[dict]:
     """Total parse of one archive's bytes (gzip'd or plain) into
     record dicts: {record_type, url, date, http_status, mime, body,
-    status}. A malformed region emits one error record and stops
-    (frame sync is gone past it — honest truncation, never a raise)."""
+    status}. STREAMING over gzip members — records are framed
+    incrementally from a rolling buffer, so peak memory is the input
+    bytes plus roughly one inflated member (records may span members;
+    the buffer is compacted after every yielded record), never the
+    whole inflated archive. Malformed regions emit one error record
+    and stop — honest truncation, never a raise."""
     if raw[:2] == b"\x1f\x8b":
-        raw = _inflate_members(raw)
+        chunks = _iter_member_chunks(raw)
+    else:
+        chunks = iter((raw,))
+    buf = b""
     pos = 0
-    while pos < len(raw):
-        # skip inter-record padding
-        while raw[pos:pos + 2] in (b"\r\n",) and pos < len(raw):
-            pos += 2
-        if pos >= len(raw):
+    for chunk in chunks:
+        buf = buf[pos:] + chunk
+        pos = 0
+        while True:
+            rec, pos = _next_frame(buf, pos, final=False)
+            if rec is _NEED_MORE or rec is None:
+                break
+            yield rec
+            if rec["status"].startswith("error:"):
+                return
+    # end of input: flush whatever is left as final
+    while True:
+        rec, pos = _next_frame(buf, pos, final=True)
+        if rec is None:
             return
-        if not raw.startswith(b"WARC/", pos):
-            yield {"status": "error:FrameSync", "record_type": None,
-                   "url": None, "date": None, "http_status": None,
-                   "mime": None, "body": b""}
+        yield rec
+        if rec["status"].startswith("error:"):
             return
-        head_end = raw.find(b"\r\n\r\n", pos)
-        if head_end < 0:
-            yield {"status": "error:TruncatedHeader", "record_type": None,
-                   "url": None, "date": None, "http_status": None,
-                   "mime": None, "body": b""}
-            return
-        headers = _parse_headers(raw[pos:head_end])
-        try:
-            length = int(headers.get("content-length", ""))
-        except ValueError:
-            yield {"status": "error:NoLength", "record_type":
-                   headers.get("warc-type"), "url":
-                   headers.get("warc-target-uri"), "date": None,
-                   "http_status": None, "mime": None, "body": b""}
-            return
-        body_start = head_end + 4
-        payload = raw[body_start:body_start + length]
-        truncated = len(payload) < length
-        rtype = headers.get("warc-type")
-        url = headers.get("warc-target-uri")
-        date = headers.get("warc-date")
-        http_status, http_headers, body = (None, {}, payload)
-        mime = headers.get("content-type")
-        if rtype == "response":
-            http_status, http_headers, body = _split_http(payload)
-            mime = http_headers.get("content-type", mime)
-        yield {"status": ("error:TruncatedBody" if truncated else "ok"),
-               "record_type": rtype, "url": url, "date": date,
-               "http_status": http_status, "mime": mime, "body": body}
-        if truncated:
-            return
-        pos = body_start + length
 
 
 def _warc_date(date: str | None):
