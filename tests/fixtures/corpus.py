@@ -240,6 +240,60 @@ FIXTURES = [
         expected_text=None,
     ),
     dict(
+        # r04 probe: an EMPTY capture element (no text children at
+        # all) is the same structural mismatch as a tag child —
+        # wp-name requires exactly one text child, "" is not captured
+        fixture_id="err_nonatomic_empty",
+        template='<div wp-name="t">x</div>',
+        page='<div>   \n  </div>',
+        expected=None,
+        expected_status="mismatch:NonAtomicChildError",
+        expected_text=None,
+    ),
+    dict(
+        # r04 probe: CDATA sections and other declarations are
+        # DROPPED by the tolerant parser (same as comments), so a
+        # capture div holding only <![CDATA[...]]> is the empty case
+        fixture_id="err_nonatomic_cdata",
+        template='<div wp-name="t">x</div>',
+        page='<div><![CDATA[raw]]></div>',
+        expected=None,
+        expected_status="mismatch:NonAtomicChildError",
+        expected_text=None,
+    ),
+    dict(
+        # r04 probe: comments inside a capture element are invisible
+        # — the remaining single text child captures normally
+        fixture_id="comment_invisible_in_capture",
+        template='<div wp-name="t">x</div>',
+        page='<div><!-- note -->Hello</div>',
+        expected={"t": "Hello"},
+        expected_status="ok",
+        expected_text="Hello",
+    ),
+    dict(
+        # r04 probe: tag/attr names are case-insensitive (HTMLParser
+        # lowercases both sides) — a <DIV CLASS=…> template matches a
+        # <div class=…> page
+        fixture_id="case_insensitive_tags_attrs",
+        template='<DIV CLASS="a" wp-name="t">x</DIV>',
+        page='<div class="a">Hi</div>',
+        expected={"t": "Hi"},
+        expected_status="ok",
+        expected_text="Hi",
+    ),
+    dict(
+        # r04 probe: character references decode before capture
+        # (convert_charrefs) — entities and numeric refs come back as
+        # their characters, byte-identically
+        fixture_id="entities_decode_in_capture",
+        template='<p wp-name="t">x</p>',
+        page='<p>a &amp; b &lt;c&gt; &#233;</p>',
+        expected={"t": "a & b <c> é"},
+        expected_status="ok",
+        expected_text="a & b <c> é",
+    ),
+    dict(
         fixture_id="err_attrs",
         template='<div class="main"><p wp-name="c">x</p></div>',
         page='<div class="other"><p>C</p></div>',
