@@ -101,6 +101,42 @@ def test_crash_before_manifest_leaves_no_visible_rows(spark, tmp_path):
     assert t.current_version() == 1
 
 
+def test_run_pipeline_snap_exactly_once(spark, tmp_path):
+    """The snapshot-sink pipeline: run 1 commits an increment, run 2
+    over a superset extracts ONLY the new urls, a duplicate run 3
+    appends nothing; a crash-window staging leaves zero visible rows;
+    time travel sees each increment."""
+    from weakscraper_spark.plans.pipeline import run_pipeline_snap
+    from weakscraper_spark.sources.snaptable import SnapTable
+    from weakscraper_spark.sources.synth import (
+        compiled_specs, synth_pages, synth_templates)
+    root = str(tmp_path / "snap_sink")
+    templates = synth_templates(spark)
+    specs = compiled_specs()
+
+    r1 = run_pipeline_snap(spark, synth_pages(spark, 60), templates,
+                           specs, root)
+    t = SnapTable(spark, root)
+    n1 = t.read().count()
+    assert r1["version"] == 1 and r1["rows_written"] == n1 > 0
+
+    r2 = run_pipeline_snap(spark, synth_pages(spark, 90), templates,
+                           specs, root)
+    assert r2["version"] == 2
+    assert r2["rows_written"] == t.read().count() - n1  # only new work
+    assert t.incremental(1, 2).count() == r2["rows_written"]
+    assert t.read(version=1).count() == n1              # time travel
+
+    r3 = run_pipeline_snap(spark, synth_pages(spark, 90), templates,
+                           specs, root)                  # duplicate
+    assert r3["rows_written"] == 0
+    assert t.read().count() == n1 + r2["rows_written"]
+
+    # crash window: staged-but-uncommitted files stay invisible
+    t._stage_files(synth_pages(spark, 5).limit(5))
+    assert t.read().count() == n1 + r2["rows_written"]
+
+
 def test_catalog_snap_roundtrip(spark, tmp_path):
     cat = Catalog(spark, fmt="snap")
     ref = str(tmp_path / "cat_t")

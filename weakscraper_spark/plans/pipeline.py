@@ -297,6 +297,62 @@ def run_pipeline(spark: SparkSession, pages: DataFrame,
             "pages_out": pages_out, "metrics_out": metrics_out}
 
 
+def run_pipeline_snap(spark: SparkSession, pages: DataFrame,
+                      templates: DataFrame, specs: dict[str, str],
+                      table_root: str,
+                      langs: list[str] | None = None,
+                      n_salts: int = 0,
+                      num_partitions: int | None = None,
+                      fallback: str | None = None) -> dict:
+    """The snapshot-table sink variant (sources/snaptable.py — the
+    Iceberg-semantics flow the prod catalog provides): the MANIFEST
+    COMMIT is the checkpoint barrier, which makes exactly-once
+    SIMPLER than the hive-partition sink:
+
+    - a run that crashes anywhere before its commit leaves ZERO
+      visible rows (only unreferenced orphan files) — the retry's
+      done-set is computed from the last committed snapshot, so it
+      simply re-extracts the uncommitted work; no per-run overwrite
+      keying, no partial-partition window;
+    - a duplicate invocation after success finds every url already
+      at its max warc_ts in the table → the anti-join empties the
+      plan → an empty (harmless, history-visible) append;
+    - consumers time-travel (`read(version=…)`) or consume ONLY an
+      increment (`incremental(v-1, v)`) — which is also how this
+      function computes per-partition metrics without re-scanning
+      the cumulative table.
+    """
+    from ..sources.snaptable import SnapTable
+    from pyspark.sql import Observation
+
+    t = SnapTable(spark, table_root)
+    done = None
+    if t.current_version():
+        done = (t.read()
+                .groupBy("url").agg(F.max("warc_ts").alias("done_ts"))
+                .localCheckpoint(eager=True))
+    plan = build_extract_plan(pages, templates, specs, langs=langs,
+                              done_urls=done, n_salts=n_salts,
+                              num_partitions=num_partitions,
+                              fallback=fallback)
+    obs = Observation()
+    plan = plan.observe(
+        obs, F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"))
+
+    t0 = time.perf_counter()
+    version = t.commit_append(plan)
+    wall_s = time.perf_counter() - t0
+    counts = obs.get
+
+    inc = t.incremental(version - 1, version)
+    metrics = partition_metrics(inc, f"v{version}")
+    return {"rows_written": counts["n"],
+            "ok_written": counts["ok"] or 0, "version": version,
+            "wall_s": wall_s, "table_root": table_root,
+            "n_metric_partitions": metrics.count()}
+
+
 def compact_sink(spark: SparkSession, pages_out: str,
                  run_id: str = "compact") -> dict:
     """Periodic MERGE-shaped compaction: rewrite the sink keeping only
