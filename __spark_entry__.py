@@ -980,6 +980,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("url", "template_id", "status", "text", "n_nodes"))
     q["extract_pages"] = extract_pages
 
+    # ---- extraction WITH capture spans (rows-only BUT value-pinned:
+    # a row survives only when extraction stayed byte-identical to
+    # ground truth AND the per-field source-offset spans were
+    # produced — the north rule's "text/spans per url" leg; span
+    # slice exactness itself is pinned corpus-wide in
+    # tests/test_spans.py) -------------------------------------------------
+    def extract_spans(spark, sf):
+        from weakscraper_spark.operators.extract import extract_pages
+        from weakscraper_spark.plans.pipeline import (
+            attach_template, prepare_pages)
+        from weakscraper_spark.sources.synth import (
+            compiled_specs, synth_pages, synth_templates)
+        n = 1000 if "0.01" in sf else (3000 if "0.1" in sf else 400)
+        pages = synth_pages(spark, n)
+        staged = attach_template(prepare_pages(pages),
+                                 synth_templates(spark))
+        out = extract_pages(staged, compiled_specs(), spans=True)
+        truth = synth_pages(spark, n).select(
+            "url", "warc_ts", F.col("text").alias("truth"))
+        return (out.join(truth, ["url", "warc_ts"])
+                .filter((F.col("status") == "ok") &
+                        (F.col("text") == F.col("truth")) &
+                        F.col("spans_json").isNotNull())
+                .select("url", "status",
+                        F.length("spans_json").cast("long")
+                        .alias("spans_len")))
+    q["extract_spans"] = extract_spans
+
     # ---- template-FREE extraction: boilerplate strip via shallow
     # text features (WSDM'10 rules; enginelib/boiler.py). Rows-only
     # BUT value-pinned: a row survives only when the largest content
@@ -1195,7 +1223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs", "bpe_merges", "hybrid_search", "pdf_pages",
         "pdf_real_pages", "warc_ingest", "decode_pages", "page_meta",
         "snap_versions", "raw_extract", "line_freq", "pack_seqs",
-        "boiler_extract", "extract_rescued", "web_corpus",
+        "extract_spans", "boiler_extract", "extract_rescued",
+        "web_corpus",
     ]
     return {**{k: q[k] for k in _sample_first},
             **{k: v for k, v in q.items() if k not in _sample_first}}

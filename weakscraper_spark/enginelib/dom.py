@@ -146,6 +146,78 @@ def parse_html_counted(html: str) -> tuple[Node, int]:
     return builder.root, builder.n_nodes
 
 
+class _SpanDomBuilder(_DomBuilder):
+    """Span-annotating variant: every TAG node gets
+    ``node["span"] = [start, end]`` — character offsets of the element
+    in the SOURCE html (start of ``<tag`` to just past the matching
+    ``</tag>``). A separate subclass so the default extract hot path
+    pays nothing; the north rule's "extracted text/spans per url"
+    contract is served by ``extract(..., spans=True)``.
+
+    Exactness: offsets come from ``HTMLParser.getpos()`` (line, col)
+    mapped through a precomputed line-start table. End offsets are
+    exact for explicitly-closed elements (position of ``</`` +
+    ``len(tag) + 3``; a rare ``</tag >`` with inner whitespace is off
+    by that whitespace); void/self-closing and implicitly-closed
+    elements keep the end of their START tag (the first unquoted
+    ``>`` scan) — the honest bound, since their close has no source
+    token."""
+
+    _src: str = ""
+    _line_starts: list[int] = [0]
+
+    def _abs(self) -> int:
+        lineno, col = self.getpos()
+        return self._line_starts[lineno - 1] + col
+
+    def _tag_end(self, start: int) -> int:
+        gt = self._src.find(">", start)
+        return gt + 1 if gt >= 0 else len(self._src)
+
+    def handle_starttag(self, tag, attrs):
+        super().handle_starttag(tag, attrs)
+        node = (self._stack[-1] if tag not in self.void_elements
+                else self._stack[-1]["children"][-1])
+        start = self._abs()
+        node["span"] = [start, self._tag_end(start)]
+
+    def handle_startendtag(self, tag, attrs):
+        super().handle_startendtag(tag, attrs)
+        node = self._stack[-1]["children"][-1]
+        start = self._abs()
+        node["span"] = [start, self._tag_end(start)]
+
+    def handle_endtag(self, tag):
+        stack = self._stack
+        node = None
+        if len(stack) > 1 and stack[-1]["name"] == tag:
+            node = stack[-1]
+        else:
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i]["name"] == tag:
+                    node = stack[i]
+                    break
+        super().handle_endtag(tag)
+        if node is not None and "span" in node:
+            node["span"][1] = self._abs() + len(tag) + 3
+
+
+def parse_html_spans_counted(html: str) -> tuple[Node, int]:
+    """Like :func:`parse_html_counted` with span-annotated tag nodes
+    (see :class:`_SpanDomBuilder`)."""
+    b = _SpanDomBuilder()
+    b._src = html
+    starts = [0]
+    idx = html.find("\n")
+    while idx >= 0:
+        starts.append(idx + 1)
+        idx = html.find("\n", idx + 1)
+    b._line_starts = starts
+    b.feed(html)
+    b.close()
+    return b.root, b.n_nodes
+
+
 def parse_template_html(html: str) -> Node:
     """Parse a template (wp-* markers preserved as ordinary attrs/tags)."""
     builder = _TemplateDomBuilder()

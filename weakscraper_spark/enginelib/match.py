@@ -24,9 +24,11 @@ register "spec serialization").
 
 from __future__ import annotations
 
+from contextvars import ContextVar
 from typing import Any, Callable
 
 from .dom import (Node, is_tag, is_text, parse_html, parse_html_counted,
+                  parse_html_spans_counted,
                   serialize_node)
 from .errors import (
     AttrsError,
@@ -78,6 +80,21 @@ def head_matches(spec: Spec, node: Node) -> bool:
     return is_tag(node) and node["name"] == spec["tag"] and _attrs_match(spec, node)
 
 
+# Span sink (north rule: "extracted text/spans per url"): when the
+# span-enabled extract entry activates this contextvar, every capture
+# site notes the captured ELEMENT's source-offset span under the
+# field name (a LIST of [start, end] — list captures repeat). Default
+# None → zero cost on the ordinary path; contextvar scoping keeps
+# concurrent extracts (threads/tasks) isolated.
+_SPANS: ContextVar[dict | None] = ContextVar("wp_spans", default=None)
+
+
+def _note_span(name: str, node: Node) -> None:
+    spans = _SPANS.get()
+    if spans is not None and "span" in node:
+        spans.setdefault(name, []).append(list(node["span"]))
+
+
 def match_node(spec: Spec, node: Node, results: Results, functions: Functions,
                path: tuple[str, ...]) -> None:
     """Deep-match one template spec against one page node (A4/A5/A7-A9).
@@ -120,12 +137,14 @@ def match_node(spec: Spec, node: Node, results: Results, functions: Functions,
         value = _apply_fn(spec["function_attrs"], dict(node["attrs"]),
                           functions, here)
         results[spec["capture_attrs"]] = value
+        _note_span(spec["capture_attrs"], node)
 
     if spec["recursive"]:
         # A9: capture the whole page subtree (node inclusive), serialized
         # canonically; children are NOT compared.
         value = _apply_fn(spec["function"], serialize_node(node), functions, here)
         results[spec["capture"]] = value
+        _note_span(spec["capture"], node)
         return
 
     if spec["ignore_content"]:
@@ -151,6 +170,7 @@ def _capture_atomic(spec: Spec, node: Node, results: Results,
     value = _apply_fn(spec["function"], normalize_text(children[0]["content"]),
                       functions, path)
     results[spec["capture"]] = value
+    _note_span(spec["capture"], node)
 
 
 def _match_list_item(spec: Spec, node: Node, functions: Functions,
@@ -167,6 +187,7 @@ def _match_list_item(spec: Spec, node: Node, functions: Functions,
     sub: Results = {}
     if spec["recursive"]:
         value = _apply_fn(spec["function"], serialize_node(node), functions, path)
+        _note_span(spec["capture"], node)
         return value
     if spec["nested"]:
         if not _attrs_match(spec, node):
@@ -174,11 +195,13 @@ def _match_list_item(spec: Spec, node: Node, functions: Functions,
         if spec["capture_attrs"]:
             sub[spec["capture_attrs"]] = _apply_fn(
                 spec["function_attrs"], dict(node["attrs"]), functions, path)
+            _note_span(spec["capture_attrs"], node)
         align_children(spec["children"], node["children"], sub, functions,
                        path + (spec["tag"],))
         return sub
     _capture_atomic(spec, node, sub, functions, path + (spec["tag"],))
     if spec["capture_attrs"]:
+        _note_span(spec["capture_attrs"], node)
         return {
             spec["capture_attrs"]: _apply_fn(
                 spec["function_attrs"], dict(node["attrs"]),
@@ -278,7 +301,7 @@ def count_nodes(node: Node) -> int:
 
 
 def extract(spec: Spec, html: str, functions: Functions | None = None,
-            text_key: str = "text") -> dict[str, Any]:
+            text_key: str = "text", spans: bool = False) -> dict[str, Any]:
     """Status-row extraction used by the Spark batch operator: never
     raises on mismatch; returns
     ``{status, error, fields (dict|None), text (str|None), n_nodes}``.
@@ -286,25 +309,43 @@ def extract(spec: Spec, html: str, functions: Functions | None = None,
     ``text`` is the value captured under ``text_key`` if present, else
     the '\\n'-join of all scalar string captures in capture (document)
     order — the byte-identical-text contract column.
+
+    ``spans=True`` (the north rule's "extracted text/spans per url"
+    leg) additionally returns ``spans``: field name → list of
+    [start, end) character offsets of the captured ELEMENT(S) in the
+    source html (lists repeat per item; nugget captures sit on text
+    nodes and carry no element span). Off by default — the span
+    parse annotates every tag node, so the plain path stays lean.
     """
     functions = functions or {}
     n_nodes = 0
+    span_sink: dict[str, list] | None = {} if spans else None
+    parser = parse_html_spans_counted if spans else parse_html_counted
+    token = _SPANS.set(span_sink) if spans else None
     try:
-        page_root, n_nodes = parse_html_counted(html)
+        page_root, n_nodes = parser(html)
         results: Results = {}
         align_children(spec["children"], page_root["children"], results,
                        functions, ())
         fields = results
     except CompareError as e:
         return {"status": e.status, "error": str(e), "fields": None,
-                "text": None, "n_nodes": n_nodes}
+                "text": None, "n_nodes": n_nodes,
+                **({"spans": None} if spans else {})}
     except RecursionError:
         return {"status": "mismatch:RecursionError",
                 "error": "document nesting too deep", "fields": None,
-                "text": None, "n_nodes": n_nodes}
+                "text": None, "n_nodes": n_nodes,
+                **({"spans": None} if spans else {})}
+    finally:
+        if token is not None:
+            _SPANS.reset(token)
     if text_key in fields and isinstance(fields[text_key], str):
         text = fields[text_key]
     else:
         text = "\n".join(v for v in fields.values() if isinstance(v, str))
-    return {"status": "ok", "error": "", "fields": fields, "text": text,
-            "n_nodes": n_nodes}
+    out = {"status": "ok", "error": "", "fields": fields, "text": text,
+           "n_nodes": n_nodes}
+    if spans:
+        out["spans"] = span_sink
+    return out

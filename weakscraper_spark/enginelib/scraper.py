@@ -34,9 +34,11 @@ class TemplateScraper:
         on mismatch (exactly the reference's contract)."""
         return match_document(self.spec, html, self.functions)
 
-    def extract(self, html: str) -> dict[str, Any]:
-        """Non-raising status-row variant (engine contract)."""
-        return extract(self.spec, html, self.functions)
+    def extract(self, html: str, spans: bool = False) -> dict[str, Any]:
+        """Non-raising status-row variant (engine contract).
+        ``spans=True`` adds per-field source-offset element spans
+        (match.extract)."""
+        return extract(self.spec, html, self.functions, spans=spans)
 
     def spec_json(self) -> str:
         """Broadcastable serialized spec (template registry format)."""

@@ -44,6 +44,10 @@ EXTRACT_SCHEMA = (
     "n_bytes int, parse_ms double, partition_id int"
 )
 
+# spans=True appends the field→[[start,end),...] source-offset map
+# (north rule: "extracted text/spans per url")
+EXTRACT_SPANS_SCHEMA = EXTRACT_SCHEMA + ", spans_json string"
+
 # Per-worker compiled-spec cache (worker reuse makes this amortize).
 _SPEC_CACHE: dict[str, Spec] = {}
 
@@ -72,7 +76,8 @@ def extract_pages(df: DataFrame,
                   spec_json_by_tid: dict[str, str],
                   functions: dict[str, Callable] | None = None,
                   text_key: str = "text",
-                  fallback: str | None = None) -> DataFrame:
+                  fallback: str | None = None,
+                  spans: bool = False) -> DataFrame:
     """Apply broadcast compiled templates to ``(url, warc_ts,
     template_id, html)`` rows. Extra columns are dropped (column
     pruning: don't ship what the Python worker won't read);
@@ -89,7 +94,14 @@ def extract_pages(df: DataFrame,
     width; in-stage fallback costs one extra local parse for the
     ~5-10% failing rows and nothing else. Recovered rows get status
     ``'ok_heuristic'`` with the template error preserved in ``error``
-    for audit; unrecovered rows keep their template status."""
+    for audit; unrecovered rows keep their template status.
+
+    ``spans=True`` adds a ``spans_json`` column: per captured field,
+    the [start, end) character offsets of the captured element(s) in
+    the SOURCE html (enginelib.match.extract(spans=True)) — the
+    labeling/audit artifact the north rule's "text/spans per url"
+    names. Off by default: the span parse annotates every tag node,
+    and the plain contract columns must not change shape."""
     if fallback not in (None, "heuristic"):
         raise ValueError(f"unknown fallback {fallback!r}")
     sc = df.sparkSession.sparkContext
@@ -111,6 +123,8 @@ def extract_pages(df: DataFrame,
                 "parse_ms": [0.0] * n,
                 "partition_id": [pid] * n,
             }
+            if spans:
+                out["spans_json"] = [None] * n
             htmls = pdf["html"].tolist()
             for j in range(n):
                 raw = htmls[j]
@@ -140,8 +154,11 @@ def extract_pages(df: DataFrame,
                     continue
                 t0 = perf_counter()
                 row = _extract_doc(_spec_for(spec_json), html,
-                                   functions, text_key)
+                                   functions, text_key, spans=spans)
                 out["parse_ms"][j] = (perf_counter() - t0) * 1e3
+                if spans and row.get("spans") is not None:
+                    out["spans_json"][j] = json.dumps(
+                        row["spans"], sort_keys=True)
                 out["status"][j] = row["status"]
                 out["error"][j] = row["error"]
                 out["text"][j] = row["text"]
@@ -155,4 +172,4 @@ def extract_pages(df: DataFrame,
             yield pd.DataFrame(out)
 
     return df.select("url", "warc_ts", "template_id", "html").mapInPandas(
-        run, EXTRACT_SCHEMA)
+        run, EXTRACT_SPANS_SCHEMA if spans else EXTRACT_SCHEMA)
