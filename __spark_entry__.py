@@ -438,6 +438,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "n_kept")
     q["line_freq"] = line_freq
 
+    def compression_ratios(spark, sf):
+        # zlib redundancy signal (rows-only: DuckDB has no zlib;
+        # deterministic for the pinned zlib level, and the pytest ring
+        # pins exact values on known strings)
+        from weakscraper_spark.operators.textstats import (
+            with_compression_ratio)
+        out = with_compression_ratio(_t(spark, sf, "documents"))
+        return out.select(
+            "doc_id", "n_raw_bytes", "n_compressed_bytes",
+            _dec(F.col("compression_ratio"), 4).alias("ratio"))
+    q["compression_ratios"] = compression_ratios
+
     def pack_seqs(spark, sf):
         # pretraining sequence-packing placement: md5-binned shards,
         # per-bin running token offsets, window indices — the whole
@@ -1223,8 +1235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs", "bpe_merges", "hybrid_search", "pdf_pages",
         "pdf_real_pages", "warc_ingest", "decode_pages", "page_meta",
         "snap_versions", "raw_extract", "line_freq", "pack_seqs",
-        "extract_spans", "boiler_extract", "extract_rescued",
-        "web_corpus",
+        "extract_spans", "compression_ratios", "boiler_extract",
+        "extract_rescued", "web_corpus",
     ]
     return {**{k: q[k] for k in _sample_first},
             **{k: v for k, v in q.items() if k not in _sample_first}}

@@ -1103,7 +1103,25 @@ def test_paragraph_dedup_sep_is_literal(spark):
     assert out[2].text_dedup == "cc"     # 'bb' first seen in doc 1
 
 
-def test_bigram_logprob_ranks_typical_above_gibberish(spark):
+def test_compression_ratio_signal(spark):
+    """Repetitive text compresses far below prose; empty/NULL rows
+    get NULL ratio; exact byte counts pinned for a known string."""
+    from weakscraper_spark.operators.textstats import (
+        with_compression_ratio)
+    import zlib
+    prose = ("the quick brown fox jumps over the lazy dog while "
+             "seventeen sparrows debate compression economics")
+    rows = [(1, prose), (2, "spam " * 200), (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in with_compression_ratio(df).collect()}
+    # repetitive must compress BETTER (lower ratio) than prose
+    assert out[2].compression_ratio < 0.1 < out[1].compression_ratio
+    assert out[1].compression_ratio > 0.5
+    assert out[3].compression_ratio is None
+    assert out[4].compression_ratio is None
+    b = prose.encode("utf-8")
+    assert out[1].n_raw_bytes == len(b)
+    assert out[1].n_compressed_bytes == len(zlib.compress(b, 6))
     from weakscraper_spark.operators.textstats import bigram_logprob
     common = "the spark engine shuffles the arrow batches"
     rows = [(i, common) for i in range(10)]          # typical docs

@@ -386,3 +386,49 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
             .select(F.col("doc").alias(id_col),
                     F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
                     "avg_logprob"))
+
+
+def with_compression_ratio(df: DataFrame, id_col: str = "doc_id",
+                           col: str = "text",
+                           level: int = 6) -> DataFrame:
+    """zlib compression ratio per document — the cheap redundancy
+    signal corpus filters use alongside the n-gram repetition stats
+    (Gopher/FineWeb family: highly compressible text is boilerplate,
+    templated spam, or repeated blocks; incompressible text at the
+    other extreme is often binary junk or hash dumps). Returns
+    (id, n_raw_bytes, n_compressed_bytes, compression_ratio =
+    compressed/raw; empty docs → ratio NULL).
+
+    Deterministic for a fixed zlib version/level (pinned by pytest on
+    known strings, rows-only for the driver — DuckDB has no zlib).
+    Arrow-batched narrow map, no shuffle; cost is one memcpy-class
+    pass per doc, far below the parse stages around it."""
+    import zlib
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    def run(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            raws, comps, ratios = [], [], []
+            for t in pdf[col]:
+                if not isinstance(t, str) or not t:
+                    raws.append(0)
+                    comps.append(0)
+                    ratios.append(None)
+                    continue
+                b = t.encode("utf-8")
+                c = len(zlib.compress(b, level))
+                raws.append(len(b))
+                comps.append(c)
+                ratios.append(round(c / len(b), 6))
+            yield _pd.DataFrame({
+                "_id": pdf[id_col], "n_raw_bytes": raws,
+                "n_compressed_bytes": comps,
+                "compression_ratio": ratios})
+
+    out_schema = (f"_id long, n_raw_bytes long, "
+                  f"n_compressed_bytes long, compression_ratio double")
+    return (df.select(id_col, col)
+            .mapInPandas(run, out_schema)
+            .withColumnRenamed("_id", id_col))
