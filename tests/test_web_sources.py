@@ -166,6 +166,15 @@ def test_charset_param():
     assert charset_param(None) is None
 
 
+def test_decode_html_plan_is_narrow(spark):
+    from weakscraper_spark.operators.charset import decode_html
+    df = spark.createDataFrame([(1, b"x", None)],
+                               "id long, html binary, cs string")
+    plan = decode_html(df, charset_col="cs")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_decode_html_spark(spark):
     rows = [
         (1, "plain utf8 ☃".encode("utf-8"), None),
