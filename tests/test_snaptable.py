@@ -92,6 +92,27 @@ def test_commit_conflict_single_winner(spark, tmp_path):
     assert v == 3
 
 
+def test_stale_commit_conflicts_instead_of_dropping_rows(spark, tmp_path):
+    """r04 review: a commit whose file list was derived from a stale
+    parent must FAIL (claim parent+1, already taken) — the earlier
+    recompute-version-at-commit-time form silently landed the stale
+    list on a fresh version, erasing the concurrent winner's rows."""
+    t = SnapTable(spark, str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 5))                    # v1
+    added_a = t._stage_files(_df(spark, 100, 103))       # A stages
+    base_a = t._manifest(1)["files"]                     # A reads v1
+    t.commit_append(_df(spark, 5, 8))                    # B wins v2
+    with pytest.raises(CommitConflict):
+        t._commit("append", base_a + added_a, added_a, parent=1)
+    # nothing lost, and the retry path (public API shape) lands A
+    parent = t.current_version()
+    v = t._commit("append",
+                  t._manifest(parent)["files"] + added_a, added_a,
+                  parent)
+    assert v == 3
+    assert t.read().count() == 5 + 3 + 3                 # all rows
+
+
 def test_crash_before_manifest_leaves_no_visible_rows(spark, tmp_path):
     t = SnapTable(spark, str(tmp_path / "t"))
     t.commit_append(_df(spark, 0, 5))

@@ -29,6 +29,18 @@ def test_span_slices_exact_scalar_list_attrs():
     assert html[slice(*sp["da"][0])] == html  # the whole div element
 
 
+def test_span_end_ignores_quoted_gt_in_attrs():
+    """r04 review: '>' inside a quoted attribute value must not
+    terminate a void element's span."""
+    html = '<div><img title="a>b" src="s"><p>tail</p></div>'
+    tpl = ('<div><img title="a>b" src="s" wp-name-attrs="m">'
+           '<p wp-name="t">x</p></div>')
+    r = extract(compile_template(tpl), html, spans=True)
+    assert r["status"] == "ok"
+    a, b = r["spans"]["m"][0]
+    assert html[a:b] == '<img title="a>b" src="s">'
+
+
 def test_spans_off_by_default_and_none_on_mismatch():
     s = TemplateScraper('<h1 wp-name="t">x</h1>')
     assert "spans" not in s.extract("<h1>A</h1>")

@@ -599,6 +599,15 @@ def test_pdf_real_kernel_pure():
     raw = render_minimal_pdf(["p0", "p1", "p2"], compress=False)
     st, pages = parse_any_pdf(raw)
     assert st == "ok" and pages == ["p0", "p1", "p2"]
+    # indirect multi-digit /Length (r04 review: the lookahead used to
+    # backtrack '50 0 R' into group '5') → delimiter fallback still
+    # recovers the uncompressed stream
+    import re as _re
+    indirect = _re.sub(rb"/Length \d+", b"/Length 50 0 R",
+                       render_minimal_pdf(["hello indirect"],
+                                          compress=False))
+    st, pages = parse_any_pdf(indirect)
+    assert st == "ok" and pages == ["hello indirect"]
     # unsupported filter: affected pages degrade to "", doc survives
     st, pages = parse_any_pdf(
         render_minimal_pdf(["x", "y"]).replace(b"/Filter /FlateDecode",
@@ -816,6 +825,32 @@ def test_robots_semantics_direct():
     assert allowed_by(txt, "https://h/x", agent="badbot") is False
     assert allowed_by(None, "https://h/private/x") is True
     assert allowed_by("", "https://h/private/x") is True
+
+
+def test_robots_filter_reuses_passthrough_host(spark):
+    """r04 review: feeding a host-carrying frame (e.g. another
+    passthrough op's output) into robots_filter must neither crash
+    on a duplicate host column nor re-parse the caller's host; NULL
+    hosts get the '' sentinel and survive with allowed=true."""
+    from weakscraper_spark.operators.robots import robots_filter
+    df = spark.createDataFrame(
+        [("https://a.com/x", "a.com", 7),
+         ("garbage-url", None, 8)],
+        "url string, host string, n_variants long")
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /x")],
+        "host string, robots_txt string")
+    out = {r.url: r for r in robots_filter(df, robots).collect()}
+    assert len(out) == 2
+    assert out["https://a.com/x"].allowed is False   # caller's host used
+    assert out["https://a.com/x"].n_variants == 7    # passthrough intact
+    assert out["garbage-url"].host == ""             # sentinel, kept
+    assert out["garbage-url"].allowed is True
+    # chaining its own output back in is also safe (host reused)
+    again = robots_filter(robots_filter(df, robots)
+                          .select("url", "host", "n_variants"),
+                          robots).collect()
+    assert len(again) == 2
 
 
 def test_robots_crawl_delay():

@@ -82,6 +82,19 @@ def test_warc_streaming_frames_span_members():
     assert len(a) == len(RECS)
 
 
+def test_warc_member_iteration_linear_and_chunked():
+    """The member walk consumes the compressed input via fixed-size
+    slices (r04 review: per-member unused_data copies were O(members
+    × archive)); a tiny chunk_size must produce identical bytes and
+    identical framed records."""
+    from weakscraper_spark.sources.warc import _iter_member_chunks
+    raw = build_warc(RECS, gzip_members=True)
+    default = b"".join(_iter_member_chunks(raw))
+    tiny = b"".join(_iter_member_chunks(raw, chunk_size=7))
+    assert tiny == default
+    assert b"WARC/1.0" in default
+
+
 def test_warc_spark_flatmap_and_pages_view(spark):
     files = spark.createDataFrame(
         [("f1.warc.gz", build_warc(RECS)),

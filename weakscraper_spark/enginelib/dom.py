@@ -171,8 +171,22 @@ class _SpanDomBuilder(_DomBuilder):
         return self._line_starts[lineno - 1] + col
 
     def _tag_end(self, start: int) -> int:
-        gt = self._src.find(">", start)
-        return gt + 1 if gt >= 0 else len(self._src)
+        """First UNQUOTED '>' after ``start`` — a plain find() stops
+        inside quoted attribute values like title="a>b" (r04 review),
+        truncating the span mid-tag."""
+        src = self._src
+        i, n, quote = start, len(src), None
+        while i < n:
+            c = src[i]
+            if quote is not None:
+                if c == quote:
+                    quote = None
+            elif c in "\"'":
+                quote = c
+            elif c == ">":
+                return i + 1
+            i += 1
+        return n
 
     def handle_starttag(self, tag, attrs):
         super().handle_starttag(tag, attrs)

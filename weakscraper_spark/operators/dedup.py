@@ -470,30 +470,51 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
     ``F.split``, which takes a Java regex — ADVICE r03: a sep like
     '.' or '|' would otherwise silently switch semantics and diverge
     from the string-literal DuckDB oracle twin)."""
-    sep_re = re.escape(sep)
-    pars = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(col), sep_re)).alias("pos", "par"))
+    pars = _split_units(df, id_col, col, sep)
     first = pars.groupBy("par").agg(
         F.min(F.struct(id_col, "pos")).alias("_first"))
     kept = (pars.join(first, "par")
             .filter((F.col(id_col) == F.col("_first")[id_col]) &
                     (F.col("pos") == F.col("_first")["pos"]))
             .select(id_col, "pos", "par"))
+    return _rebuild_docs(df, kept, id_col, col, sep,
+                         text_name="text_dedup", total_name="n_pars")
+
+
+def _split_units(df: DataFrame, id_col: str, col: str,
+                 sep: str) -> DataFrame:
+    """(id, pos, par) rows: documents split on the LITERAL ``sep``
+    with positions — the shared first half of the line/paragraph
+    operators (one definition: the r03 literal-escape fix and any
+    future change apply everywhere)."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(col),
+                             re.escape(sep))).alias("pos", "par"))
+
+
+def _rebuild_docs(df: DataFrame, kept: DataFrame, id_col: str,
+                  col: str, sep: str, text_name: str,
+                  total_name: str) -> DataFrame:
+    """Reassemble per-doc text from surviving (id, pos, par) rows in
+    original order (aggregation, never a window), plus unit totals;
+    docs whose units all died come back with '' and n_kept = 0 —
+    the shared second half of the line/paragraph operators."""
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "par"))),
                 lambda s: s["par"]),
-            sep).alias("text_dedup"),
+            sep).alias(text_name),
         F.count("*").alias("n_kept"))
     totals = df.select(
         F.col(id_col),
-        F.size(F.split(F.col(col), sep_re)).alias("n_pars"))
+        F.size(F.split(F.col(col),
+                       re.escape(sep))).alias(total_name))
     return (totals.join(rebuilt, id_col, "left")
             .select(id_col,
-                    F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
-                    "n_pars",
+                    F.coalesce(text_name, F.lit("")).alias(text_name),
+                    total_name,
                     F.coalesce("n_kept", F.lit(0)).alias("n_kept")))
 
 
@@ -511,33 +532,17 @@ def line_frequency_filter(df: DataFrame, id_col: str = "doc_id",
 
     Scale shape: posexplode (narrow) → two-phase count_distinct per
     line (map-side partial; the hot boilerplate line combines before
-    the shuffle) → equi-join back → groupBy(id) rebuild. Same
-    two-shuffle narrow-row profile as ``paragraph_dedup``; ``sep``
-    is a literal (regex-escaped)."""
-    sep_re = re.escape(sep)
-    pars = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(col), sep_re)).alias("pos", "par"))
+    the shuffle) → equi-join back → groupBy(id) rebuild. Shares the
+    split/rebuild scaffolding with ``paragraph_dedup`` — only the
+    keep-predicate differs."""
+    pars = _split_units(df, id_col, col, sep)
     freq = pars.groupBy("par").agg(
         F.count_distinct(id_col).alias("_ndocs"))
     kept = (pars.join(freq, "par")
             .filter(F.col("_ndocs") <= max_docs)
             .select(id_col, "pos", "par"))
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "par"))),
-                lambda s: s["par"]),
-            sep).alias("text_kept"),
-        F.count("*").alias("n_kept"))
-    totals = df.select(
-        F.col(id_col),
-        F.size(F.split(F.col(col), sep_re)).alias("n_lines"))
-    return (totals.join(rebuilt, id_col, "left")
-            .select(id_col,
-                    F.coalesce("text_kept", F.lit("")).alias("text_kept"),
-                    "n_lines",
-                    F.coalesce("n_kept", F.lit(0)).alias("n_kept")))
+    return _rebuild_docs(df, kept, id_col, col, sep,
+                         text_name="text_kept", total_name="n_lines")
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",

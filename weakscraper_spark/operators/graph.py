@@ -35,16 +35,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .iterstate import ckpt as _ckpt
 
-def _ckpt(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
-    """Truncate lineage: localCheckpoint (fast, executor-storage — lost
-    on executor death) or reliable checkpoint when a durable dir is
-    given (the preemptible-cluster setting)."""
-    if checkpoint_dir is None:
-        return df.localCheckpoint(eager=True)
-    sc = df.sparkSession.sparkContext
-    sc.setCheckpointDir(checkpoint_dir)
-    return df.checkpoint(eager=True)
+
 
 
 def connected_components(edges: DataFrame, src: str = "doc_a",

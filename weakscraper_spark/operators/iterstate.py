@@ -1,0 +1,21 @@
+"""Shared lineage-truncation helper for the iterative operators
+(connected components, BPE training): one definition of the
+localCheckpoint-vs-reliable-checkpoint choice so the trade-off text
+and behavior can't drift between copies (r04 review)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ckpt(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Truncate lineage: ``localCheckpoint`` (fast, executor-storage —
+    lost on executor death) or reliable ``checkpoint`` into
+    ``checkpoint_dir`` when given (the preemptible-cluster setting).
+    ``setCheckpointDir`` is idempotent for a fixed dir, so calling it
+    per truncation is safe."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=True)

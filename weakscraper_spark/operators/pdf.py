@@ -149,7 +149,10 @@ def _decode_stream(obj_body: bytes) -> bytes:
     om = re.search(rb"stream\r?\n", obj_body)
     if om is None:
         return b""
-    lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)",
+    # (?![0-9]) pins the group to the FULL number first — without it
+    # the engine backtracks '/Length 50 0 R' to group '5', defeating
+    # the indirect-reference lookahead (r04 review, verified)
+    lm = re.search(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)",
                    obj_body[:om.start()])
     if lm is not None:
         payload = obj_body[om.end():om.end() + int(lm.group(1))]

@@ -69,13 +69,21 @@ def robots_filter(df: DataFrame, robots: DataFrame,
     upstream lineage (e.g. url_dedup's n_variants) rides the rows —
     no corpus-width re-join downstream. ``try_parse_url``: a bad url
     gets a NULL host, the left join keeps it, NULL policy → allowed."""
-    in_cols = list(df.columns)
-    rows = (df.withColumn("host",
-                          F.try_parse_url(url_col, F.lit("HOST")))
+    in_cols = [c for c in df.columns if c != "host"]
+    # reuse a host column the caller already derived (passthrough
+    # chains — r04 review: recomputing produced a duplicate column
+    # that broke the Arrow schema); either way coalesce NULL host to
+    # the "" sentinel so unparseable urls survive downstream
+    # equi-joins on host ("" matches no robots row → NULL policy →
+    # allowed, same verdict as before)
+    host = (F.col("host") if "host" in df.columns
+            else F.try_parse_url(url_col, F.lit("HOST")))
+    rows = (df.withColumn("host", F.coalesce(host, F.lit("")))
             .join(F.broadcast(robots.select("host", "robots_txt")),
                   "host", "left"))
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+        if f.name != "host"
     ) + ", host string, allowed boolean, crawl_delay double"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -93,12 +93,12 @@ def crawl_schedule(df: DataFrame, per_host: int = 2,
     already carries one, e.g. from robots_filter — plus wave, slot),
     so upstream lineage rides the rows instead of needing a
     corpus-width re-join."""
-    if "host" in df.columns:
-        rows = df
-    else:
-        host = F.coalesce(
-            F.try_parse_url(F.col(url_col), F.lit("HOST")), F.lit(""))
-        rows = df.withColumn("host", host)
+    host = (F.col("host") if "host" in df.columns
+            else F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    # the sentinel coalesce runs on BOTH branches — a passthrough
+    # host column may still carry NULLs, and a NULL join key would
+    # silently drop the row in the counts equi-join (r04 review)
+    rows = df.withColumn("host", F.coalesce(host, F.lit("")))
     counts = rows.groupBy("host").agg(F.count("*").alias("_n"))
     n_waves = F.greatest(F.ceil(F.col("_n") / per_host), F.lit(1))
 

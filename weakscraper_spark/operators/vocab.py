@@ -47,6 +47,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from .iterstate import ckpt as _ckpt
+
 EOW = "</w>"
 
 
@@ -186,12 +188,6 @@ def train_bpe(df: DataFrame, n_merges: int, col: str = "text",
     return merges
 
 
-def _ckpt(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
-    if checkpoint_dir is None:
-        return df.localCheckpoint(eager=True)
-    sc = df.sparkSession.sparkContext
-    sc.setCheckpointDir(checkpoint_dir)
-    return df.checkpoint(eager=True)
 
 
 def _merge_pairs(syms: DataFrame,

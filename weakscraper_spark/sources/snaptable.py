@@ -119,25 +119,34 @@ class SnapTable:
         with os.fdopen(fd, "w") as fh:
             json.dump(manifest, fh)
 
-    def _commit(self, op: str, files: list[str],
-                added: list[str]) -> int:
-        parent = self.current_version()
+    def _commit(self, op: str, files: list[str], added: list[str],
+                parent: int) -> int:
+        """Claim exactly ``parent + 1``. The caller must have derived
+        ``files`` FROM ``parent``'s manifest — claiming parent+1 (not
+        latest+1) is what makes the concurrency optimistic: if
+        another writer committed first, parent+1 is taken, the O_EXCL
+        create fails, and the loser recomputes against the new
+        parent. (An earlier form recomputed the version here at
+        commit time, which let a stale-based commit land on a fresh
+        version number and silently drop the winner's rows —
+        caught in the r04 review.)"""
         version = parent + 1
         self._write_manifest(
             {"op": op, "parent": parent, "files": files,
              "added": added, "ts": time.time()}, version)
         return version
 
-    def commit_append(self, df: DataFrame, retries: int = 3) -> int:
+    def commit_append(self, df: DataFrame, retries: int = 5) -> int:
         """Append df's rows as a new snapshot; returns the version.
         On a concurrency conflict the staged files are re-used
         against the new parent (data files are commit-agnostic)."""
         added = self._stage_files(df)
         for _ in range(retries + 1):
-            base = (self._manifest(self.current_version())["files"]
-                    if self.current_version() else [])
+            parent = self.current_version()
+            base = self._manifest(parent)["files"] if parent else []
             try:
-                return self._commit("append", base + added, added)
+                return self._commit("append", base + added, added,
+                                    parent)
             except CommitConflict:
                 continue
         raise CommitConflict("append lost every retry")
@@ -148,23 +157,39 @@ class SnapTable:
         added = self._stage_files(df)
         while True:
             try:
-                return self._commit("overwrite", added, added)
+                return self._commit("overwrite", added, added,
+                                    self.current_version())
             except CommitConflict:
                 continue
 
-    def compact(self, target_files: int = 1) -> int:
+    def compact(self, target_files: int = 1,
+                retries: int = 3) -> int:
         """Rewrite current data into ``target_files`` files —
-        byte-identical rows, new snapshot, old versions untouched."""
-        cur = self.read()
-        added = self._stage_files(cur.coalesce(target_files))
-        return self._commit("compact", added, added)
+        byte-identical rows, new snapshot, old versions untouched.
+        The read→rewrite window is the widest conflict surface, so
+        the whole read+stage is retried against the new parent on
+        conflict (stale staged files become invisible orphans)."""
+        for _ in range(retries + 1):
+            parent = self.current_version()
+            added = self._stage_files(
+                self.read(parent).coalesce(target_files))
+            try:
+                return self._commit("compact", added, added, parent)
+            except CommitConflict:
+                continue
+        raise CommitConflict("compact lost every retry")
 
     def rollback(self, version: int) -> int:
         """Commit a new snapshot whose contents are an older
         version's (history stays linear and append-only — the audit
         trail survives the rollback)."""
         m = self._manifest(version)
-        return self._commit("rollback", m["files"], [])
+        while True:
+            try:
+                return self._commit("rollback", m["files"], [],
+                                    self.current_version())
+            except CommitConflict:
+                continue
 
     # -- read --------------------------------------------------------------
 

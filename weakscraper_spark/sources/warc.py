@@ -54,23 +54,37 @@ WARC_PAGES_SCHEMA = (
 )
 
 
-def _iter_member_chunks(raw: bytes):
-    """Yield each gzip member's inflated bytes IN TURN (generator —
-    peak memory is one member, not the whole archive: CC archives
-    are ~1 GB compressed / ~4 GB inflated, but one member = one
-    record ≈ 100s of KB). A corrupt/truncated tail yields what
-    decoded so far and stops."""
-    data = raw
-    while data[:2] == b"\x1f\x8b":
+def _iter_member_chunks(raw: bytes, chunk_size: int = 1 << 20):
+    """Yield inflated bytes across gzip members IN TURN (generator —
+    peak memory is one ~chunk_size slice, not the whole archive: CC
+    archives are ~1 GB compressed / ~4 GB inflated). The compressed
+    input is fed as fixed-size MEMORYVIEW slices and the consumed
+    offset tracked manually — the naive ``data = d.unused_data`` loop
+    copies the entire remaining archive once PER MEMBER, i.e.
+    O(members × size) memcpy ≈ tens of TB on a real 50k-member CC
+    file (r04 review). A corrupt/truncated tail yields what decoded
+    so far and stops."""
+    mv = memoryview(raw)
+    n = len(raw)
+    pos = 0
+    while pos < n and raw[pos:pos + 2] == b"\x1f\x8b":
         d = zlib.decompressobj(31)
-        try:
-            chunk = d.decompress(data)
-        except zlib.error:
-            return
-        yield chunk
-        if not d.eof:  # truncated final member
-            return
-        data = d.unused_data
+        while True:
+            piece = mv[pos:pos + chunk_size]
+            if len(piece) == 0:
+                return  # input exhausted mid-member: truncated
+            try:
+                out = d.decompress(piece)
+            except zlib.error:
+                return
+            if out:
+                yield out
+            if d.eof:
+                # only the tail of THIS piece is unconsumed (≤ one
+                # chunk) — pos advances past the member boundary
+                pos += len(piece) - len(d.unused_data)
+                break
+            pos += len(piece)
 
 
 def _parse_headers(block: bytes) -> dict[str, str]:
