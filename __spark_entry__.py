@@ -547,20 +547,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def lsh_near_dup(spark, sf):
         # value-checked: the SRP planes are deterministic hash-derived
         # constants, so the oracle inlines them as literals and
-        # reproduces bucket assignment + in-bucket cosine exactly
+        # reproduces bucket assignment + in-bucket cosine exactly.
+        # max_bucket=48 makes the hot-bucket cap ACTIVE at this scale
+        # (drops the 2 buckets >48 of 16 at sf0.01) — mirrored by a
+        # HAVING-count CTE in the oracle; the excluded buckets are the
+        # srp_overcap query's rows.
         from weakscraper_spark.operators.similarity import (
             srp_cosine_near_pairs)
         return srp_cosine_near_pairs(_t(spark, sf, "embeddings"),
-                                     threshold=0.35, n_planes=4)
+                                     threshold=0.35, n_planes=4,
+                                     max_bucket=48)
     q["lsh_near_dup"] = lsh_near_dup
 
+    def srp_overcap(spark, sf):
+        # audit side output of lsh_near_dup's cap: the SRP buckets too
+        # dense for pairwise candidate generation (cluster-dedup
+        # territory) — same auditable-cap contract as minhash_overcap
+        from weakscraper_spark.operators.similarity import (
+            srp_overcap_buckets)
+        return srp_overcap_buckets(_t(spark, sf, "embeddings"),
+                                   n_planes=4, max_bucket=48)
+    q["srp_overcap"] = srp_overcap
+
     def lsh_ann_topk(spark, sf):
-        # value-checked (same literal-plane mirror as lsh_near_dup)
+        # value-checked (same literal-plane mirror as lsh_near_dup),
+        # with the corpus-side cap ACTIVE (drops the one bucket >18 at
+        # sf0.01) and Hamming-1 multi-probe on 2 bits — both mirrored
+        # in the oracle (HAVING cap + xor probe fan-out)
         from weakscraper_spark.operators.similarity import lsh_cosine_topk
         emb = _t(spark, sf, "embeddings")
         queries_df = emb.filter(F.col("vec_id") < 8).select(
             F.col("vec_id").alias("query_id"), "embedding")
-        return (lsh_cosine_topk(emb, queries_df, k=5, n_planes=6)
+        return (lsh_cosine_topk(emb, queries_df, k=5, n_planes=6,
+                                max_bucket=18, multi_probe=2)
                 .withColumn("rank", F.col("rank").cast("long")))
     q["lsh_ann_topk"] = lsh_ann_topk
 
@@ -1144,24 +1163,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every version plus an incremental read — row counts and id sums
     # must equal DuckDB's closed-form per-partition aggregates ------------
     def snap_versions(spark, sf):
+        import shutil
         import tempfile
         from weakscraper_spark.sources.snaptable import SnapTable
         docs = _t(spark, sf, "documents").select("doc_id")
-        t = SnapTable(spark, tempfile.mkdtemp(prefix="snapq_"))
-        t.commit_append(docs.filter(F.col("doc_id") % 3 == 0))
-        t.commit_append(docs.filter(F.col("doc_id") % 3 == 1))
-        t.commit_overwrite(docs.filter(F.col("doc_id") % 3 == 2))
+        root = tempfile.mkdtemp(prefix="snapq_")
+        try:
+            t = SnapTable(spark, root)
+            t.commit_append(docs.filter(F.col("doc_id") % 3 == 0))
+            t.commit_append(docs.filter(F.col("doc_id") % 3 == 1))
+            t.commit_overwrite(docs.filter(F.col("doc_id") % 3 == 2))
 
-        def summarize(df, tag):
-            return (df.agg(F.count("*").alias("n_rows"),
-                           F.sum("doc_id").alias("sum_ids"))
-                    .select(F.lit(tag).cast("long").alias("version"),
-                            "n_rows", "sum_ids"))
+            def summarize(df, tag):
+                return (df.agg(F.count("*").alias("n_rows"),
+                               F.sum("doc_id").alias("sum_ids"))
+                        .select(F.lit(tag).cast("long").alias("version"),
+                                "n_rows", "sum_ids"))
 
-        out = summarize(t.read(version=1), 1)
-        out = out.unionByName(summarize(t.read(version=2), 2))
-        out = out.unionByName(summarize(t.read(version=3), 3))
-        return out.unionByName(summarize(t.incremental(1, 2), 99))
+            out = summarize(t.read(version=1), 1)
+            out = out.unionByName(summarize(t.read(version=2), 2))
+            out = out.unionByName(summarize(t.read(version=3), 3))
+            out = out.unionByName(summarize(t.incremental(1, 2), 99))
+            # 4 summary rows, collected EAGERLY so the staged table
+            # can be deleted — repeated driver/ledger sampling was
+            # accumulating an orphan temp table per call (ADVICE r04);
+            # the returned DF is rebuilt from the local rows and is
+            # safe to re-collect after the rmtree
+            rows = out.collect()
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        return spark.createDataFrame(
+            rows, "version long, n_rows long, sum_ids long")
     q["snap_versions"] = snap_versions
 
     # ---- raw-crawl extraction (rows-only BUT value-pinned, same
@@ -2293,28 +2325,46 @@ def oracle_sql() -> dict[str, str]:
             WITH sigged AS (
                 SELECT vec_id, embedding,
                        {_srp_bucket_sql(4)} AS bucket
-                FROM embeddings)
+                FROM embeddings),
+            overcap AS (SELECT bucket FROM sigged
+                        GROUP BY bucket HAVING count(*) > 48),
+            kept AS (SELECT * FROM sigged
+                     WHERE bucket NOT IN (SELECT bucket FROM overcap))
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                 b.embedding::DOUBLE[]), 4)
                        AS cosine
-            FROM sigged a JOIN sigged b
+            FROM kept a JOIN kept b
               ON a.bucket = b.bucket AND a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 4)
                   >= 0.35
+        """,
+        "srp_overcap": f"""
+            WITH sigged AS (
+                SELECT vec_id, {_srp_bucket_sql(4)} AS bucket
+                FROM embeddings)
+            SELECT bucket, count(*) AS n_docs
+            FROM sigged GROUP BY bucket HAVING count(*) > 48
         """,
         "lsh_ann_topk": f"""
             WITH sigged AS (
                 SELECT vec_id, embedding,
                        {_srp_bucket_sql(6)} AS bucket
                 FROM embeddings),
-            q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
-                  FROM sigged WHERE vec_id < 8),
+            overcap AS (SELECT bucket FROM sigged
+                        GROUP BY bucket HAVING count(*) > 18),
+            kept AS (SELECT * FROM sigged
+                     WHERE bucket NOT IN (SELECT bucket FROM overcap)),
+            q AS (SELECT query_id, qv, unnest([bucket,
+                             xor(bucket, 1), xor(bucket, 2)]) AS bucket
+                  FROM (SELECT vec_id AS query_id, embedding AS qv,
+                               bucket
+                        FROM sigged WHERE vec_id < 8)),
             s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
                          list_cosine_similarity(e.embedding::DOUBLE[],
                                                 q.qv::DOUBLE[]) AS sim
-                  FROM sigged e JOIN q ON e.bucket = q.bucket
+                  FROM kept e JOIN q ON e.bucket = q.bucket
                   WHERE e.vec_id <> q.query_id)
             SELECT query_id, neighbor_id, rank FROM (
                 SELECT query_id, neighbor_id,

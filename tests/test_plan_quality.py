@@ -186,6 +186,33 @@ def test_simhash_capped_still_single_python_stage(spark):
     assert "Window" not in names, nodes
 
 
+def test_srp_cap_is_twophase_no_window(spark):
+    """The SRP similarity paths follow the same cap discipline as
+    MinHash/SimHash (VERDICT r04 #1): two-phase groupBy-count →
+    broadcast anti-join applied map-side before the bucket self-join —
+    never a window count, never a cross join. (No persist/reuse
+    assertion here: unlike the shingle paths the SRP signature is a
+    narrow codegen map over the scan, so the count branch's recompute
+    is the cheap choice.)"""
+    from weakscraper_spark.operators.similarity import (
+        srp_cosine_near_pairs)
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, -0.5, float(i % 3)])
+         for i in range(30)],
+        "vec_id long, embedding array<float>")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        nodes = _plan_nodes(srp_cosine_near_pairs(
+            emb, n_planes=4, dim=4, max_bucket=8))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    names = [n for _, n in nodes]
+    assert "Window" not in names, nodes
+    assert "CartesianProduct" not in names, nodes
+    assert "BroadcastHashJoin" in names, nodes
+
+
 def test_parquet_scan_prunes_ground_truth_column(spark, parquet_pages):
     """The scan must not read the ground-truth ``text`` column
     (column pruning through the whole plan)."""

@@ -41,6 +41,23 @@ def test_incremental_reads_only_added_files(spark, tmp_path):
     assert t.incremental(3).count() == 0            # nothing after 3
 
 
+def test_empty_snapshot_reads_as_typed_empty(spark, tmp_path):
+    """A snapshot whose file list is empty (first commit was an empty
+    append) must read as a typed empty DataFrame from the manifest's
+    recorded schema — not hand spark.read.parquet() zero paths
+    (ADVICE r04). Incremental over the empty range follows suit, and
+    later real appends still see the normal path."""
+    t = SnapTable(spark, str(tmp_path / "t"))
+    v1 = t.commit_append(_df(spark, 0, 0))          # zero rows
+    got = t.read()
+    assert got.count() == 0
+    assert [f.name for f in got.schema] == ["id", "v"]
+    assert t.incremental(0, v1).count() == 0
+    t.commit_append(_df(spark, 0, 5))
+    assert t.read().count() == 5
+    assert t.read(version=v1).count() == 0          # time travel back
+
+
 def test_incremental_overwrite_boundary_is_loud(spark, tmp_path):
     t = SnapTable(spark, str(tmp_path / "t"))
     t.commit_append(_df(spark, 0, 10))

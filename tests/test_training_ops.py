@@ -293,6 +293,91 @@ def test_srp_near_pairs_recall(clustered_emb):
     assert len(ann) / len(exact) >= 0.6        # bounded recall
 
 
+def test_srp_cap_excludes_degenerate_bucket(spark):
+    """A degenerate dense cluster (identical vectors — the templated-
+    web pathology) must be EXCLUDED from pairwise SRP candidates by
+    the bucket cap instead of exploding the self-join O(cluster²),
+    and must surface in the auditable overcap side output. The two
+    genuinely-near vectors outside the hot bucket still pair up."""
+    import math
+
+    from weakscraper_spark.operators.similarity import (
+        srp_cosine_near_pairs, srp_overcap_buckets)
+    center = [math.cos(1.3 * d) + 0.2 for d in range(16)]
+    anti = [-x for x in center]
+    rows = ([(i, center) for i in range(200)]        # one hot bucket
+            + [(1000, anti), (1001, anti)])          # opposite bucket
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<float>")
+    pairs = {(r.id_a, r.id_b)
+             for r in srp_cosine_near_pairs(
+                 df, threshold=0.95, n_planes=4, dim=16,
+                 max_bucket=50).collect()}
+    assert pairs == {(1000, 1001)}                  # hot bucket gone
+    over = srp_overcap_buckets(df, n_planes=4, dim=16,
+                               max_bucket=50).collect()
+    assert len(over) == 1 and over[0].n_docs == 200
+    # and with the cap disabled the degenerate pairs DO appear
+    # (19900 of them) — the cap is what held them out
+    uncapped = srp_cosine_near_pairs(
+        df, threshold=0.95, n_planes=4, dim=16, max_bucket=None)
+    assert uncapped.count() == 200 * 199 // 2 + 1
+
+
+def test_lsh_topk_multi_probe_recovers_hamming1_neighbor(spark):
+    """Multi-probe construction: corpus vector v and query u are built
+    (least-squares against the actual deterministic planes) so their
+    SRP signatures differ in EXACTLY bit 0. Single-probe finds
+    nothing; multi_probe=1 probes the Hamming-1 bucket and recovers
+    the neighbor."""
+    import numpy as np
+
+    from weakscraper_spark.operators.similarity import (
+        _plane, lsh_cosine_topk)
+    planes = np.array([_plane(42, p, 8) for p in range(4)])
+    v = np.linalg.lstsq(planes, np.array([1., 1., 1., 1.]),
+                        rcond=None)[0]
+    u = np.linalg.lstsq(planes, np.array([-1., 1., 1., 1.]),
+                        rcond=None)[0]
+    assert ((planes @ v > 0) != (planes @ u > 0)).tolist() == [
+        True, False, False, False]
+    emb = spark.createDataFrame(
+        [(1, [float(x) for x in v])],
+        "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        [(100, [float(x) for x in u])],
+        "query_id long, embedding array<float>")
+    single = lsh_cosine_topk(emb, q, k=1, n_planes=4, dim=8,
+                             multi_probe=0)
+    assert single.count() == 0
+    multi = lsh_cosine_topk(emb, q, k=1, n_planes=4, dim=8,
+                            multi_probe=1).collect()
+    assert [(r.query_id, r.neighbor_id, r.rank) for r in multi] == [
+        (100, 1, 1)]
+
+
+def test_lsh_topk_corpus_cap_drops_hot_bucket(spark):
+    """The corpus-side bucket cap holds a degenerate cluster out of
+    every probe: a query landing in the hot bucket sees no candidates
+    from it (mirrored in the oracle twin), but still retrieves from
+    probed sub-cap buckets via multi-probe."""
+    import math
+
+    from weakscraper_spark.operators.similarity import lsh_cosine_topk
+    center = [math.cos(1.3 * d) + 0.2 for d in range(16)]
+    rows = [(i, center) for i in range(100)]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<float>")
+    q = spark.createDataFrame([(500, center)],
+                              "query_id long, embedding array<float>")
+    capped = lsh_cosine_topk(emb, q, k=3, n_planes=4, dim=16,
+                             max_bucket=50)
+    assert capped.count() == 0
+    uncapped = lsh_cosine_topk(emb, q, k=3, n_planes=4, dim=16,
+                               max_bucket=None)
+    assert uncapped.count() == 3
+
+
 def test_ivf_ann_recall(clustered_emb):
     """IVF probe search recovers the exact top-k on well-separated
     clusters (the query's own cluster is always among its probed
@@ -846,11 +931,14 @@ def test_robots_filter_reuses_passthrough_host(spark):
     assert out["https://a.com/x"].n_variants == 7    # passthrough intact
     assert out["garbage-url"].host == ""             # sentinel, kept
     assert out["garbage-url"].allowed is True
-    # chaining its own output back in is also safe (host reused)
-    again = robots_filter(robots_filter(df, robots)
-                          .select("url", "host", "n_variants"),
-                          robots).collect()
+    # chaining its FULL own output back in is also safe: the stale
+    # allowed/crawl_delay flags are dropped and recomputed instead of
+    # colliding in the stacked mapInPandas schema (ADVICE r04)
+    again = {r.url: r for r in
+             robots_filter(robots_filter(df, robots), robots).collect()}
     assert len(again) == 2
+    assert again["https://a.com/x"].allowed is False
+    assert again["https://a.com/x"].n_variants == 7
 
 
 def test_robots_crawl_delay():
@@ -1157,6 +1245,14 @@ def test_compression_ratio_signal(spark):
     b = prose.encode("utf-8")
     assert out[1].n_raw_bytes == len(b)
     assert out[1].n_compressed_bytes == len(zlib.compress(b, 6))
+    # the id column's type follows the input — a string url id must
+    # work, not fail at Arrow conversion (ADVICE r04)
+    sdf = spark.createDataFrame([("u/1", prose), ("u/2", "spam " * 50)],
+                                "url string, text string")
+    sout = {r.url: r for r in
+            with_compression_ratio(sdf, id_col="url").collect()}
+    assert sout["u/1"].n_raw_bytes == len(b)
+    assert sout["u/2"].compression_ratio < sout["u/1"].compression_ratio
     from weakscraper_spark.operators.textstats import bigram_logprob
     common = "the spark engine shuffles the arrow batches"
     rows = [(i, common) for i in range(10)]          # typical docs

@@ -7,6 +7,7 @@ narrow plans."""
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from weakscraper_spark.operators.charset import (
     charset_param, decode_html, sniff_decode)
@@ -115,6 +116,42 @@ def test_warc_spark_flatmap_and_pages_view(spark):
     assert bytes(pages[0].html) == b"<html>A</html>"
 
 
+def test_warc_oversize_archive_degrades_to_status_row(spark, tmp_path):
+    """An archive above the byte cap must become ONE error:Oversize
+    status row (never a parse attempt / reader crash), and the raw
+    plan's length guard must prune it from the scan while
+    oversize_archives reports exactly the pruned set (VERDICT r04
+    #2). Caps are parameterized down to test-scale bytes."""
+    from weakscraper_spark.plans.raw_pipeline import oversize_archives
+    big = build_warc(RECS)
+    files = spark.createDataFrame(
+        [("small.warc.gz", build_warc(RECS[:1])),
+         ("big.warc.gz", big)],
+        "path string, content binary")
+    recs = warc_records(files, max_archive_bytes=len(big) - 1).collect()
+    by_src = {}
+    for r in recs:
+        by_src.setdefault(r.src, []).append(r)
+    assert len(by_src["big.warc.gz"]) == 1
+    assert by_src["big.warc.gz"][0].status == "error:Oversize"
+    assert by_src["big.warc.gz"][0].n_bytes == len(big)
+    assert all(r.status != "error:Oversize"
+               for r in by_src["small.warc.gz"])
+    # scan-level guard: the oversize file is pruned by the pushed-down
+    # length filter and surfaced by the audit query
+    (tmp_path / "small.warc.gz").write_bytes(build_warc(RECS[:1]))
+    (tmp_path / "big.warc.gz").write_bytes(big)
+    over = oversize_archives(spark, str(tmp_path),
+                             max_archive_bytes=len(big) - 1).collect()
+    assert [(r.src.rsplit("/", 1)[-1], r.status) for r in over] == [
+        ("big.warc.gz", "error:Oversize")]
+    from weakscraper_spark.plans.raw_pipeline import _archive_scan
+    kept = (_archive_scan(spark, str(tmp_path))
+            .filter(F.col("length") <= len(big) - 1)
+            .select("path").collect())
+    assert [r.path.rsplit("/", 1)[-1] for r in kept] == ["small.warc.gz"]
+
+
 def test_warc_plan_is_narrow(spark):
     files = spark.createDataFrame([("f", build_warc(RECS[:1]))],
                                   "path string, content binary")
@@ -203,6 +240,23 @@ def test_decode_html_spark(spark):
     assert out[2].encoding == "cp1252"
     assert out[3].status == "error:NullHtml"
     assert out[3].text_decoded is None
+
+
+def test_decode_html_rejects_colliding_columns(spark):
+    """Input already carrying 'status' (e.g. an ingest status row) or
+    'encoding' must be a clear error — not a silent clobber, and not
+    an AnalysisException deep in the stacked plan (ADVICE r04)."""
+    import pytest
+
+    from weakscraper_spark.operators.charset import decode_html
+    df = spark.createDataFrame([(1, b"x", "ok")],
+                               "id long, html binary, status string")
+    with pytest.raises(ValueError, match="status"):
+        decode_html(df)
+    df2 = spark.createDataFrame([(1, b"x", "t")],
+                                "id long, html binary, text_decoded string")
+    with pytest.raises(ValueError, match="text_decoded"):
+        decode_html(df2)
 
 
 # ---------------------------------------------------------------------------

@@ -64,14 +64,22 @@ BLOCK_TAGS = frozenset(
 class Block:
     """One text block: fragments joined by single spaces (block-level
     boundaries never split a text node, so a single-text-node block
-    keeps its content byte-identical)."""
+    keeps its content byte-identical). ``span`` — [start, end) source
+    offsets covering the block's text, populated only when the
+    segmenter tracks spans: start = first text fragment's source
+    position, end = the '<' of the block-terminating tag (or end of
+    input) — a COVERING span (may include inline/ignored markup and
+    trailing whitespace; re-segmenting the slice reproduces the block
+    text exactly, which is what the self-consistency sweep pins)."""
 
-    __slots__ = ("text", "n_words", "n_link_words")
+    __slots__ = ("text", "n_words", "n_link_words", "span")
 
-    def __init__(self, text: str, n_words: int, n_link_words: int):
+    def __init__(self, text: str, n_words: int, n_link_words: int,
+                 span: tuple[int, int] | None = None):
         self.text = text
         self.n_words = n_words
         self.n_link_words = n_link_words
+        self.span = span
 
     @property
     def link_density(self) -> float:
@@ -83,7 +91,12 @@ class _BlockSegmenter(HTMLParser):
     fragments; flush a block whenever a block-level tag opens or
     closes; count words inside <a> subtrees toward link words."""
 
-    def __init__(self) -> None:
+    def __init__(self, line_starts: list[int] | None = None) -> None:
+        """``line_starts`` (absolute offset of each source line) turns
+        on span tracking — HTMLParser positions are (lineno, col), and
+        the precomputed index converts them to absolute offsets. None
+        (the default path) skips all span bookkeeping so the plain
+        parse stays byte-identical in cost."""
         super().__init__(convert_charrefs=True)
         self.blocks: list[Block] = []
         self._frags: list[str] = []
@@ -91,14 +104,24 @@ class _BlockSegmenter(HTMLParser):
         self._link_words = 0
         self._anchor_depth = 0
         self._ignore_depth = 0
+        self._line_starts = line_starts
+        self._block_start: int | None = None
 
-    def _flush(self) -> None:
+    def _abs(self) -> int:
+        lineno, col = self.getpos()
+        return self._line_starts[lineno - 1] + col
+
+    def _flush(self, end: int | None = None) -> None:
         if self._frags:
+            span = (None if self._line_starts is None
+                    else (self._block_start,
+                          self._abs() if end is None else end))
             self.blocks.append(Block(" ".join(self._frags), self._words,
-                                     self._link_words))
+                                     self._link_words, span))
             self._frags = []
             self._words = 0
             self._link_words = 0
+            self._block_start = None
 
     def handle_starttag(self, tag, attrs) -> None:
         if self._ignore_depth:
@@ -127,21 +150,35 @@ class _BlockSegmenter(HTMLParser):
     def handle_data(self, data) -> None:
         if self._ignore_depth or not data or data.isspace():
             return
+        if self._line_starts is not None and not self._frags:
+            # getpos() during handle_data = source position of this
+            # data run's start (charref decoding happens per run, so
+            # the position refers to the raw source)
+            self._block_start = self._abs()
         self._frags.append(data)
         n = len(data.split())
         self._words += n
         if self._anchor_depth:
             self._link_words += n
 
-    def close(self) -> None:
+    def close_with_end(self, end: int) -> None:
         super().close()
-        self._flush()
+        self._flush(end)
 
 
-def segment_blocks(html: str) -> list[Block]:
-    seg = _BlockSegmenter()
+def _line_starts(html: str) -> list[int]:
+    starts = [0]
+    i = html.find("\n")
+    while i != -1:
+        starts.append(i + 1)
+        i = html.find("\n", i + 1)
+    return starts
+
+
+def segment_blocks(html: str, spans: bool = False) -> list[Block]:
+    seg = _BlockSegmenter(_line_starts(html) if spans else None)
     seg.feed(html)
-    seg.close()
+    seg.close_with_end(len(html))
     return seg.blocks
 
 
@@ -175,7 +212,7 @@ def classify_blocks(blocks: list[Block]) -> list[bool]:
 
 
 def main_text(html: str, mode: str = "largest",
-              joiner: str = "\n") -> dict:
+              joiner: str = "\n", spans: bool = False) -> dict:
     """Extract main content from one page. Returns
     ``{text, n_blocks, n_content_blocks, n_words}``; ``text`` is ""
     when no block classifies as content (status 'empty' upstream).
@@ -183,10 +220,19 @@ def main_text(html: str, mode: str = "largest",
     ``mode='largest'`` keeps the single content block with the most
     words (deterministic tie-break: first in document order);
     ``mode='all'`` joins every content block with ``joiner``.
+
+    ``spans=True`` adds ``"spans"``: the [start, end) source-offset
+    covering span of each SELECTED content block (one for 'largest',
+    one per block for 'all') — the heuristic leg of the north rule's
+    "text/spans per url" (template captures get theirs from
+    match.extract(spans=True)). Off by default: span bookkeeping adds
+    a line-index pass and per-block position reads the plain path
+    shouldn't pay.
     """
-    blocks = segment_blocks(html)
+    blocks = segment_blocks(html, spans=spans)
     labels = classify_blocks(blocks)
     content = [b for b, keep in zip(blocks, labels) if keep]
+    chosen: list[Block] = []
     if not content:
         text = ""
         n_words = 0
@@ -194,10 +240,15 @@ def main_text(html: str, mode: str = "largest",
         best = max(content, key=lambda b: b.n_words)
         text = best.text
         n_words = best.n_words
+        chosen = [best]
     elif mode == "all":
         text = joiner.join(b.text for b in content)
         n_words = sum(b.n_words for b in content)
+        chosen = content
     else:
         raise ValueError(f"unknown mode {mode!r}")
-    return {"text": text, "n_blocks": len(blocks),
-            "n_content_blocks": len(content), "n_words": n_words}
+    out = {"text": text, "n_blocks": len(blocks),
+           "n_content_blocks": len(content), "n_words": n_words}
+    if spans:
+        out["spans"] = [list(b.span) for b in chosen]
+    return out

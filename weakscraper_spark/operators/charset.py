@@ -99,7 +99,20 @@ def decode_html(df: DataFrame, html_col: str = "html",
     """Append (out_col, encoding, status) decoded from ``html_col``
     bytes; ``charset_col`` optionally carries the transport charset
     (e.g. parsed from the WARC record's Content-Type). NULL html →
-    status row, never a crash (same rule as the extractors)."""
+    status row, never a crash (same rule as the extractors).
+
+    Colliding input columns are a hard error, not a silent drop:
+    unlike robots_filter's own-output names, "status"/"encoding" are
+    generic and often carry meaningful upstream state (an ingest
+    status row) — clobbering them would erase caller lineage, and
+    keeping both yields an AnalysisException deep in the stacked
+    mapInPandas plan (ADVICE r04). Rename upstream and re-call."""
+    clash = {out_col, "encoding", "status"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"decode_html output columns {sorted(clash)} already exist "
+            "on the input — rename them (or pass a different out_col) "
+            "before decoding")
     cols = list(df.columns)
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema

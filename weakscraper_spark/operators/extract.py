@@ -60,16 +60,24 @@ def _spec_for(spec_json: str) -> Spec:
     return spec
 
 
-def _heuristic_rescue(out: dict, j: int, html: str) -> None:
+def _heuristic_rescue(out: dict, j: int, html: str,
+                      spans: bool = False) -> None:
     """Boilerplate-strip fallback for one failed row, in-place. Only
     upgrades the row when the heuristic finds content; the template
-    error string is preserved for audit either way."""
+    error string is preserved for audit either way. With ``spans``,
+    rescued rows carry the content block's covering source span under
+    the reserved ``_main_text`` key (heuristics have no field names),
+    so the north rule's text/spans leg covers BOTH extractors
+    (VERDICT r04 #5)."""
     t0 = perf_counter()
-    r = _main_text(html, mode="largest")
+    r = _main_text(html, mode="largest", spans=spans)
     out["parse_ms"][j] += (perf_counter() - t0) * 1e3
     if r["n_content_blocks"]:
         out["status"][j] = "ok_heuristic"
         out["text"][j] = r["text"]
+        if spans:
+            out["spans_json"][j] = json.dumps(
+                {"_main_text": r["spans"]}, sort_keys=True)
 
 
 def extract_pages(df: DataFrame,
@@ -150,7 +158,7 @@ def extract_pages(df: DataFrame,
                     out["status"][j] = "error:NoTemplate"
                     out["error"][j] = f"no compiled template for {tid!r}"
                     if fallback == "heuristic":
-                        _heuristic_rescue(out, j, html)
+                        _heuristic_rescue(out, j, html, spans)
                     continue
                 t0 = perf_counter()
                 row = _extract_doc(_spec_for(spec_json), html,
@@ -168,7 +176,7 @@ def extract_pages(df: DataFrame,
                         row["fields"], sort_keys=True, ensure_ascii=False,
                         default=str)
                 if fallback == "heuristic" and row["status"] != "ok":
-                    _heuristic_rescue(out, j, html)
+                    _heuristic_rescue(out, j, html, spans)
             yield pd.DataFrame(out)
 
     return df.select("url", "warc_ts", "template_id", "html").mapInPandas(

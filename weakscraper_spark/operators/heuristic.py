@@ -38,11 +38,17 @@ HEURISTIC_SCHEMA = (
 
 
 def heuristic_extract(df: DataFrame, mode: str = "largest",
-                      html_col: str = "html") -> DataFrame:
+                      html_col: str = "html",
+                      spans: bool = False) -> DataFrame:
     """(url, warc_ts, html) → main-content rows via boilerplate
     stripping. ``status`` is 'ok' when at least one block classified
     as content, else 'empty' (never raises — parser is tolerant and
-    the classifier is total)."""
+    the classifier is total). ``spans=True`` appends ``spans_json``
+    ({"_main_text": [[start, end), ...]}, covering source spans of the
+    selected content blocks) — same shape as extract_pages' heuristic
+    fallback, so the north rule's text/spans leg holds template-less
+    too."""
+    import json
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tc = TaskContext.get()
@@ -57,6 +63,8 @@ def heuristic_extract(df: DataFrame, mode: str = "largest",
                 "n_words": [0] * n, "n_bytes": [0] * n,
                 "parse_ms": [0.0] * n, "partition_id": [pid] * n,
             }
+            if spans:
+                out["spans_json"] = [None] * n
             htmls = pdf[html_col].tolist()
             for j in range(n):
                 raw = htmls[j]
@@ -72,14 +80,17 @@ def heuristic_extract(df: DataFrame, mode: str = "largest",
                     html = bytes(raw).decode("utf-8", errors="replace")
                     out["n_bytes"][j] = len(raw)
                 t0 = perf_counter()
-                r = main_text(html, mode=mode)
+                r = main_text(html, mode=mode, spans=spans)
                 out["parse_ms"][j] = (perf_counter() - t0) * 1e3
                 out["status"][j] = "ok" if r["n_content_blocks"] else "empty"
                 out["text"][j] = r["text"]
+                if spans and r["n_content_blocks"]:
+                    out["spans_json"][j] = json.dumps(
+                        {"_main_text": r["spans"]}, sort_keys=True)
                 out["n_blocks"][j] = r["n_blocks"]
                 out["n_content_blocks"][j] = r["n_content_blocks"]
                 out["n_words"][j] = r["n_words"]
             yield pd.DataFrame(out)
 
     return df.select("url", "warc_ts", html_col).mapInPandas(
-        run, HEURISTIC_SCHEMA)
+        run, HEURISTIC_SCHEMA + (", spans_json string" if spans else ""))

@@ -69,6 +69,13 @@ def robots_filter(df: DataFrame, robots: DataFrame,
     upstream lineage (e.g. url_dedup's n_variants) rides the rows —
     no corpus-width re-join downstream. ``try_parse_url``: a bad url
     gets a NULL host, the left join keeps it, NULL policy → allowed."""
+    # this operator's own output names ("allowed"/"crawl_delay") and
+    # the join-side "robots_txt" are dropped from the input first:
+    # re-applying the filter to its own output (e.g. a second agent
+    # pass) would otherwise produce duplicate column names and an
+    # AnalysisException from the stacked mapInPandas schema (ADVICE
+    # r04) — the old flags are stale by definition, recompute wins
+    df = df.drop("allowed", "crawl_delay", "robots_txt")
     in_cols = [c for c in df.columns if c != "host"]
     # reuse a host column the caller already derived (passthrough
     # chains — r04 review: recomputing produced a duplicate column

@@ -19,6 +19,8 @@ from hashlib import blake2b
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .dedup import _overcap_keys
+
 
 def _dot(a, b):
     """Float64 dot product of two array columns (index-order fold —
@@ -114,14 +116,36 @@ def cosine_near_pairs(emb: DataFrame, threshold: float = 0.9,
 def srp_cosine_near_pairs(emb: DataFrame, threshold: float = 0.9,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",
-                          n_planes: int = 8, dim: int = 64) -> DataFrame:
+                          n_planes: int = 8, dim: int = 64,
+                          max_bucket: int | None = 64) -> DataFrame:
     """Embedding-cosine near-dup pairs, SCALE path: SRP-bucket
     equi-self-join (candidates share all n_planes sign bits), exact
     cosine check inside buckets. O(sum of bucket²) instead of O(N²);
     at cosine >= 0.9 the angle is < 26°, so most true pairs share
     buckets — recall-bounded (tested), not exact: pairs straddling a
-    hyperplane are missed, which is the standard LSH trade."""
+    hyperplane are missed, which is the standard LSH trade.
+
+    ``max_bucket`` caps bucket size BEFORE the self-join, mirroring the
+    MinHash/SimHash paths: a degenerate embedding distribution (dense
+    cluster, near-constant vectors — common in templated-web corpora)
+    lands a large doc fraction in ONE bucket, and the uncapped
+    self-join is O(bucket²) in that fraction — the last uncapped
+    candidate-generation path (VERDICT r04 #1). The cap is two-phase
+    (``_overcap_keys``) + broadcast anti-join so hot-bucket rows are
+    dropped MAP-SIDE and never enter the join shuffle; the excluded
+    buckets are a first-class auditable side output
+    (``srp_overcap_buckets``), never a silent hole — such clusters
+    belong to exact/cluster dedup, not pairwise LSH. No persist: the
+    signature is a narrow map over the scan (plane dots fold in
+    whole-stage codegen), so the count branch's recompute is cheap —
+    unlike MinHash, where the signature rides an explode + min-agg
+    shuffle and is disk-pinned."""
     sig = srp_signature(emb, vec_col, n_planes, dim)
+    if max_bucket is not None:
+        overcap = _overcap_keys(sig.select("bucket"), ["bucket"],
+                                max_bucket)
+        sig = sig.join(F.broadcast(overcap.select("bucket")),
+                       "bucket", "left_anti")
     a = sig.select(F.col(id_col).alias("id_a"),
                    F.col(vec_col).alias("_va"), "bucket")
     b = sig.select(F.col(id_col).alias("id_b"),
@@ -138,7 +162,24 @@ def srp_cosine_near_pairs(emb: DataFrame, threshold: float = 0.9,
     # ONE bucket key per doc, so the bucket equi-self-join emits each
     # (id_a < id_b) pair at most once — a distinct here would be a
     # full extra shuffle of the pair set for nothing (VERDICT r03 #4).
-    # Revisit only if multi-probe / multi-table signatures are added.
+    # (lsh_cosine_topk's multi-probe keeps this property too: the
+    # corpus side stays single-bucket, only queries fan out, and the
+    # probe buckets of one query are pairwise distinct.)
+
+
+def srp_overcap_buckets(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        n_planes: int = 8, dim: int = 64,
+                        max_bucket: int = 64) -> DataFrame:
+    """Audit side output for the SRP cap: (bucket, n_docs) for every
+    SRP bucket whose size exceeds ``max_bucket`` — i.e. the dense
+    embedding clusters EXCLUDED from pairwise SRP candidate generation
+    by ``srp_cosine_near_pairs``/``lsh_cosine_topk``. Same contract as
+    ``minhash_overcap_buckets``: capped clusters are surfaced for
+    explicit cluster-level resolution, never dropped invisibly."""
+    sig = srp_signature(emb, vec_col, n_planes, dim)
+    return (_overcap_keys(sig.select("bucket"), ["bucket"], max_bucket)
+            .select("bucket", F.col("n").alias("n_docs")))
 
 
 def _ivf_centroids(emb: DataFrame, id_col: str, vec_col: str,
@@ -231,16 +272,48 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
 def lsh_cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     qid_col: str = "query_id", n_planes: int = 8,
-                    dim: int = 64) -> DataFrame:
+                    dim: int = 64, max_bucket: int | None = 64,
+                    multi_probe: int = 0) -> DataFrame:
     """ANN top-k: candidates share the query's SRP bucket (equi-join on
     bucket), exact cosine re-rank inside. Trade recall for a
     2^n_planes candidate reduction; neighbors straddling a hyperplane
-    can be missed (tested recall bound, not exactness)."""
-    e = srp_signature(emb, vec_col, n_planes, dim).select(
+    can be missed (tested recall bound, not exactness).
+
+    ``max_bucket`` drops over-cap CORPUS buckets map-side before the
+    probe join (two-phase count + broadcast anti-join — same rationale
+    as ``srp_cosine_near_pairs``): a degenerate dense cluster would
+    otherwise make one probe O(cluster) per query landing in it.
+    Queries probing a dropped bucket simply see no candidates there —
+    the cap is mirrored in the oracle twin and audited via
+    ``srp_overcap_buckets``.
+
+    ``multi_probe`` = number of Hamming-1 neighbor buckets each query
+    ALSO probes (flip bit 0..multi_probe-1 of its signature; 0 = exact
+    single-probe). Standard multi-probe LSH: a true neighbor straddling
+    hyperplane i lands one bit-flip away, so probing adjacent buckets
+    lifts recall without touching the corpus-side plan — only the tiny
+    broadcast query side fans out ×(1+multi_probe). Probe buckets of
+    one query are pairwise distinct and each corpus doc has exactly one
+    bucket, so (query, neighbor) pairs stay unique — no dedup shuffle
+    needed before the rank window."""
+    e = srp_signature(emb, vec_col, n_planes, dim)
+    if max_bucket is not None:
+        overcap = _overcap_keys(e.select("bucket"), ["bucket"],
+                                max_bucket)
+        e = e.join(F.broadcast(overcap.select("bucket")),
+                   "bucket", "left_anti")
+    e = e.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
         "bucket")
     q = srp_signature(queries, vec_col, n_planes, dim).select(
         F.col(qid_col), F.col(vec_col).alias("_qv"), "bucket")
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i))
+              for i in range(min(multi_probe, n_planes))])
+        q = q.select(qid_col, "_qv",
+                     F.explode(probes).alias("bucket"))
     scored = (e.join(F.broadcast(q), "bucket")
               .filter(F.col("neighbor_id") != F.col(qid_col))
               .withColumn("_sim", _dot(F.col("_qv"), F.col("_cv")) /

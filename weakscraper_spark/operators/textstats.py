@@ -427,7 +427,11 @@ def with_compression_ratio(df: DataFrame, id_col: str = "doc_id",
                 "n_compressed_bytes": comps,
                 "compression_ratio": ratios})
 
-    out_schema = (f"_id long, n_raw_bytes long, "
+    # id type follows the input column (a string url id is as valid as
+    # a long doc id — hardcoding 'long' failed at Arrow conversion,
+    # ADVICE r04)
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (f"_id {id_type}, n_raw_bytes long, "
                   f"n_compressed_bytes long, compression_ratio double")
     return (df.select(id_col, col)
             .mapInPandas(run, out_schema)

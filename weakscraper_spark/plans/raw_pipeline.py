@@ -20,8 +20,16 @@ repartition.
 
 ``spark.read.format("binaryFile")`` loads whole files as (path,
 content) rows — correct for CC's ~1 GB archives at default
-``maxPartitionBytes`` because binaryFile never splits files; bump
-executor memory or pre-chunk archives if yours are larger.
+``maxPartitionBytes`` because binaryFile never splits files, and
+GUARDED for anything larger: the scan filters on the pushed-down
+``length`` metadata column (binaryFile prunes the file BEFORE
+reading content, so an over-limit archive can't kill the reader
+task — Spark hard-fails any binaryFile row above Int.MaxValue
+bytes), ``oversize_archives`` reports what was pruned as status
+rows, and ``warc_records`` itself degrades to an error:Oversize row
+if a caller hand-feeds giant bytes. Memory envelope per task:
+compressed archive + one inflated record + the Arrow copy — see
+``warc.DEFAULT_MAX_ARCHIVE_BYTES``.
 """
 
 from __future__ import annotations
@@ -29,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.charset import decode_html
-from ..sources.warc import warc_records
+from ..sources.warc import DEFAULT_MAX_ARCHIVE_BYTES, warc_records
 from .pipeline import build_extract_plan
 
 
@@ -62,17 +70,40 @@ def warc_to_pages(files: DataFrame) -> DataFrame:
                     F.col("src").alias("warc_src")))
 
 
+def _archive_scan(spark: SparkSession, warc_dir: str):
+    return (spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.warc*")
+            .load(warc_dir))
+
+
 def build_raw_extract_plan(spark: SparkSession, warc_dir: str,
                            templates: DataFrame,
                            specs: dict[str, str],
-                           fallback: str | None = "heuristic"
-                           ) -> DataFrame:
+                           fallback: str | None = "heuristic",
+                           max_archive_bytes: int =
+                           DEFAULT_MAX_ARCHIVE_BYTES) -> DataFrame:
     """The composed plan from an archive DIRECTORY (lazy, no
     action): binaryFile scan → warc_to_pages → template extraction
-    with heuristic fallback → latest-per-url."""
-    files = (spark.read.format("binaryFile")
-             .option("pathGlobFilter", "*.warc*")
-             .load(warc_dir)
+    with heuristic fallback → latest-per-url. Archives above
+    ``max_archive_bytes`` are pruned by the pushed-down ``length``
+    filter (never read into memory); audit the pruned set with
+    ``oversize_archives`` — same visible-drop contract as every other
+    cap in the repo."""
+    files = (_archive_scan(spark, warc_dir)
+             .filter(F.col("length") <= max_archive_bytes)
              .select(F.col("path"), F.col("content")))
     return build_extract_plan(warc_to_pages(files), templates, specs,
                               fallback=fallback)
+
+
+def oversize_archives(spark: SparkSession, warc_dir: str,
+                      max_archive_bytes: int =
+                      DEFAULT_MAX_ARCHIVE_BYTES) -> DataFrame:
+    """Audit side output for the scan's length guard: (src, n_bytes,
+    status) for every archive the extract plan pruned. Metadata-only
+    scan — the length filter is pushed down, content is never read."""
+    return (_archive_scan(spark, warc_dir)
+            .filter(F.col("length") > max_archive_bytes)
+            .select(F.col("path").alias("src"),
+                    F.col("length").alias("n_bytes"),
+                    F.lit("error:Oversize").alias("status")))

@@ -120,7 +120,7 @@ class SnapTable:
             json.dump(manifest, fh)
 
     def _commit(self, op: str, files: list[str], added: list[str],
-                parent: int) -> int:
+                parent: int, schema_json: str | None = None) -> int:
         """Claim exactly ``parent + 1``. The caller must have derived
         ``files`` FROM ``parent``'s manifest — claiming parent+1 (not
         latest+1) is what makes the concurrency optimistic: if
@@ -129,11 +129,21 @@ class SnapTable:
         parent. (An earlier form recomputed the version here at
         commit time, which let a stale-based commit land on a fresh
         version number and silently drop the winner's rows —
-        caught in the r04 review.)"""
+        caught in the r04 review.)
+
+        The manifest records the table SCHEMA (as Iceberg manifests
+        do): writer commits pass the df's schema, derived ops
+        (compact/rollback) inherit the parent's — so a snapshot whose
+        file list is empty (first commit was an empty append) still
+        reads as a typed empty DataFrame instead of handing
+        spark.read.parquet() zero paths (ADVICE r04)."""
+        if schema_json is None and parent:
+            schema_json = self._manifest(parent).get("schema")
         version = parent + 1
         self._write_manifest(
             {"op": op, "parent": parent, "files": files,
-             "added": added, "ts": time.time()}, version)
+             "added": added, "schema": schema_json,
+             "ts": time.time()}, version)
         return version
 
     def commit_append(self, df: DataFrame, retries: int = 5) -> int:
@@ -146,7 +156,7 @@ class SnapTable:
             base = self._manifest(parent)["files"] if parent else []
             try:
                 return self._commit("append", base + added, added,
-                                    parent)
+                                    parent, df.schema.json())
             except CommitConflict:
                 continue
         raise CommitConflict("append lost every retry")
@@ -158,7 +168,8 @@ class SnapTable:
         while True:
             try:
                 return self._commit("overwrite", added, added,
-                                    self.current_version())
+                                    self.current_version(),
+                                    df.schema.json())
             except CommitConflict:
                 continue
 
@@ -187,7 +198,8 @@ class SnapTable:
         while True:
             try:
                 return self._commit("rollback", m["files"], [],
-                                    self.current_version())
+                                    self.current_version(),
+                                    m.get("schema"))
             except CommitConflict:
                 continue
 
@@ -196,13 +208,26 @@ class SnapTable:
     def _paths(self, files: list[str]) -> list[str]:
         return [os.path.join(self.root, f) for f in files]
 
+    def _empty(self, manifest: dict, v: int) -> DataFrame:
+        """Typed empty DataFrame for a snapshot with no data files."""
+        schema_json = manifest.get("schema")
+        if not schema_json:
+            raise ValueError(
+                f"snapshot v{v} is empty and records no schema "
+                "(committed by a pre-schema writer)")
+        from pyspark.sql.types import StructType
+        return self.spark.createDataFrame(
+            [], StructType.fromJson(json.loads(schema_json)))
+
     def read(self, version: int | None = None) -> DataFrame:
         """Latest snapshot, or time travel to ``version``."""
         v = self.current_version() if version is None else version
         if v == 0:
             raise ValueError("table has no committed snapshots")
-        files = self._manifest(v)["files"]
-        return self.spark.read.parquet(*self._paths(files))
+        m = self._manifest(v)
+        if not m["files"]:
+            return self._empty(m, v)
+        return self.spark.read.parquet(*self._paths(m["files"]))
 
     def incremental(self, from_version: int,
                     to_version: int | None = None,

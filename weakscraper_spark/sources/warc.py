@@ -53,6 +53,18 @@ WARC_PAGES_SCHEMA = (
     "html binary, n_bytes int"
 )
 
+# binaryFile holds the WHOLE compressed archive in task memory as one
+# row and hard-fails above Int.MaxValue bytes; the parse inflates one
+# record at a time on top of it, so budget ~archive + one inflated
+# record (+ Arrow copy) of task memory per file. Archives above this
+# cap become an error:Oversize status row (warc_records) and are
+# pruned from the scan itself via the pushed-down `length` metadata
+# filter (raw_pipeline) — the repo's taxonomy discipline: degrade
+# with a visible row, never die mid-scan (VERDICT r04 #2). Oversized
+# archives need a pre-chunking pass or a byte-range member-offset
+# reader upstream of this module.
+DEFAULT_MAX_ARCHIVE_BYTES = 2_000_000_000
+
 
 def _iter_member_chunks(raw: bytes, chunk_size: int = 1 << 20):
     """Yield inflated bytes across gzip members IN TURN (generator —
@@ -226,11 +238,15 @@ def _warc_date(date: str | None):
 
 
 def warc_records(files: DataFrame, path_col: str = "path",
-                 content_col: str = "content") -> DataFrame:
+                 content_col: str = "content",
+                 max_archive_bytes: int = DEFAULT_MAX_ARCHIVE_BYTES
+                 ) -> DataFrame:
     """(path, content-bytes) rows → one row PER WARC RECORD (all
     types — response/request/warcinfo/metadata; callers filter).
     Narrow flat map; html = the unwrapped HTTP body for responses,
-    the raw block otherwise."""
+    the raw block otherwise. An archive above ``max_archive_bytes``
+    (see ``DEFAULT_MAX_ARCHIVE_BYTES`` for the memory envelope) yields
+    ONE error:Oversize status row instead of being parsed."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -238,8 +254,21 @@ def warc_records(files: DataFrame, path_col: str = "path",
                                    "record_type", "url", "warc_ts",
                                    "http_status", "mime", "html",
                                    "n_bytes")}
+
+            def status_row(path, status, n_bytes):
+                out["src"].append(path)
+                out["record_no"].append(-1)
+                out["status"].append(status)
+                for k in ("record_type", "url", "warc_ts",
+                          "http_status", "mime", "html"):
+                    out[k].append(None)
+                out["n_bytes"].append(n_bytes)
+
             for path, raw in zip(pdf[path_col], pdf[content_col]):
                 raw = bytes(raw) if raw is not None else b""
+                if len(raw) > max_archive_bytes:
+                    status_row(path, "error:Oversize", len(raw))
+                    continue
                 n = 0
                 for rec in iter_warc_records(raw):
                     out["src"].append(path)
@@ -254,16 +283,7 @@ def warc_records(files: DataFrame, path_col: str = "path",
                     out["n_bytes"].append(len(rec["body"]))
                     n += 1
                 if n == 0:  # empty/garbage file: visible, not vanished
-                    out["src"].append(path)
-                    out["record_no"].append(-1)
-                    out["status"].append("error:Empty")
-                    out["record_type"].append(None)
-                    out["url"].append(None)
-                    out["warc_ts"].append(None)
-                    out["http_status"].append(None)
-                    out["mime"].append(None)
-                    out["html"].append(None)
-                    out["n_bytes"].append(0)
+                    status_row(path, "error:Empty", 0)
             yield pd.DataFrame(out)
 
     return (files.select(path_col, content_col)
