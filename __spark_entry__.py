@@ -1097,10 +1097,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             compiled_specs, synth_pages, synth_templates)
         n = 2000 if "0.01" in sf else (20000 if "0.1" in sf else 600)
         pages = synth_pages(spark, n, min_words=48)
+        # ORACLE-VALUE-CHECKED (VERDICT r04 #3): the oracle classifies
+        # every staged latest-snapshot page from its SOURCE SHAPE
+        # (nonempty truth → template 'ok'; the alien-table skeleton →
+        # rescued 'ok_heuristic', its ≥48-word td is always the
+        # largest content block; the truncated-dangling-tag pages →
+        # unrescuable 'failed') and hash-compares the class counts;
+        # exact failure-status strings stay pinned in pytest
+        _stage_truth(pages.select("url", "warc_ts", "html", "text"),
+                     "extract_rescued")
         out = build_extract_plan(pages, synth_templates(spark),
                                  compiled_specs(), fallback="heuristic")
-        return (out.groupBy("status").agg(F.count("*").alias("n"))
-                .orderBy("status"))
+        cls = (F.when(F.col("status").isin("ok", "ok_heuristic"),
+                      F.col("status"))
+               .otherwise(F.lit("failed")))
+        return (out.groupBy(cls.alias("status_class"))
+                .agg(F.count("*").alias("n")).orderBy("status_class"))
     q["extract_rescued"] = extract_rescued
 
     # ---- WARC ingestion, ORACLE-VALUE-CHECKED: render one gzip'd
@@ -2399,6 +2411,22 @@ def oracle_sql() -> dict[str, str]:
                    'ok' AS status, text
             FROM read_parquet('{_TRUTH_ROOT}/boiler_extract/*.parquet')
             WHERE text <> ''
+        """,
+        "extract_rescued": f"""
+            WITH latest AS (
+                SELECT url, decode(html) AS h, text,
+                       row_number() OVER (PARTITION BY url
+                                          ORDER BY warc_ts DESC) AS rn
+                FROM read_parquet(
+                    '{_TRUTH_ROOT}/extract_rescued/*.parquet')),
+            cls AS (
+                SELECT CASE WHEN text <> '' THEN 'ok'
+                            WHEN starts_with(h, '<html><body><table>')
+                                 THEN 'ok_heuristic'
+                            ELSE 'failed' END AS status_class
+                FROM latest WHERE rn = 1)
+            SELECT status_class, count(*) AS n FROM cls
+            GROUP BY status_class ORDER BY status_class
         """,
         # the frontier composition is fully closed-form, so its twin
         # needs no staging: canonicalization mirrors url_canon, the

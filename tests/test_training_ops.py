@@ -1076,6 +1076,46 @@ def test_train_bpe_batched_equals_sequential(spark, tmp_path):
     assert len(set(fast)) == 12
 
 
+def test_train_bpe_greedy_segment_equivalence_and_stats(spark):
+    """32k-scale mode pins (VERDICT r04 #6). Run BOTH modes to
+    SATURATION (n_merges far above what the corpus supports, so each
+    ends via the no-pair-twice early exit): (a) at saturation the
+    greedy-batch merge list SEGMENTS the vocabulary identically to
+    the exact sequential list — mid-training the two cut the merge
+    frontier at different points so prefixes differ, but the
+    saturation fixed point is the artifact a full tokenizer build
+    ships, pinned here on a deterministic corpus; (b) the ``stats``
+    hook records the driver-round economics the bench artifact
+    (BENCH/bpe32k.json) reports, and greedy needs ~an order of
+    magnitude fewer rounds than exact for near-identical merge
+    counts."""
+    from weakscraper_spark.operators.vocab import (
+        EOW, segment_word, train_bpe)
+    from weakscraper_spark.sources.synth import synth_rich_text
+
+    df = synth_rich_text(spark, 24, vocab_size=30, words_per_doc=24)
+    exact_stats, fast_stats = {}, {}
+    exact = train_bpe(df, n_merges=100_000, batch_m=64,
+                      stats=exact_stats)
+    fast = train_bpe(df, n_merges=100_000, batch_m=64, exact=False,
+                     stats=fast_stats)
+    assert exact_stats["merges_learned"] == len(exact)
+    assert fast_stats["merges_learned"] == len(fast)
+    assert sum(fast_stats["batch_sizes"]) == len(fast)
+    # the scale mode's whole point: far fewer driver rounds
+    # (measured here: ~22 greedy vs ~154 exact rounds)
+    assert fast_stats["rounds"] * 3 < exact_stats["rounds"]
+    assert fast_stats["rounds"] <= len(fast) // 3
+    sample = sorted({w for r in df.limit(8).collect()
+                     for w in r.text.split()})[:20]
+    assert len(sample) >= 10
+    for w in sample:
+        seg_e = segment_word(w, exact)
+        seg_f = segment_word(w, fast)
+        assert "".join(seg_f) == w + EOW        # lossless always
+        assert seg_f == seg_e, (w, seg_e, seg_f)
+
+
 def test_bpe_exact_batch_selection_rules():
     """Unit-pin the dominance rules on hand-built count rows: strict
     dominance over the first conflict, argmax fallback, truncated-

@@ -150,7 +150,8 @@ def _select_greedy_batch(rows) -> list[tuple[str, str]]:
 
 def train_bpe(df: DataFrame, n_merges: int, col: str = "text",
               batch_m: int = 64, exact: bool = True,
-              checkpoint_dir: str | None = None) -> list[tuple[str, str]]:
+              checkpoint_dir: str | None = None,
+              stats: dict | None = None) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus; returns the
     ordered merge list [(left, right), ...] — the artifact a
     tokenizer ships. Ends early when no pair occurs twice.
@@ -168,7 +169,11 @@ def train_bpe(df: DataFrame, n_merges: int, col: str = "text",
     ``checkpoint()`` into that directory instead of
     ``localCheckpoint`` — localCheckpoint pins lineage to executor
     storage and is lost on executor death, so on a preemptible
-    cluster pass a durable dir; locally the default is faster."""
+    cluster pass a durable dir; locally the default is faster.
+    ``stats``: optional dict the trainer fills with
+    {rounds, merges_learned, batch_sizes} — the driver-round count is
+    THE scale metric for ``exact=False`` (O(vocab/batch_m) rounds is
+    the whole point; bench records it)."""
     state = _ckpt(_syms_df(vocab_counts(df, col)), checkpoint_dir)
     merges: list[tuple[str, str]] = []
     rnd = 0
@@ -183,8 +188,13 @@ def train_bpe(df: DataFrame, n_merges: int, col: str = "text",
         merges.extend(batch)
         state = _merge_pairs(state, batch)
         rnd += 1
+        if stats is not None:
+            stats.setdefault("batch_sizes", []).append(len(batch))
         if rnd % 5 == 0:
             state = _ckpt(state, checkpoint_dir)
+    if stats is not None:
+        stats["rounds"] = rnd
+        stats["merges_learned"] = len(merges)
     return merges
 
 
