@@ -1305,6 +1305,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count("*").alias("n")).orderBy("reason"))
     q["web_corpus"] = web_corpus
 
+    # ---- link-graph family (r05): deterministic linked pages →
+    # outlink extraction (pure-JVM regexp scan, narrow map) → host
+    # graph → PageRank / anchor aggregation. ORACLE-VALUE-CHECKED
+    # via generator-side staged truth: the generator emits the
+    # resolved outlink + anchor ground truth it rendered into the
+    # html, Spark must RECOVER it from the raw markup, and DuckDB
+    # replays the downstream graph math from the truth — so href
+    # resolution, host aggregation, 10 unrolled PageRank iterations
+    # (incl. dangling-mass handling) and the anchor top-k are all
+    # hash-compared.
+    def _linked(spark, sf):
+        from weakscraper_spark.sources.synth import synth_linked_pages
+        n = 2000 if "0.01" in sf else (20000 if "0.1" in sf else 600)
+        return synth_linked_pages(spark, n)
+
+    def link_graph(spark, sf):
+        from weakscraper_spark.operators.links import (
+            extract_links, host_graph)
+        pages = _linked(spark, sf)
+        _stage_truth(pages.select("url", "links"), "link_graph")
+        return (host_graph(extract_links(pages))
+                .orderBy("src_host", "dst_host"))
+    q["link_graph"] = link_graph
+
+    def host_rank(spark, sf):
+        from weakscraper_spark.operators.links import (
+            extract_links, host_graph, pagerank)
+        pages = _linked(spark, sf)
+        _stage_truth(pages.select("url", "links"), "host_rank")
+        ranks = pagerank(host_graph(extract_links(pages)), iters=10)
+        return (ranks.select("node", _dec(F.col("rank"), 8)
+                             .alias("rank")).orderBy("node"))
+    q["host_rank"] = host_rank
+
+    def anchor_topk(spark, sf):
+        from weakscraper_spark.operators.links import (
+            anchor_topk as _atk, extract_links)
+        pages = _linked(spark, sf)
+        z = (pages.select(F.explode(F.arrays_zip("links", "anchors"))
+                          .alias("z"))
+             .select(F.col("z.links").alias("dst_url"),
+                     F.col("z.anchors").alias("anchor")))
+        _stage_truth(z, "anchor_topk")
+        return (_atk(extract_links(pages), k=3)
+                .orderBy("dst_host", "rn"))
+    q["anchor_topk"] = anchor_topk
+
+    # ---- domain-mixture resampling (r05): token-budget curriculum
+    # sampling over the documents table; the md5 accept draw, the
+    # per-domain rates, and the kept rows are all closed-form —
+    # fully oracle-checked with no staging
+    def mix_corpus(spark, sf):
+        from weakscraper_spark.operators.corpus import mix_domains
+        # budget 16k at ~500 docs: en runs at rate ~0.68 while es/de
+        # overshoot their allocations and CAP at 1.0 — both sides of
+        # the least(1, ·) rule are value-checked. Weights are binary-
+        # exact (0.5/0.25/0.25) so normalization cannot perturb the
+        # accept threshold vs the oracle's literals.
+        out = mix_domains(_t(spark, sf, "documents"), "lang",
+                          {"en": 0.5, "es": 0.25, "de": 0.25},
+                          budget_tokens=16_000)
+        return (out.groupBy("lang")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("n_tokens").alias("sum_tokens"),
+                     _dec(F.min("rate"), 6).alias("rate"))
+                .orderBy("lang"))
+    q["mix_corpus"] = mix_corpus
+
     # Driver sampling order (VERDICT r03 #2): the driver checks ~50
     # queries per round IN DICT ORDER. Every query has now been
     # driver-sampled at least once (r04 verdict), so r05 priority =
@@ -1312,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # changed this round (SRP caps/multi-probe, staged-truth
     # promotions, snap_versions cleanup), (3) rotation of the rest.
     _sample_first = [
+        "link_graph", "host_rank", "anchor_topk", "mix_corpus",
         "srp_overcap", "lsh_near_dup", "lsh_ann_topk",
         "extract_pages", "boiler_extract", "raw_extract",
         "web_corpus", "frontier", "corpus_clean", "snap_versions",
@@ -1518,7 +1587,87 @@ sims AS (SELECT d.doc_id AS doc, coalesce(s.simhash, 0) AS simhash
 
 
 def oracle_sql() -> dict[str, str]:
+    from weakscraper_spark.operators.links import pagerank_sql
+
+    # host-edge derivation from the link-graph family's staged truth
+    # (generator-emitted resolved outlinks) — shared by link_graph
+    # and host_rank below
+    def _host_edges(truth: str) -> str:
+        return f"""(
+            WITH l AS (
+                SELECT lower(regexp_extract(url,
+                           '^[^:/?#]+://([^/?#:]*)', 1)) AS src_host,
+                       lower(regexp_extract(dst,
+                           '^[^:/?#]+://([^/?#:]*)', 1)) AS dst_host
+                FROM (SELECT url, unnest(links) AS dst
+                      FROM read_parquet(
+                          '{_TRUTH_ROOT}/{truth}/*.parquet')))
+            SELECT src_host, dst_host, count(*) AS weight FROM l
+            WHERE src_host <> dst_host
+              AND src_host <> '' AND dst_host <> ''
+            GROUP BY src_host, dst_host)"""
+
     return {
+        "link_graph": f"""
+            SELECT src_host, dst_host, weight
+            FROM {_host_edges('link_graph')} AS e
+            ORDER BY src_host, dst_host
+        """,
+        "host_rank": f"""
+            SELECT node,
+                   CAST(CAST(round(rank, 8) AS DECIMAL(18,8))
+                        AS VARCHAR) AS rank
+            FROM ({pagerank_sql(_host_edges('host_rank'),
+                                damping=0.85, iters=10)})
+            ORDER BY node
+        """,
+        "anchor_topk": f"""
+            WITH t AS (
+                SELECT lower(regexp_extract(dst_url,
+                           '^[^:/?#]+://([^/?#:]*)', 1)) AS dst_host,
+                       unnest(string_split_regex(trim(lower(anchor)),
+                                                 '\\s+')) AS term
+                FROM read_parquet('{_TRUTH_ROOT}/anchor_topk/*.parquet')),
+            c AS (
+                SELECT dst_host, term, count(*) AS n FROM t
+                WHERE dst_host <> '' AND length(term) >= 2
+                GROUP BY dst_host, term),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY dst_host
+                    ORDER BY n DESC, term) AS rn
+                FROM c)
+            SELECT dst_host, term, n, rn FROM r WHERE rn <= 3
+            ORDER BY dst_host, rn
+        """,
+        "mix_corpus": """
+            WITH d AS (
+                SELECT lang, doc_id,
+                       CAST(len(string_split_regex(trim(lower(text)),
+                                '\\s+')) AS BIGINT) AS n_tokens
+                FROM documents),
+            t AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT)
+                         AS dom_toks
+                  FROM d GROUP BY lang),
+            r AS (
+                SELECT d.*, least(1.0,
+                    {budget} * (CASE d.lang
+                                WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+                                WHEN 'es' THEN CAST(0.25 AS DOUBLE)
+                                WHEN 'de' THEN CAST(0.25 AS DOUBLE)
+                                ELSE CAST(0 AS DOUBLE) END)
+                    / dom_toks) AS rate
+                FROM d JOIN t ON d.lang = t.lang),
+            k AS (
+                SELECT * FROM r
+                WHERE ('0x' || substr(md5('42:mix:' || doc_id), 1, 15))
+                      ::UBIGINT / (16.0 ** 15) < rate)
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                   CAST(CAST(round(min(rate), 6) AS DECIMAL(18,6))
+                        AS VARCHAR) AS rate
+            FROM k GROUP BY lang ORDER BY lang
+        """.replace("{budget}", "16000.0"),
         "c2_filter_project": """
             SELECT doc_id, source, n_chars,
                    length(text) AS len_chars,

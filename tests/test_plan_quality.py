@@ -337,3 +337,50 @@ def test_gram_explodes_reference_materialized_token_arrays(spark):
             # per-element lambda
             if "lambdafunction" in line:
                 assert "split(" not in line, line
+
+
+def test_extract_links_is_narrow_jvm_map(spark):
+    """The outlink scan is the corpus-width stage of the link-graph
+    family: it must stay a shuffle-free, Python-free narrow map
+    (regexp scan + explode in whole-stage codegen) so the html column
+    never crosses an Exchange and never leaves the JVM."""
+    from weakscraper_spark.operators.links import extract_links
+    from weakscraper_spark.sources.synth import synth_linked_pages
+    nodes = _plan_nodes(extract_links(synth_linked_pages(spark, 20)))
+    names = {n for _, n in nodes}
+    assert "Exchange" not in names, nodes
+    assert "BatchEvalPython" not in names
+    # the generator itself is the only Arrow crossing
+    assert sum(1 for _, n in nodes if n == "MapInPandas") == 1
+
+
+def test_host_graph_is_single_twophase_agg(spark):
+    """Host-pair aggregation: one Exchange, with a partial
+    HashAggregate BELOW it (map-side combine absorbs per-page link
+    repetition before anything shuffles)."""
+    from weakscraper_spark.operators.links import (
+        extract_links, host_graph)
+    from weakscraper_spark.sources.synth import synth_linked_pages
+    nodes = _plan_nodes(
+        host_graph(extract_links(synth_linked_pages(spark, 20))))
+    exch = [i for i, n in nodes if n == "Exchange"]
+    aggs = [i for i, n in nodes if n == "HashAggregate"]
+    assert len(exch) == 1, nodes
+    assert min(aggs) < exch[0] < max(aggs), nodes
+
+
+def test_anchor_topk_window_is_above_vocab_sized_agg(spark):
+    """The per-host rank window must run over the AGGREGATED
+    (host, term) table, never the raw link rows: the plan needs a
+    full two-phase HashAggregate pair BELOW the window's Exchange,
+    and Spark 4's WindowGroupLimit prunes to top-k map-side."""
+    from weakscraper_spark.operators.links import (
+        anchor_topk, extract_links)
+    from weakscraper_spark.sources.synth import synth_linked_pages
+    nodes = _plan_nodes(
+        anchor_topk(extract_links(synth_linked_pages(spark, 20))))
+    names = [n for _, n in nodes]
+    wgl = [i for i, n in nodes if n == "WindowGroupLimit"]
+    aggs = [i for i, n in nodes if n == "HashAggregate"]
+    assert wgl and aggs and min(aggs) < min(wgl), nodes
+    assert "BatchEvalPython" not in names

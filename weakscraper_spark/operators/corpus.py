@@ -172,3 +172,54 @@ def pack_sequences(df: DataFrame, id_col: str = "doc_id",
         id_col, "bin", "n_tokens", "start_tok", "end_tok",
         F.floor(F.col("start_tok") / seq_len).alias("seq_first"),
         F.floor((F.col("end_tok") - 1) / seq_len).alias("seq_last"))
+
+
+def mix_domains(df: DataFrame, domain_col: str,
+                weights: dict[str, float], budget_tokens: int,
+                id_col: str = "doc_id", col: str = "text",
+                seed: int = 42) -> DataFrame:
+    """Domain-mixture resampling to a TOKEN budget — the curriculum /
+    data-mixing step of LLM pipelines (the knob DoReMi-style recipes
+    tune): given target mixture ``weights`` (domain → share of the
+    training budget; normalized here) and ``budget_tokens``, keep
+    each domain's documents at acceptance rate
+
+        rate(d) = min(1, budget·share(d) / tokens(d))
+
+    so the kept corpus approaches the target mixture in expectation
+    without ever overdrawing a domain (a domain short of its
+    allocation is taken whole — rate capped at 1 — matching how
+    production mixers handle low-resource domains; re-weighting by
+    REPETITION is the caller's follow-up, not a sampler concern).
+
+    Determinism + scale shape: the accept draw is ``hash_sample``'s
+    md5-uniform u(id) — no RNG state, resume-stable, mirrored
+    bit-for-bit in DuckDB so the SAMPLE ITSELF is value-checked.
+    Token totals are one two-phase groupBy(domain) (map-side combine;
+    domain-cardinality rows), joined back as an auto-broadcast dim —
+    the corpus-width side never shuffles. Tokens = whitespace count,
+    the textstats family's tokenization.
+
+    Returns the kept rows + (n_tokens, rate) for auditability.
+    Domains absent from ``weights`` get share 0 → dropped."""
+    z = sum(weights.values())
+    shares = {k: v / z for k, v in weights.items()}
+    m = F.create_map(*[F.lit(x) for kv in shares.items() for x in kv])
+    toks = F.size(F.split(F.trim(F.lower(F.col(col))), r"\s+")) \
+        .cast("long")
+    base = df.withColumn("n_tokens", toks)
+    totals = (base.groupBy(domain_col)
+              .agg(F.sum("n_tokens").alias("_dom_toks")))
+    share = F.coalesce(m[F.col(domain_col)], F.lit(0.0))
+    rate = F.least(F.lit(1.0),
+                   F.lit(float(budget_tokens)) * share
+                   / F.col("_dom_toks"))
+    u = (F.conv(F.substring(
+            F.md5(F.encode(F.concat(F.lit(f"{seed}:mix:"),
+                                    F.col(id_col).cast("string")),
+                           "UTF-8")), 1, 15), 16, 10)
+         .cast("double") / F.lit(float(16 ** 15)))
+    return (base.join(F.broadcast(totals), domain_col)
+            .withColumn("rate", rate)
+            .filter(u < F.col("rate"))
+            .drop("_dom_toks"))

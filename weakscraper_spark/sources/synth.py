@@ -296,6 +296,79 @@ def synth_rich_text(spark: SparkSession, n_docs: int,
             .mapInPandas(gen, "doc_id long, text string"))
 
 
+def synth_linked_pages(spark: SparkSession, n_pages: int,
+                       n_hosts: int = 50, head_share: float = 0.30,
+                       seed: int = 11,
+                       partitions: int | None = None) -> DataFrame:
+    """Deterministic pages-with-outlinks table for the link-graph
+    family: (url, html string, links array<string>, anchors
+    array<string>) where ``links``/``anchors`` are the GENERATOR-side
+    ground truth (resolved content outlinks, in document order) that
+    ``operators.links.extract_links`` must recover from the raw html.
+
+    Link mix per page (all keyed-hash deterministic, same contract as
+    ``synth_pages``): 3-6 content links rotating through the four
+    href forms (absolute, protocol-relative, root-relative,
+    path-relative; one of them single-quoted), destination hosts
+    drawn from the SAME head-heavy host CDF (so the host graph has a
+    hub and a Zipf tail — the shape PageRank and the skew machinery
+    are for), plus junk links (javascript:/mailto:/#fragment) and a
+    bare self-href that extraction must reject."""
+    partitions = partitions or max(
+        8, spark.sparkContext.defaultParallelism)
+    cdf = host_cdf(n_hosts, head_share)
+
+    def page(i: int):
+        key = f"{seed}:{i}"
+        hidx = _pick(cdf, _h(f"{key}:h") / 2**32)
+        host = f"host{hidx:02d}.example.com"
+        url = f"https://{host}/p/{i}"
+        n_links = 3 + _h(f"{key}:nl", 4)
+        anchors_html, links, anchors = [], [], []
+        for j in range(n_links):
+            lk = f"{key}:{j}"
+            didx = _pick(cdf, _h(f"{lk}:dh") / 2**32)
+            dhost = f"host{didx:02d}.example.com"
+            m = _h(f"{lk}:m", max(10, n_pages))
+            anchor = _words(f"{lk}:a", 1 + _h(f"{lk}:an", 3))
+            form = _h(f"{lk}:f", 4)
+            if form == 0:      # absolute
+                href = f"https://{dhost}/p/{m}"
+                dst = href
+            elif form == 1:    # protocol-relative
+                href = f"//{dhost}/p/{m}"
+                dst = f"https:{href}"
+            elif form == 2:    # root-relative (intra-host)
+                href = f"/s/{m}"
+                dst = f"https://{host}{href}"
+            else:              # path-relative against dirname(/p/i)
+                href = f"r/{m}"
+                dst = f"https://{host}/p/{href}"
+            quote = "'" if j == 1 else '"'
+            anchors_html.append(
+                f"<a class=x href={quote}{href}{quote}>{anchor}</a>")
+            links.append(dst)
+            anchors.append(anchor)
+        junk = (f'<a href="javascript:void(0)">js</a>'
+                f'<a href="mailto:a@{host}">mail</a>'
+                f'<a href="#top">top</a>')
+        body = (f"<nav>{junk}</nav><h1>{_words(key + ':t', 3)}</h1>"
+                f"<p>{_words(key + ':b', 20)}</p>"
+                f"<ul><li>{'</li><li>'.join(anchors_html)}</li></ul>")
+        return (url, f"<html><body>{body}</body></html>", links, anchors)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [page(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(
+                rows, columns=["url", "html", "links", "anchors"])
+
+    return (spark.range(0, n_pages, numPartitions=partitions)
+            .mapInPandas(gen, "url string, html string, "
+                              "links array<string>, "
+                              "anchors array<string>"))
+
+
 def synth_templates(spark: SparkSession, n_hosts: int = 50) -> DataFrame:
     """Template registry (SURVEY §2.1): host_pattern → template_id +
     compiled spec JSON. Small dim table — always broadcast (C5)."""
