@@ -56,6 +56,24 @@ def test_extract_links_rejects_pseudo_links_and_handles_quotes(spark):
     assert out[0].anchor == "keep bold"
 
 
+def test_extract_links_base_tag_and_markup_variants(spark):
+    """Crawl-HTML realities: a <base href> re-bases every relative
+    reference (first base wins), tags/attrs come in any case, and
+    hrefs may be unquoted."""
+    html = ('<head><BASE HREF="https://cdn.net/lib/">'
+            '<base href="https://ignored.net/"></head>'
+            '<A HREF="/root">r</A>'
+            "<a href=rel.html>p</a>"
+            '<a href="HTTPS://ABS.com/x">a</a>')
+    out = {r.anchor: r.dst_url for r in extract_links(
+        _links_df(spark, [("https://ex.com/d/page", html)])).collect()}
+    assert out == {
+        "r": "https://cdn.net/root",        # base ORIGIN
+        "p": "https://cdn.net/lib/rel.html",  # base DIRECTORY
+        "a": "HTTPS://ABS.com/x",           # absolute untouched
+    }
+
+
 def test_extract_links_accepts_binary_html(spark):
     df = spark.createDataFrame(
         [("https://h.com/p",

@@ -39,11 +39,18 @@ from pyspark.sql import Column, DataFrame, functions as F
 from .iterstate import ckpt as _ckpt
 
 #: schemes/pseudo-links that are never fetchable content
-_REJECT_RE = r"^(javascript:|mailto:|tel:|data:|#|$)"
+_REJECT_RE = r"(?i)^(javascript:|mailto:|tel:|data:|#|$)"
 
-#: one <a ...>anchor</a> element (href in either quote style);
-#: DOTALL so anchors spanning newlines survive
-_A_RE = r'(?s)<a\s[^>]*href\s*=\s*("[^"]*"|\'[^\']*\')[^>]*>(.*?)</a>'
+#: one <a ...>anchor</a> element — case-insensitive (crawl HTML mixes
+#: <A HREF>), href double-quoted / single-quoted / bare, DOTALL so
+#: anchors spanning newlines survive
+_A_RE = (r'(?is)<a\s[^>]*href\s*=\s*'
+         r'("[^"]*"|\'[^\']*\'|[^\s>]+)[^>]*>(.*?)</a>')
+
+#: the page's <base href> (WHATWG: the FIRST base element with an
+#: href wins; applies to every relative reference on the page)
+_BASE_RE = (r'(?is)<base\s[^>]*href\s*=\s*'
+            r'("[^"]*"|\'[^\']*\'|[^\s>]+)')
 
 
 def _host(url: Column) -> Column:
@@ -83,10 +90,19 @@ def extract_links(df: DataFrame, html_col: str = "html",
     anchor). Narrow map — regexp scan over the html column, explode,
     resolve, filter; nothing leaves the JVM and nothing shuffles.
     ``html_col`` may be string or utf-8 binary (pages tables carry
-    binary)."""
+    binary). A page-level ``<base href>`` (first one wins, WHATWG
+    rule) re-bases every relative reference on that page."""
     html = F.col(html_col)
     if dict(df.dtypes)[html_col] == "binary":
         html = html.cast("string")
+    # the page-level resolution base: the first <base href> if the
+    # page declares one (itself resolved against the url — relative
+    # base hrefs are legal), else the page url. Computed ONCE per
+    # page, before the explode fans out to per-link rows.
+    base_raw = F.regexp_extract(html, _BASE_RE, 1)
+    base_raw = F.trim(F.regexp_replace(base_raw, r"^['\"]|['\"]$", ""))
+    base = F.when(base_raw == "", F.col(url_col)) \
+        .otherwise(resolve_href(F.col(url_col), base_raw))
     # materialize the <a> snippets as a column BEFORE the per-snippet
     # lambdas: Catalyst does not CSE inside transform() lambdas, so
     # extracting href and anchor from the raw page inside the lambda
@@ -94,6 +110,7 @@ def extract_links(df: DataFrame, html_col: str = "html",
     # dedup._shingles rule)
     snips = df.select(
         *id_cols, F.col(url_col).alias("src_url"),
+        base.alias("_base"),
         F.explode(F.regexp_extract_all(html, F.lit(_A_RE), 0))
         .alias("_a"))
     href = F.regexp_extract("_a", _A_RE, 1)
@@ -105,7 +122,7 @@ def extract_links(df: DataFrame, html_col: str = "html",
             .withColumn("_href", href)
             .filter(~F.col("_href").rlike(_REJECT_RE))
             .select(*id_cols, "src_url",
-                    resolve_href(F.col("src_url"),
+                    resolve_href(F.col("_base"),
                                  F.col("_href")).alias("dst_url"),
                     anchor.alias("anchor")))
 

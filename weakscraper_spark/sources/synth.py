@@ -323,6 +323,18 @@ def synth_linked_pages(spark: SparkSession, n_pages: int,
         hidx = _pick(cdf, _h(f"{key}:h") / 2**32)
         host = f"host{hidx:02d}.example.com"
         url = f"https://{host}/p/{i}"
+        # ~1 page in 5 declares a <base href> (WHATWG: first wins) —
+        # its relative references resolve against the base, not the
+        # page url; the generator computes truth the same way
+        has_base = _h(f"{key}:hb", 5) == 0
+        if has_base:
+            bidx = _pick(cdf, _h(f"{key}:bh") / 2**32)
+            b_origin = f"https://host{bidx:02d}.example.com"
+            b_dir = f"/d{_h(key + ':bd', 9)}/"
+            head = f'<head><BASE href="{b_origin}{b_dir}"></head>'
+        else:
+            b_origin, b_dir = f"https://{host}", "/p/"
+            head = "<head></head>"
         n_links = 3 + _h(f"{key}:nl", 4)
         anchors_html, links, anchors = [], [], []
         for j in range(n_links):
@@ -332,21 +344,27 @@ def synth_linked_pages(spark: SparkSession, n_pages: int,
             m = _h(f"{lk}:m", max(10, n_pages))
             anchor = _words(f"{lk}:a", 1 + _h(f"{lk}:an", 3))
             form = _h(f"{lk}:f", 4)
-            if form == 0:      # absolute
+            if form == 0:      # absolute (unquoted every other time)
                 href = f"https://{dhost}/p/{m}"
                 dst = href
-            elif form == 1:    # protocol-relative
+            elif form == 1:    # protocol-relative (base scheme)
                 href = f"//{dhost}/p/{m}"
                 dst = f"https:{href}"
-            elif form == 2:    # root-relative (intra-host)
+            elif form == 2:    # root-relative → base ORIGIN
                 href = f"/s/{m}"
-                dst = f"https://{host}{href}"
-            else:              # path-relative against dirname(/p/i)
+                dst = f"{b_origin}{href}"
+            else:              # path-relative → base DIRECTORY
                 href = f"r/{m}"
-                dst = f"https://{host}/p/{href}"
-            quote = "'" if j == 1 else '"'
+                dst = f"{b_origin}{b_dir}{href}"
+            if form == 0 and _h(f"{lk}:q", 2) == 0:
+                attr = f"href={href}"          # bare/unquoted
+            elif j == 1:
+                attr = f"href='{href}'"
+            else:
+                attr = f'href="{href}"'
+            tag = "A" if form == 2 else "a"    # crawl HTML mixes case
             anchors_html.append(
-                f"<a class=x href={quote}{href}{quote}>{anchor}</a>")
+                f"<{tag} class=x {attr}>{anchor}</{tag}>")
             links.append(dst)
             anchors.append(anchor)
         junk = (f'<a href="javascript:void(0)">js</a>'
@@ -355,7 +373,8 @@ def synth_linked_pages(spark: SparkSession, n_pages: int,
         body = (f"<nav>{junk}</nav><h1>{_words(key + ':t', 3)}</h1>"
                 f"<p>{_words(key + ':b', 20)}</p>"
                 f"<ul><li>{'</li><li>'.join(anchors_html)}</li></ul>")
-        return (url, f"<html><body>{body}</body></html>", links, anchors)
+        return (url, f"<html>{head}<body>{body}</body></html>",
+                links, anchors)
 
     def gen(batches):
         for pdf in batches:
