@@ -121,6 +121,7 @@ def _run_queries(sf_dir: str, cpus: int,
         "crawl_waves", "robots_frontier", "lm_scores", "pii_scrub",
         "extract_pages", "boiler_extract", "pdf_real_pages",
         "warc_ingest", "page_meta", "line_freq", "pack_seqs",
+        "link_graph", "host_rank", "anchor_topk", "mix_corpus",
     ]
     # raw_extract (archives→extract composition) is deliberately NOT
     # a headline: it chains five Python stages over a synthesized
@@ -152,10 +153,39 @@ def _run_queries(sf_dir: str, cpus: int,
             heuristic_extract)
         return heuristic_extract(spark.read.parquet(pages_path))
 
+    # link-graph family: pre-synthesize the linked corpus once
+    # (untimed, truth columns dropped) so the walls time the regexp
+    # scan / graph agg / PageRank, not page synthesis or the oracle's
+    # truth staging
+    from weakscraper_spark.sources.synth import synth_linked_pages
+    linked_path = os.path.join(workdir, "headline_linked")
+    synth_linked_pages(spark, n, partitions=max(32, n // 1000)) \
+        .drop("links", "anchors") \
+        .write.mode("overwrite").parquet(linked_path)
+
+    def link_graph_headline(spark, _sf):
+        from weakscraper_spark.operators.links import (
+            extract_links, host_graph)
+        return host_graph(extract_links(spark.read.parquet(linked_path)))
+
+    def host_rank_headline(spark, _sf):
+        from weakscraper_spark.operators.links import (
+            extract_links, host_graph, pagerank)
+        return pagerank(host_graph(
+            extract_links(spark.read.parquet(linked_path))), iters=10)
+
+    def anchor_topk_headline(spark, _sf):
+        from weakscraper_spark.operators.links import (
+            anchor_topk, extract_links)
+        return anchor_topk(extract_links(spark.read.parquet(linked_path)))
+
     runners = dict.fromkeys(headline)
     runners.update({name: qs[name] for name in headline})
     runners["extract_pages"] = extract_headline
     runners["boiler_extract"] = boiler_headline
+    runners["link_graph"] = link_graph_headline
+    runners["host_rank"] = host_rank_headline
+    runners["anchor_topk"] = anchor_topk_headline
 
     # untimed warmup: JVM JIT, python daemon fork, pandas import,
     # broadcast send — per-session constants the first timed query

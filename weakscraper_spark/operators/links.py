@@ -161,9 +161,14 @@ def pagerank(edges: DataFrame, src: str = "src_host",
                      F.col(weight).cast("double").alias("w"))
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select("dst")).distinct())
-    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
-    # normalized edge weight: contribution fraction u→v. nodes/en are
-    # referenced every round → truncate their lineage ONCE up front.
+    # nodes/outw/en are all re-read EVERY round (contrib join,
+    # dangling anti-join, rank rebuild) → truncate each ONCE up
+    # front, or every iteration re-runs the whole upstream plan —
+    # for a composed edge list that means re-scanning the corpus
+    # per round.
+    outw = _ckpt(e.groupBy("src").agg(F.sum("w").alias("outw")),
+                 checkpoint_dir)
+    # normalized edge weight: contribution fraction u→v
     en = (e.join(outw, "src")
           .select("src", "dst", (F.col("w") / F.col("outw")).alias("p")))
     en = _ckpt(en, checkpoint_dir)
