@@ -1373,6 +1373,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("lang"))
     q["mix_corpus"] = mix_corpus
 
+    def dup_substrings(spark, sf):
+        # exact-substring dedup at k-token granularity (Lee et al.
+        # 2022 approximation): per-doc stats over merged duplicated
+        # k-gram spans. k=8 so the synthetic corpus's repeated
+        # phrases actually mark spans at sf0.01.
+        from weakscraper_spark.operators.substr import (
+            dup_substring_stats)
+        out = dup_substring_stats(_t(spark, sf, "documents"), k=8)
+        return out.select("doc_id", "n_tokens", "n_dup_spans",
+                          "dup_tokens", _dec(F.col("dup_frac"), 4)
+                          .alias("dup_frac"))
+    q["dup_substrings"] = dup_substrings
+
+    def nb_quality(spark, sf):
+        # model-based quality filter (fastText-style): Naive-Bayes
+        # log-odds self-trained with label = (lang = 'en'), mean
+        # log-odds per doc + keep verdict. Deterministic, so the
+        # whole train+score path is value-checked.
+        from weakscraper_spark.operators.classify import (
+            nb_quality_filter)
+        docs = _t(spark, sf, "documents").withColumn(
+            "y", (F.col("lang") == "en").cast("int"))
+        out = nb_quality_filter(docs, "y")
+        return out.select("doc_id", "n_scored",
+                          _dec(F.col("nb_score"), 4).alias("nb_score"),
+                          "keep")
+    q["nb_quality"] = nb_quality
+
+    def url_filter(spark, sf):
+        # URL-string corpus gate (RefinedWeb-style): score before
+        # fetch. Urls synthesized deterministically with planted
+        # blocked domains and strict/soft spam terms.
+        from weakscraper_spark.operators.urlnorm import (
+            url_quality_filter)
+        d = F.col("doc_id")
+        urls = _t(spark, sf, "documents").select(
+            F.concat(
+                F.lit("https://"),
+                F.when(d % 11 == 0, F.lit("www.casino.example"))
+                .when(d % 7 == 0, F.lit("sub.linkfarm.example"))
+                .otherwise(F.concat(F.lit("site"),
+                                    (d % 19).cast("string"),
+                                    F.lit(".example.org"))),
+                F.lit("/page/"), (d % 50).cast("string"),
+                F.when(d % 13 == 0, F.lit("/free-money-winner"))
+                .when(d % 17 == 0, F.lit("/xxx-content"))
+                .when(d % 5 == 0, F.lit("/download"))
+                .otherwise(F.lit("/article"))).alias("url"))
+        out = url_quality_filter(urls)
+        return out.select("url", "host", "reg_domain",
+                          _dec(F.col("url_score"), 1).alias("url_score"),
+                          "blocked_domain", "keep")
+    q["url_filter"] = url_filter
+
+    def epoch_shuffle(spark, sf):
+        # deterministic per-epoch global shuffle: md5-keyed
+        # permutation with DISTRIBUTED position assignment
+        # (range-partition + per-partition row_number + offsets);
+        # the oracle's single-node row_number must match exactly.
+        from weakscraper_spark.operators.corpus import epoch_shuffle
+        return epoch_shuffle(_t(spark, sf, "documents"),
+                             seed=5, num_partitions=8)
+    q["epoch_shuffle"] = epoch_shuffle
+
     # Driver sampling order (VERDICT r03 #2): the driver checks ~50
     # queries per round IN DICT ORDER. Every query has now been
     # driver-sampled at least once (r04 verdict), so r05 priority =
@@ -1380,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # changed this round (SRP caps/multi-probe, staged-truth
     # promotions, snap_versions cleanup), (3) rotation of the rest.
     _sample_first = [
+        "dup_substrings", "nb_quality", "url_filter", "epoch_shuffle",
         "link_graph", "host_rank", "anchor_topk", "mix_corpus",
         "srp_overcap", "lsh_near_dup", "lsh_ann_topk",
         "extract_pages", "boiler_extract", "raw_extract",
@@ -1608,6 +1673,166 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY src_host, dst_host)"""
 
     return {
+        "dup_substrings": """
+            WITH tk AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+')
+                           AS t
+                FROM documents),
+            g AS (
+                SELECT doc_id,
+                       unnest(range(0, len(t) - 7)) AS start, t
+                FROM tk WHERE len(t) >= 8),
+            h AS (
+                SELECT doc_id, start,
+                       md5(array_to_string(
+                           t[(start + 1):(start + 8)], ' ')) AS h
+                FROM g),
+            dup AS (SELECT h FROM h GROUP BY h HAVING count(*) >= 2),
+            m AS (SELECT doc_id, start FROM h JOIN dup USING (h)),
+            pe AS (
+                SELECT doc_id, start,
+                       max(start + 8) OVER (
+                           PARTITION BY doc_id ORDER BY start
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prev_end
+                FROM m),
+            i AS (
+                SELECT doc_id, start,
+                       CASE WHEN prev_end IS NULL
+                                 OR start > prev_end
+                            THEN 1 ELSE 0 END AS nw
+                FROM pe),
+            il AS (
+                SELECT doc_id, start,
+                       sum(nw) OVER (
+                           PARTITION BY doc_id ORDER BY start
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS isl
+                FROM i),
+            sp AS (
+                SELECT doc_id, isl, min(start) AS s,
+                       max(start) + 8 AS e
+                FROM il GROUP BY 1, 2),
+            pd AS (
+                SELECT doc_id, count(*) AS n_dup_spans,
+                       sum(e - s) AS dup_tokens
+                FROM sp GROUP BY 1)
+            SELECT tk.doc_id,
+                   len(tk.t)::BIGINT AS n_tokens,
+                   coalesce(pd.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+                   coalesce(pd.dup_tokens, 0)::BIGINT AS dup_tokens,
+                   CAST(CAST(round(coalesce(pd.dup_tokens, 0)
+                                   / greatest(len(tk.t), 1)::DOUBLE, 4)
+                             AS DECIMAL(18,4)) AS VARCHAR) AS dup_frac
+            FROM tk LEFT JOIN pd USING (doc_id)
+        """,
+        "nb_quality": """
+            WITH d AS (
+                SELECT doc_id, text,
+                       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                FROM documents),
+            tok AS (
+                SELECT y, unnest(string_split_regex(
+                    trim(lower(text)), '\\s+')) AS w
+                FROM d),
+            c AS (
+                SELECT w, sum(y) AS c_pos, sum(1 - y) AS c_neg
+                FROM tok GROUP BY 1),
+            tot AS (
+                SELECT sum(c_pos) AS n_pos, sum(c_neg) AS n_neg,
+                       count(*) AS v
+                FROM c),
+            lo AS (
+                SELECT w,
+                       ln((c_pos + 0.5) / (n_pos + 0.5 * v))
+                     - ln((c_neg + 0.5) / (n_neg + 0.5 * v)) AS logodds
+                FROM c CROSS JOIN tot),
+            dt AS (
+                SELECT doc_id, unnest(string_split_regex(
+                    trim(lower(text)), '\\s+')) AS w
+                FROM d),
+            s AS (
+                SELECT doc_id, count(*) AS n_scored,
+                       avg(logodds) AS nb_score
+                FROM dt JOIN lo USING (w) GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(s.n_scored, 0)::BIGINT AS n_scored,
+                   CAST(CAST(round(s.nb_score, 4) AS DECIMAL(18,4))
+                        AS VARCHAR) AS nb_score,
+                   s.nb_score > 0.0 AS keep
+            FROM d LEFT JOIN s USING (doc_id)
+        """,
+        "url_filter": """
+            WITH u AS (
+                SELECT 'https://'
+                    || CASE WHEN doc_id % 11 = 0
+                            THEN 'www.casino.example'
+                            WHEN doc_id % 7 = 0
+                            THEN 'sub.linkfarm.example'
+                            ELSE 'site' || (doc_id % 19)::VARCHAR
+                                 || '.example.org' END
+                    || '/page/' || (doc_id % 50)::VARCHAR
+                    || CASE WHEN doc_id % 13 = 0
+                            THEN '/free-money-winner'
+                            WHEN doc_id % 17 = 0 THEN '/xxx-content'
+                            WHEN doc_id % 5 = 0 THEN '/download'
+                            ELSE '/article' END AS url
+                FROM documents),
+            f AS (
+                SELECT url, lower(url) AS lu,
+                       regexp_replace(
+                           lower(regexp_extract(url,
+                               '^[^:/?#]+://([^/?#]*)', 1)),
+                           '^www\\.', '') AS host
+                FROM u),
+            r AS (
+                SELECT url, lu, host,
+                       string_split(host, '.') AS lb
+                FROM f),
+            sc AS (
+                SELECT url, host,
+                       CASE WHEN len(lb) >= 2
+                            THEN lb[len(lb) - 1] || '.' || lb[len(lb)]
+                            ELSE host END AS reg_domain,
+                       round(
+                           (CASE WHEN contains(lu, 'xxx')
+                                 THEN 1.0 ELSE 0.0 END)
+                         + (CASE WHEN contains(lu, 'casino')
+                                 THEN 1.0 ELSE 0.0 END)
+                         + (CASE WHEN contains(lu, 'viagra')
+                                 THEN 1.0 ELSE 0.0 END)
+                         + (CASE WHEN contains(lu, 'warez')
+                                 THEN 1.0 ELSE 0.0 END)
+                         + (CASE WHEN contains(lu, 'download')
+                                 THEN 0.5 ELSE 0.0 END)
+                         + (CASE WHEN contains(lu, 'torrent')
+                                 THEN 0.5 ELSE 0.0 END)
+                         + (CASE WHEN contains(lu, 'free-money')
+                                 THEN 0.5 ELSE 0.0 END)
+                         + (CASE WHEN contains(lu, 'winner')
+                                 THEN 0.5 ELSE 0.0 END), 1) AS score
+                FROM r)
+            SELECT url, host, reg_domain,
+                   CAST(CAST(score AS DECIMAL(18,1)) AS VARCHAR)
+                       AS url_score,
+                   reg_domain IN ('badcontent.example',
+                                  'casino.example',
+                                  'linkfarm.example')
+                       AS blocked_domain,
+                   NOT reg_domain IN ('badcontent.example',
+                                      'casino.example',
+                                      'linkfarm.example')
+                   AND score < 1.0 AS keep
+            FROM sc
+        """,
+        "epoch_shuffle": """
+            SELECT doc_id,
+                   (row_number() OVER (
+                        ORDER BY md5('5:shuf:' || doc_id::VARCHAR),
+                                 doc_id) - 1)::BIGINT AS pos
+            FROM documents
+        """,
         "link_graph": f"""
             SELECT src_host, dst_host, weight
             FROM {_host_edges('link_graph')} AS e

@@ -384,3 +384,81 @@ def test_anchor_topk_window_is_above_vocab_sized_agg(spark):
     aggs = [i for i, n in nodes if n == "HashAggregate"]
     assert wgl and aggs and min(aggs) < min(wgl), nodes
     assert "BatchEvalPython" not in names
+
+
+def test_dup_substring_windows_are_per_doc_only(spark):
+    """The gaps-and-islands merge must window PARTITION BY doc
+    (bounded by one document's grams), and the duplicate-hash
+    selection must be a two-phase agg on the gram hash, not a window
+    over the hash key (the hottest boilerplate gram would buffer in
+    one task)."""
+    import io as _io, contextlib as _ctx
+    from weakscraper_spark.operators.substr import dup_substring_stats
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i"), (2, "a b c d e f g h j")],
+        "doc_id long, text string")
+    plan_df = dup_substring_stats(df, k=8)
+    nodes = _plan_nodes(plan_df)
+    names = [n for _, n in nodes]
+    assert "HashAggregate" in names
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        plan_df.explain(True)
+    txt = buf.getvalue()
+    for line in txt.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "doc" in line.lower()
+
+
+def test_epoch_shuffle_no_global_window(spark):
+    """Global positions must come from range partitioning + per-
+    partition windows + offsets — never row_number over a global
+    ORDER BY (single-partition window over the whole corpus). The
+    corpus-width window must partition by the physical partition id;
+    the only unpartitioned window runs on the partition-sizes
+    relation (partition-count rows)."""
+    import io as _io, contextlib as _ctx
+    from pyspark.sql import functions as F
+    from weakscraper_spark.operators.corpus import epoch_shuffle
+    df = spark.range(0, 100).select(F.col("id").alias("doc_id"))
+    out = epoch_shuffle(df, seed=1, num_partitions=4)
+    nodes = _plan_nodes(out)
+    names = [n for _, n in nodes]
+    assert "Exchange" in names          # the range repartition
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        out.explain(True)
+    txt = buf.getvalue().lower()
+    # corpus-width window partitions by _pid; the offsets window
+    # (over sizes) is the only one allowed to be unpartitioned
+    assert "_pid" in txt
+    assert "rangepartitioning" in txt
+
+
+def test_nb_scoring_join_is_on_token_key(spark):
+    """Training is two map-side-combinable aggs; scoring joins on
+    the token key with the single-row totals broadcast — no window
+    anywhere, no python stage."""
+    from weakscraper_spark.operators.classify import nb_quality_filter
+    df = spark.createDataFrame(
+        [(1, "a b", 1), (2, "b c", 0)],
+        "doc_id long, text string, y int")
+    nodes = _plan_nodes(nb_quality_filter(df, "y"))
+    names = [n for _, n in nodes]
+    assert "Window" not in names
+    assert "BroadcastNestedLoopJoin" in names or \
+        "BroadcastHashJoin" in names    # totals cross-join broadcast
+    assert not any("Python" in n or "Arrow" in n for n in names)
+
+
+def test_url_filter_is_narrow_jvm_map(spark):
+    """The URL gate runs BEFORE fetch on the 10^12-row frontier —
+    it must stay a narrow JVM map: no exchange, no python, no join
+    for the seed-list blocklist (IN-list literal)."""
+    from weakscraper_spark.operators.urlnorm import url_quality_filter
+    df = spark.createDataFrame([(1, "https://a.example.org/x")],
+                               "id long, url string")
+    nodes = _plan_nodes(url_quality_filter(df))
+    names = [n for _, n in nodes]
+    assert "Exchange" not in names
+    assert not any("Python" in n or "Arrow" in n for n in names)

@@ -12,7 +12,7 @@ pipelines stage these filters to keep the pairwise step small).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .dedup import minhash_lsh_pairs
 from .textstats import with_fingerprint, with_quality_score
@@ -223,3 +223,53 @@ def mix_domains(df: DataFrame, domain_col: str,
             .withColumn("rate", rate)
             .filter(u < F.col("rate"))
             .drop("_dom_toks"))
+
+
+def epoch_shuffle(df: DataFrame, id_col: str = "doc_id",
+                  seed: int = 0, num_partitions: int | None = None) -> DataFrame:
+    """Deterministic seeded GLOBAL shuffle with explicit positions —
+    the per-epoch example-order shuffle of a training-data pipeline,
+    as a relation: (id, pos) where pos is the 0-based position of the
+    doc in the seed's permutation. A new ``seed`` is a new epoch.
+
+    The permutation key is md5(seed || id) — RNG-free, resume-stable,
+    and mirrored bit-for-bit in the DuckDB oracle (row_number over
+    the same key), so the PERMUTATION ITSELF is value-checked.
+
+    Scale shape — global row numbering WITHOUT a single-partition
+    window (the naive ``row_number() OVER (ORDER BY key)`` collapses
+    10^12 rows onto one task):
+
+    1. ``repartitionByRange`` on the key — Spark's sampled range
+       partitioner puts ascending key ranges on ascending partition
+       ids, the same machinery a total sort uses;
+    2. per-partition ``row_number`` windows PARTITIONED BY the
+       physical partition id — each window is bounded by one
+       partition's rows;
+    3. partition sizes (one tiny count agg, partition-count rows)
+       turn into cumulative offsets on the driver-side-free plan via
+       a window over the size relation, broadcast back;
+    4. pos = partition offset + local row number - 1.
+
+    md5 keys are uniform, so the range partitioner needs no skew
+    handling. Ties are impossible (id rides the sort key)."""
+    key = F.md5(F.concat(F.lit(f"{seed}:shuf:"),
+                         F.col(id_col).cast("string")))
+    d = df.select(F.col(id_col).alias("id"), key.alias("_k"))
+    d = (d.repartitionByRange(num_partitions, "_k", "id")
+         if num_partitions else d.repartitionByRange("_k", "id"))
+    d = d.withColumn("_pid", F.spark_partition_id())
+    local = F.row_number().over(
+        Window.partitionBy("_pid").orderBy("_k", "id"))
+    d = d.withColumn("_rn", local)
+    sizes = d.groupBy("_pid").agg(F.count("*").alias("_n"))
+    off = sizes.withColumn(
+        "_off",
+        F.coalesce(F.sum("_n").over(
+            Window.orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)))
+    return (d.join(F.broadcast(off.select("_pid", "_off")), "_pid")
+            .select(F.col("id").alias(id_col),
+                    (F.col("_off") + F.col("_rn") - 1)
+                    .cast("long").alias("pos")))

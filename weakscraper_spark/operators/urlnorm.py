@@ -112,3 +112,65 @@ def crawl_schedule(df: DataFrame, per_host: int = 2,
             .select(*rows.columns,
                     F.floor(u("w") * n_waves).cast("long").alias("wave"),
                     F.floor(u("s") * per_host).cast("long").alias("slot")))
+
+
+#: registered domains dropped outright (seed list; callers pass their
+#: own curated list at scale — e.g. the UT1 adult/gambling categories)
+DEFAULT_BLOCKED_DOMAINS = (
+    "badcontent.example", "casino.example", "linkfarm.example",
+)
+
+#: substrings scored against the WHOLE lowercased url. Strict terms
+#: score 1.0, soft terms 0.5 — the RefinedWeb-style soft-match rule
+#: where one strong or two weak signals cross the drop line.
+STRICT_URL_TERMS = ("xxx", "casino", "viagra", "warez")
+SOFT_URL_TERMS = ("download", "torrent", "free-money", "winner")
+
+
+def url_quality_filter(df: DataFrame, url_col: str = "url",
+                       blocked_domains: tuple[str, ...] =
+                       DEFAULT_BLOCKED_DOMAINS,
+                       max_score: float = 1.0) -> DataFrame:
+    """URL-level corpus gate (RefinedWeb §2's first filter): score
+    every url from the STRING ALONE — before any fetch/parse spend —
+    and emit an auditable verdict row per input url:
+
+    (url, host, reg_domain, url_score, blocked_domain, keep)
+
+    - ``reg_domain`` = last two host labels (cheap registered-domain
+      proxy; a public-suffix list upgrade slots in here);
+    - ``blocked_domain`` = reg_domain ∈ blocked list (exact match on
+      the key — at scale the curated list is a broadcast join side,
+      here an IN-list literal since the seed list is tiny);
+    - ``url_score`` = 1.0 per strict spam term + 0.5 per soft term
+      occurring ANYWHERE in the lowercased url (substring, not word:
+      spam hosts embed terms in subdomains/paths);
+    - ``keep`` = not blocked and url_score < max_score.
+
+    Pure JVM string ops, zero shuffle — the whole filter is a narrow
+    map, which is the point: it runs on the 10^12-row frontier
+    BEFORE the expensive stages. Every expression is mirrored
+    bit-for-bit in the DuckDB oracle twin."""
+    url = F.lower(F.col(url_col))
+    host = F.lower(F.coalesce(
+        F.try_parse_url(F.col(url_col), F.lit("HOST")), F.lit("")))
+    host_nw = F.regexp_replace(host, r"^www\.", "")
+    labels = F.split(host_nw, r"\.")
+    reg = F.when(
+        F.size(labels) >= 2,
+        F.concat_ws(".", F.element_at(labels, -2),
+                    F.element_at(labels, -1))).otherwise(host_nw)
+    score = sum(
+        [F.when(F.contains(url, F.lit(t)), F.lit(1.0))
+         .otherwise(F.lit(0.0)) for t in STRICT_URL_TERMS] +
+        [F.when(F.contains(url, F.lit(t)), F.lit(0.5))
+         .otherwise(F.lit(0.0)) for t in SOFT_URL_TERMS])
+    blocked = reg.isin(*blocked_domains) if blocked_domains \
+        else F.lit(False)
+    return df.select(
+        F.col(url_col),
+        host_nw.alias("host"),
+        reg.alias("reg_domain"),
+        F.round(score, 1).alias("url_score"),
+        blocked.alias("blocked_domain"),
+        (~blocked & (F.round(score, 1) < max_score)).alias("keep"))
