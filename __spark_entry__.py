@@ -1386,6 +1386,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           .alias("dup_frac"))
     q["dup_substrings"] = dup_substrings
 
+    def trim_substrings(spark, sf):
+        # the actionable Lee et al. trim policy: cut every merged
+        # duplicated k-gram span and re-join the surviving tokens —
+        # the rewritten text itself is value-checked, not just the
+        # span accounting.
+        from weakscraper_spark.operators.substr import (
+            trim_dup_substrings)
+        return trim_dup_substrings(_t(spark, sf, "documents"), k=8)
+    q["trim_substrings"] = trim_substrings
+
+    def chunk_docs(spark, sf):
+        # fixed-window token chunking (doc -> training examples):
+        # sliding windows of 48 tokens advancing by 32, truncated
+        # final window kept iff >= 4 tokens. Narrow map + explode,
+        # zero shuffle.
+        from weakscraper_spark.operators.corpus import chunk_tokens
+        return chunk_tokens(_t(spark, sf, "documents"),
+                            size=48, stride=32, min_tokens=4)
+    q["chunk_docs"] = chunk_docs
+
     def nb_quality(spark, sf):
         # model-based quality filter (fastText-style): Naive-Bayes
         # log-odds self-trained with label = (lang = 'en'), mean
@@ -1444,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # changed this round (SRP caps/multi-probe, staged-truth
     # promotions, snap_versions cleanup), (3) rotation of the rest.
     _sample_first = [
+        "trim_substrings", "chunk_docs",
         "dup_substrings", "nb_quality", "url_filter", "epoch_shuffle",
         "link_graph", "host_rank", "anchor_topk", "mix_corpus",
         "srp_overcap", "lsh_near_dup", "lsh_ann_topk",
@@ -1726,6 +1747,95 @@ def oracle_sql() -> dict[str, str]:
                                    / greatest(len(tk.t), 1)::DOUBLE, 4)
                              AS DECIMAL(18,4)) AS VARCHAR) AS dup_frac
             FROM tk LEFT JOIN pd USING (doc_id)
+        """,
+        "trim_substrings": """
+            WITH tk AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+')
+                           AS t
+                FROM documents),
+            g AS (
+                SELECT doc_id,
+                       unnest(range(0, len(t) - 7)) AS start, t
+                FROM tk WHERE len(t) >= 8),
+            h AS (
+                SELECT doc_id, start,
+                       md5(array_to_string(
+                           t[(start + 1):(start + 8)], ' ')) AS h
+                FROM g),
+            dup AS (SELECT h FROM h GROUP BY h HAVING count(*) >= 2),
+            m AS (SELECT doc_id, start FROM h JOIN dup USING (h)),
+            pe AS (
+                SELECT doc_id, start,
+                       max(start + 8) OVER (
+                           PARTITION BY doc_id ORDER BY start
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prev_end
+                FROM m),
+            i AS (
+                SELECT doc_id, start,
+                       CASE WHEN prev_end IS NULL
+                                 OR start > prev_end
+                            THEN 1 ELSE 0 END AS nw
+                FROM pe),
+            il AS (
+                SELECT doc_id, start,
+                       sum(nw) OVER (
+                           PARTITION BY doc_id ORDER BY start
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS isl
+                FROM i),
+            sp AS (
+                SELECT doc_id, isl, min(start) AS s,
+                       max(start) + 8 AS e
+                FROM il GROUP BY 1, 2),
+            tok AS (
+                SELECT doc_id, unnest(range(0, len(t))) AS i, t
+                FROM tk),
+            kept AS (
+                SELECT tok.doc_id, tok.i, tok.t[tok.i + 1] AS w
+                FROM tok LEFT JOIN sp
+                  ON sp.doc_id = tok.doc_id
+                 AND tok.i >= sp.s AND tok.i < sp.e
+                WHERE sp.s IS NULL),
+            agg AS (
+                SELECT doc_id,
+                       string_agg(w, ' ' ORDER BY i) AS text_clean,
+                       count(*) AS n_kept
+                FROM kept GROUP BY 1)
+            SELECT tk.doc_id,
+                   coalesce(agg.text_clean, '') AS text_clean,
+                   len(tk.t)::BIGINT AS n_tokens,
+                   (len(tk.t) - coalesce(agg.n_kept, 0))::BIGINT
+                       AS dup_tokens
+            FROM tk LEFT JOIN agg USING (doc_id)
+        """,
+        "chunk_docs": """
+            WITH tk AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+')
+                           AS t
+                FROM documents),
+            b AS (
+                SELECT doc_id, t, len(t) AS n,
+                       greatest(ceil((len(t) - 48) / 32.0)::BIGINT
+                                + 1, 1) AS nc
+                FROM tk),
+            c AS (
+                SELECT doc_id, t, n,
+                       unnest(range(0, nc)) AS chunk_id
+                FROM b),
+            w AS (
+                SELECT doc_id, chunk_id,
+                       chunk_id * 32 AS chunk_start,
+                       t[(chunk_id * 32 + 1):(chunk_id * 32 + 48)]
+                           AS w
+                FROM c WHERE chunk_id * 32 < n)
+            SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+                   chunk_start::BIGINT AS chunk_start,
+                   len(w)::BIGINT AS n_chunk_tokens,
+                   array_to_string(w, ' ') AS chunk_text
+            FROM w WHERE len(w) >= 4
         """,
         "nb_quality": """
             WITH d AS (

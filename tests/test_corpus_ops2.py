@@ -146,3 +146,56 @@ def test_epoch_shuffle_seeds_differ(spark):
     a = {r.doc_id: r.pos for r in epoch_shuffle(df, seed=1).collect()}
     b = {r.doc_id: r.pos for r in epoch_shuffle(df, seed=2).collect()}
     assert a != b
+
+
+def test_trim_dup_substrings(sub_docs):
+    from weakscraper_spark.operators.substr import trim_dup_substrings
+    out = {r.doc_id: r for r in
+           trim_dup_substrings(sub_docs, k=8).collect()}
+    assert out[1].text_clean == "start marker tail words here"
+    assert out[1].dup_tokens == 12 and out[1].n_tokens == 17
+    assert out[2].text_clean == \
+        "completely different ending tokens now"
+    assert out[3].text_clean == "filler middle words"  # both copies cut
+    # clean doc passes through (lower-folded token join)
+    assert out[4].dup_tokens == 0
+    assert out[4].text_clean == \
+        "totally unique sentence with no repeated material " \
+        "anywhere in this corpus at all"
+
+
+def test_chunk_tokens_disjoint(spark):
+    from weakscraper_spark.operators.corpus import chunk_tokens
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b c")],
+        "doc_id long, text string")
+    out = sorted(((r.doc_id, r.chunk_id, r.chunk_start,
+                   r.n_chunk_tokens, r.chunk_text)
+                  for r in chunk_tokens(df, size=4).collect()))
+    assert out == [
+        (1, 0, 0, 4, "w0 w1 w2 w3"),
+        (1, 1, 4, 4, "w4 w5 w6 w7"),
+        (1, 2, 8, 2, "w8 w9"),          # final window truncated
+        (2, 0, 0, 3, "a b c"),           # short doc → one chunk
+    ]
+
+
+def test_chunk_tokens_sliding(spark):
+    from weakscraper_spark.operators.corpus import chunk_tokens
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10)))],
+        "doc_id long, text string")
+    out = sorted((r.chunk_start, r.n_chunk_tokens) for r in
+                 chunk_tokens(df, size=4, stride=2).collect())
+    # starts 0,2,4,6 — window [6,10) reaches the doc end
+    assert out == [(0, 4), (2, 4), (4, 4), (6, 4)]
+
+
+def test_chunk_tokens_min_tokens(spark):
+    from weakscraper_spark.operators.corpus import chunk_tokens
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(9)))],
+        "doc_id long, text string")
+    out = chunk_tokens(df, size=4, min_tokens=2).collect()
+    # windows [0,4) [4,8) [8,9): the 1-token tail is dropped
+    assert sorted(r.chunk_start for r in out) == [0, 4]

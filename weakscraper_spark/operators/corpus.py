@@ -273,3 +273,55 @@ def epoch_shuffle(df: DataFrame, id_col: str = "doc_id",
             .select(F.col("id").alias(id_col),
                     (F.col("_off") + F.col("_rn") - 1)
                     .cast("long").alias("pos")))
+
+
+def chunk_tokens(df: DataFrame, id_col: str = "doc_id",
+                 col: str = "text", size: int = 128,
+                 stride: int | None = None,
+                 min_tokens: int = 1) -> DataFrame:
+    """Fixed-window token chunking — the doc → training-example
+    splitter that runs between cleaning and packing: each document
+    becomes ceil-covering windows of ``size`` tokens advancing by
+    ``stride`` (default = size, i.e. disjoint windows; stride < size
+    gives sliding overlap for long-context curricula). Returns
+
+    (id, chunk_id, chunk_start, n_chunk_tokens, chunk_text)
+
+    with chunk_id dense from 0 per doc, chunk_start the 0-based token
+    offset, and the FINAL window truncated at the doc end (emitted if
+    it still has >= ``min_tokens`` tokens and starts inside the doc;
+    a doc shorter than ``size`` yields exactly one chunk).
+
+    Scale shape: pure narrow JVM map — tokenize once (array
+    materialized as a column), one explode over the per-doc window
+    starts; no shuffle at all. The natural upstream of
+    ``pack_sequences`` (which bins the CHUNKS) and the tokenizer
+    prep."""
+    if stride is None:
+        stride = size
+    if stride <= 0:
+        raise ValueError("stride must be positive")
+    base = (df.select(F.col(id_col).alias("doc"),
+                      F.split(F.trim(F.lower(F.col(col))),
+                              r"\s+").alias("_t"))
+            .withColumn("_n", F.size(F.col("_t"))))
+    # window starts: 0, stride, 2*stride, ... while start < n
+    n_chunks = F.greatest(
+        F.ceil((F.col("_n") - size) / stride) + 1, F.lit(1)) \
+        .cast("int")
+    chunks = (base
+              .select("doc", "_t", "_n",
+                      F.explode(F.sequence(
+                          F.lit(0), n_chunks - 1)).alias("chunk_id"))
+              .withColumn("chunk_start",
+                          (F.col("chunk_id") * stride).cast("long"))
+              .filter(F.col("chunk_start") < F.col("_n"))
+              .withColumn("_w", F.slice(F.col("_t"),
+                                        F.col("chunk_start") + 1, size))
+              .filter(F.size("_w") >= min_tokens))
+    return chunks.select(
+        F.col("doc").alias(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "chunk_start",
+        F.size("_w").cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.col("_w")).alias("chunk_text"))

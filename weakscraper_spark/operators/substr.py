@@ -125,3 +125,48 @@ def dup_substring_stats(df: DataFrame, id_col: str = "doc_id",
                     F.round(F.coalesce("dup_tokens", F.lit(0)) /
                             F.greatest("n_tokens", F.lit(1)), 4)
                     .alias("dup_frac")))
+
+
+def trim_dup_substrings(df: DataFrame, id_col: str = "doc_id",
+                        col: str = "text", k: int = 20) -> DataFrame:
+    """The actionable Lee et al. policy: CUT every duplicated span
+    out of the text (keeping the first-seen copy is a valid variant;
+    cutting all copies is the conservative one — both appear in the
+    paper's ablations, this implements cut-all). Returns
+
+    (id, text_clean, n_tokens, dup_tokens)
+
+    where ``text_clean`` re-joins the tokens OUTSIDE the merged
+    duplicated intervals with single spaces (tokenization is the
+    mirrored lower/trim/split — reconstruction is exact on the token
+    sequence, not the original byte spacing, and the lowercase fold
+    rides through: this is a corpus-prep transform, not a display
+    one).
+
+    Scale shape: spans per doc are collect_list'd — bounded by one
+    document's span count, the same per-doc envelope as the window
+    that built them — then the keep-filter is a JVM array expression;
+    no Python, no extra corpus-width shuffle beyond the span join on
+    the id key."""
+    base = _tokenized(df, id_col, col)
+    spans = (_merged_spans(base, k)
+             .groupBy("doc")
+             .agg(F.collect_list(
+                 F.struct(F.col("span_start").alias("s"),
+                          F.col("span_end").alias("e"))).alias("_sp")))
+    joined = base.join(spans, "doc", "left")
+    sp = F.coalesce(F.col("_sp"),
+                    F.array().cast("array<struct<s:long,e:long>>"))
+    kept = F.filter(
+        F.transform(F.sequence(F.lit(0), F.col("_n") - 1),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.element_at(F.col("_t"), i + 1).alias("w"))),
+        lambda x: ~F.exists(
+            sp, lambda r: (x["i"] >= r["s"]) & (x["i"] < r["e"])))
+    return joined.select(
+        F.col("doc").alias(id_col),
+        F.concat_ws(" ", F.transform(kept, lambda x: x["w"]))
+        .alias("text_clean"),
+        F.col("_n").cast("long").alias("n_tokens"),
+        (F.col("_n") - F.size(kept)).cast("long").alias("dup_tokens"))
