@@ -1406,6 +1406,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             size=48, stride=32, min_tokens=4)
     q["chunk_docs"] = chunk_docs
 
+    def sitemap_entries(spark, sf):
+        # sitemap discovery round-trip: synthesize urlset XML (20
+        # host sitemaps + 1 sitemapindex) deterministically from
+        # doc_id arithmetic — CDATA-wrapped locs, entity-escaped &,
+        # missing optional fields, a non-numeric priority — parse
+        # with the narrow-map operator, and the oracle states the
+        # CLOSED FORM of what must come back out.
+        from weakscraper_spark.operators.sitemap import parse_sitemaps
+        d = F.col("doc_id")
+        loc = F.concat(
+            F.lit("https://site"), (d % 20).cast("string"),
+            F.lit(".example.org/page/"), d.cast("string"),
+            F.when(d % 5 == 0, F.lit("?a=1&b=2")).otherwise(F.lit("")))
+        loc_xml = F.when(
+            d % 7 == 0,
+            F.concat(F.lit("<loc><![CDATA["), loc, F.lit("]]></loc>"))
+        ).otherwise(F.concat(
+            F.lit("<loc>"),
+            F.replace(loc, F.lit("&"), F.lit("&amp;")),
+            F.lit("</loc>")))
+        lastmod = F.when(d % 3 != 0, F.concat(
+            F.lit("<lastmod>2025-"),
+            F.format_string("%02d", (d % 12 + 1).cast("int")),
+            F.lit("-"),
+            F.format_string("%02d", (d % 28 + 1).cast("int")),
+            F.lit("</lastmod>"))).otherwise(F.lit(""))
+        freqs = F.array(*[F.lit(s) for s in (
+            "always", "hourly", "daily", "weekly", "monthly",
+            "yearly", "never")])
+        changefreq = F.when(d % 4 == 0, F.concat(
+            F.lit("<changefreq>"),
+            F.element_at(freqs, (d % 7 + 1).cast("int")),
+            F.lit("</changefreq>"))).otherwise(F.lit(""))
+        priority = (
+            F.when(d % 30 == 0, F.lit("<priority>n/a</priority>"))
+            .when(d % 3 == 0, F.concat(
+                F.lit("<priority>0."), (d % 10).cast("string"),
+                F.lit("</priority>")))
+            .otherwise(F.lit("")))
+        block = F.concat(F.lit("<url>"), loc_xml, lastmod,
+                         changefreq, priority, F.lit("</url>"))
+        sets = (_t(spark, sf, "documents")
+                .select((d % 20).alias("sm"), block.alias("b"))
+                .groupBy("sm")
+                .agg(F.concat(
+                    F.lit('<?xml version="1.0"?><urlset xmlns='
+                          '"http://www.sitemaps.org/schemas/'
+                          'sitemap/0.9">'),
+                    F.concat_ws("", F.collect_list("b")),
+                    F.lit("</urlset>")).alias("xml"))
+                .select(F.concat(
+                    F.lit("https://example.org/sitemaps/"),
+                    F.col("sm").cast("string"),
+                    F.lit(".xml")).alias("url"), "xml"))
+        index = (sets.select(F.concat(
+            F.lit("<sitemap><loc>"), F.col("url"),
+            F.lit("</loc></sitemap>")).alias("b"))
+            .agg(F.concat(
+                F.lit("<sitemapindex>"),
+                F.concat_ws("", F.collect_list("b")),
+                F.lit("</sitemapindex>")).alias("xml"))
+            .select(F.lit("https://example.org/sitemap_index.xml")
+                    .alias("url"), "xml"))
+        out = parse_sitemaps(sets.unionByName(index))
+        return out.select("sitemap_url", "kind", "loc", "lastmod",
+                          "changefreq",
+                          _dec(F.col("priority"), 1).alias("priority"))
+    q["sitemap_entries"] = sitemap_entries
+
+    def tfidf_keywords(spark, sf):
+        # top-3 tf-idf keywords per document (smoothed idf + 1,
+        # deterministic term-asc tie-break); the rank window runs
+        # over the (doc, term) aggregate, WindowGroupLimit map-side.
+        from weakscraper_spark.operators.search import tfidf_topk
+        out = tfidf_topk(_t(spark, sf, "documents"), k=3)
+        return out.select("doc_id", "term", "tf",
+                          _dec(F.col("score"), 6).alias("score"),
+                          F.col("rn").cast("long").alias("rn"))
+    q["tfidf_keywords"] = tfidf_keywords
+
     def nb_quality(spark, sf):
         # model-based quality filter (fastText-style): Naive-Bayes
         # log-odds self-trained with label = (lang = 'en'), mean
@@ -1464,7 +1544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # changed this round (SRP caps/multi-probe, staged-truth
     # promotions, snap_versions cleanup), (3) rotation of the rest.
     _sample_first = [
-        "trim_substrings", "chunk_docs",
+        "trim_substrings", "chunk_docs", "sitemap_entries",
+        "tfidf_keywords",
         "dup_substrings", "nb_quality", "url_filter", "epoch_shuffle",
         "link_graph", "host_rank", "anchor_topk", "mix_corpus",
         "srp_overcap", "lsh_near_dup", "lsh_ann_topk",
@@ -1836,6 +1917,72 @@ def oracle_sql() -> dict[str, str]:
                    len(w)::BIGINT AS n_chunk_tokens,
                    array_to_string(w, ' ') AS chunk_text
             FROM w WHERE len(w) >= 4
+        """,
+        "sitemap_entries": """
+            WITH d AS (SELECT doc_id AS d FROM documents),
+            urls AS (
+                SELECT 'https://example.org/sitemaps/' || (d % 20)
+                           || '.xml' AS sitemap_url,
+                       'url' AS kind,
+                       'https://site' || (d % 20)
+                           || '.example.org/page/' || d
+                           || CASE WHEN d % 5 = 0 THEN '?a=1&b=2'
+                                   ELSE '' END AS loc,
+                       CASE WHEN d % 3 <> 0 THEN
+                           '2025-' || printf('%02d', d % 12 + 1)
+                           || '-' || printf('%02d', d % 28 + 1)
+                       END AS lastmod,
+                       CASE WHEN d % 4 = 0 THEN
+                           (['always', 'hourly', 'daily', 'weekly',
+                             'monthly', 'yearly', 'never'])[
+                               (d % 7 + 1)::INT]
+                       END AS changefreq,
+                       CASE WHEN d % 30 = 0 THEN NULL
+                            WHEN d % 3 = 0 THEN CAST(CAST(
+                                round((d % 10) / 10.0, 1)
+                                AS DECIMAL(18,1)) AS VARCHAR)
+                       END AS priority
+                FROM d),
+            idx AS (
+                SELECT DISTINCT
+                       'https://example.org/sitemap_index.xml'
+                           AS sitemap_url,
+                       'sitemap' AS kind,
+                       'https://example.org/sitemaps/' || (d % 20)
+                           || '.xml' AS loc,
+                       CAST(NULL AS VARCHAR) AS lastmod,
+                       CAST(NULL AS VARCHAR) AS changefreq,
+                       CAST(NULL AS VARCHAR) AS priority
+                FROM d)
+            SELECT * FROM urls UNION ALL SELECT * FROM idx
+        """,
+        "tfidf_keywords": """
+            WITH tk AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+')
+                           AS t
+                FROM documents),
+            n AS (SELECT count(*) AS n_docs FROM tk),
+            tok AS (SELECT doc_id, unnest(t) AS term FROM tk),
+            f AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM tok WHERE len(term) >= 2 GROUP BY 1, 2),
+            dft AS (SELECT term, count(*) AS df FROM f GROUP BY 1),
+            s AS (
+                SELECT f.doc_id, f.term, f.tf,
+                       f.tf * (ln((n.n_docs + 1.0) / (dft.df + 1.0))
+                               + 1.0) AS score
+                FROM f JOIN dft USING (term) CROSS JOIN n),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score DESC, term) AS rn
+                FROM s)
+            SELECT doc_id, term, tf::BIGINT AS tf,
+                   CAST(CAST(round(score, 6) AS DECIMAL(18,6))
+                        AS VARCHAR) AS score,
+                   rn::BIGINT AS rn
+            FROM r WHERE rn <= 3
         """,
         "nb_quality": """
             WITH d AS (

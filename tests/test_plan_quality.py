@@ -462,3 +462,17 @@ def test_url_filter_is_narrow_jvm_map(spark):
     names = [n for _, n in nodes]
     assert "Exchange" not in names
     assert not any("Python" in n or "Arrow" in n for n in names)
+
+
+def test_tfidf_topk_windows_over_aggregate(spark):
+    """The tfidf rank window must run over the (doc, term) AGGREGATE
+    with a map-side WindowGroupLimit — never over raw token rows —
+    and the df(term) side must join without a corpus-width shuffle of
+    the token explode output."""
+    from weakscraper_spark.operators.search import tfidf_topk
+
+    nodes = _plan_nodes(tfidf_topk(_docs_df(spark), k=3))
+    wgl = [i for i, n in nodes if n == "WindowGroupLimit"]
+    exch = [i for i, n in nodes if n == "Exchange"]
+    assert wgl and exch and min(wgl) < max(exch), nodes
+    assert not [n for _, n in nodes if "Python" in n], nodes

@@ -1303,3 +1303,35 @@ def test_compression_ratio_signal(spark):
     assert out[0].avg_logprob > out[100].avg_logprob
     assert out[101].n_bigrams == 0 and out[101].avg_logprob is None
     assert out[0].n_bigrams == 6
+
+
+def test_tfidf_topk_keywords(spark):
+    """A term unique to one doc must outscore corpus-wide terms in
+    that doc; exact score pinned; ties break by term asc; min_len
+    drops 1-char tokens; rn never exceeds k."""
+    import math
+    from weakscraper_spark.operators.search import tfidf_topk
+    rows = [(1, "common words everywhere plus zebra zebra a"),
+            (2, "common words everywhere plus other filler"),
+            (3, "common words everywhere plus other filler")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [r for r in tfidf_topk(df, k=2).collect()]
+    top1 = {r.rn: r for r in out if r.doc_id == 1}
+    assert top1[1].term == "zebra" and top1[1].tf == 2
+    assert top1[1].score == 2 * (math.log(4 / 2) + 1)  # tf=2 df=1 N=3
+    # 'a' (len 1) was filtered: doc 1's rank-2 is a real word, and
+    # among the equal-scored corpus-wide terms the tie breaks asc
+    assert top1[2].term == "common"
+    assert all(r.rn <= 2 for r in out)
+
+
+def test_tfidf_smoothing_keeps_universal_terms_positive(spark):
+    """df = N terms keep a small positive idf (add-one smoothing), so
+    a doc made ONLY of universal terms still yields ranked keywords
+    ordered by tf."""
+    from weakscraper_spark.operators.search import tfidf_topk
+    rows = [(1, "aa aa aa bb"), (2, "aa bb"), (3, "aa bb bb")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.doc_id, r.rn): r.term
+           for r in tfidf_topk(df, k=2).collect()}
+    assert out[(1, 1)] == "aa" and out[(3, 1)] == "bb"

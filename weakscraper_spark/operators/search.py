@@ -69,6 +69,51 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
             .select(F.col("doc").alias(id_col), "n_hits", "score"))
 
 
+def tfidf_topk(docs: DataFrame, id_col: str = "doc_id",
+               col: str = "text", k: int = 5,
+               min_len: int = 2) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document — the classic document
+    summarization / tag-extraction primitive (Spärck Jones 1972 idf):
+
+    (id, term, tf, score, rn)
+    score = tf · (ln((N + 1)/(df + 1)) + 1)
+
+    — the smoothed idf with the additive 1 (the scikit-learn
+    formulation), which keeps corpus-wide terms (df = N) at weight
+    tf · 1 instead of zero, so a doc made only of universal terms
+    still ranks keywords by tf. Ties break by term asc — fully
+    deterministic, oracle-replayable.
+
+    Scale shape: tf is a map-side-combinable (doc, term) count; df is
+    a groupBy over the VOCAB (≪ corpus) whose result joins back on
+    the term key — vocab-sized build side, never corpus-width; N
+    rides a 1-row broadcast. The rank window runs over the (doc,
+    term) AGGREGATE with WindowGroupLimit planting the per-doc top-k
+    map-side (the dedup_latest/anchor_topk rule — never a window over
+    raw token rows)."""
+    base = docs.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.trim(F.lower(F.col(col))), r"\s+").alias("_t"))
+    n_docs = base.agg(F.count("*").alias("n_docs"))
+    terms = (base.select("doc", F.explode("_t").alias("term"))
+             .filter(F.length("term") >= min_len))
+    tf = terms.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    df_t = (tf.groupBy("term")
+            .agg(F.count("*").alias("df")))  # tf rows are distinct
+    scored = (tf.join(df_t, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .select("doc", "term", "tf",
+                      (F.col("tf") * (F.log(
+                          (F.col("n_docs") + 1.0) /
+                          (F.col("df") + 1.0)) + 1.0)).alias("score")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc").orderBy(F.desc("score"), "term")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(F.col("doc").alias(id_col), "term", "tf",
+                    "score", "rn"))
+
+
 def rrf_fuse(rankings: list[DataFrame], id_col: str = "doc_id",
              k: int = 60) -> DataFrame:
     """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09):
