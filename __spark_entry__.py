@@ -1475,6 +1475,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           _dec(F.col("priority"), 1).alias("priority"))
     q["sitemap_entries"] = sitemap_entries
 
+    def robots_sitemaps(spark, sf):
+        # robots.txt -> Sitemap: directive discovery (the hand-off
+        # into parse_sitemaps). Synthesized robots files plant the
+        # tolerances: mixed case, leading whitespace, value-stops-at-
+        # whitespace, multiple directives, files with none.
+        from weakscraper_spark.operators.sitemap import sitemap_urls
+        h = F.col("hid")
+        hosts = (_t(spark, sf, "documents")
+                 .select((F.col("doc_id") % 20).alias("hid"))
+                 .distinct())
+        txt = F.concat(
+            F.lit("# synthetic\nUser-agent: *\nDisallow: /private\n"),
+            F.when(h % 2 == 0, F.concat(
+                F.lit("Sitemap: https://h"), h.cast("string"),
+                F.lit(".example.org/sitemap.xml\n")))
+            .otherwise(F.lit("")),
+            F.when(h % 3 == 0, F.concat(
+                F.lit("  sitemap:https://h"), h.cast("string"),
+                F.lit(".example.org/news.xml # comment\n")))
+            .otherwise(F.lit("")))
+        robots = hosts.select(
+            F.concat(F.lit("h"), h.cast("string"),
+                     F.lit(".example.org")).alias("host"),
+            txt.alias("robots_txt"))
+        return sitemap_urls(robots)
+    q["robots_sitemaps"] = robots_sitemaps
+
     def tfidf_keywords(spark, sf):
         # top-3 tf-idf keywords per document (smoothed idf + 1,
         # deterministic term-asc tie-break); the rank window runs
@@ -1545,7 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # promotions, snap_versions cleanup), (3) rotation of the rest.
     _sample_first = [
         "trim_substrings", "chunk_docs", "sitemap_entries",
-        "tfidf_keywords",
+        "robots_sitemaps", "tfidf_keywords",
         "dup_substrings", "nb_quality", "url_filter", "epoch_shuffle",
         "link_graph", "host_rank", "anchor_topk", "mix_corpus",
         "srp_overcap", "lsh_near_dup", "lsh_ann_topk",
@@ -1955,6 +1982,22 @@ def oracle_sql() -> dict[str, str]:
                        CAST(NULL AS VARCHAR) AS priority
                 FROM d)
             SELECT * FROM urls UNION ALL SELECT * FROM idx
+        """,
+        "robots_sitemaps": """
+            WITH h AS (
+                SELECT DISTINCT (doc_id % 20) AS hid FROM documents),
+            a AS (
+                SELECT 'h' || hid || '.example.org' AS host,
+                       'https://h' || hid
+                           || '.example.org/sitemap.xml'
+                           AS sitemap_url
+                FROM h WHERE hid % 2 = 0),
+            b AS (
+                SELECT 'h' || hid || '.example.org' AS host,
+                       'https://h' || hid || '.example.org/news.xml'
+                           AS sitemap_url
+                FROM h WHERE hid % 3 = 0)
+            SELECT * FROM a UNION ALL SELECT * FROM b
         """,
         "tfidf_keywords": """
             WITH tk AS (

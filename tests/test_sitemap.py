@@ -80,3 +80,20 @@ def test_no_shuffle_plan(spark):
     plan = parse_sitemaps(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_sitemap_urls_from_robots(spark):
+    from weakscraper_spark.operators.sitemap import sitemap_urls
+    txt_a = ("# robots\nUser-agent: *\nDisallow: /x\n"
+             "Sitemap: https://a.example/s1.xml\n"
+             "  SITEMAP:https://a.example/s2.xml trailing comment\n")
+    txt_b = "User-agent: *\nAllow: /\n"      # no directive
+    df = spark.createDataFrame(
+        [("a.example", txt_a), ("b.example", txt_b)],
+        "host string, robots_txt string")
+    out = sorted((r.host, r.sitemap_url)
+                 for r in sitemap_urls(df).collect())
+    # case-insensitive, leading ws, multiple per file, value stops
+    # at whitespace; hosts without a directive emit nothing
+    assert out == [("a.example", "https://a.example/s1.xml"),
+                   ("a.example", "https://a.example/s2.xml")]

@@ -49,6 +49,24 @@ def _tag_text(block: Column, name: str) -> Column:
     return F.nullif(val, F.lit(""))
 
 
+def sitemap_urls(robots: DataFrame, host_col: str = "host",
+                 txt_col: str = "robots_txt") -> DataFrame:
+    """``Sitemap:`` directives from robots.txt → (host, sitemap_url):
+    the standard discovery hand-off from the robots dim table
+    (operators/robots.py) into ``parse_sitemaps``. Per RFC 9309 /
+    sitemaps.org the directive is NOT agent-scoped — it counts
+    wherever it appears in the file — and a file may carry several.
+    Case-insensitive, leading whitespace tolerated, value runs to the
+    first whitespace (comments after the url drop off). Narrow map:
+    split lines + explode + one regexp on slim line strings."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(txt_col), r"\r?\n")).alias("_l"))
+    sm = F.regexp_extract("_l", r"(?i)^\s*sitemap\s*:\s*(\S+)", 1)
+    return (lines.select("host", sm.alias("sitemap_url"))
+            .filter(F.col("sitemap_url") != ""))
+
+
 def parse_sitemaps(df: DataFrame, xml_col: str = "xml",
                    url_col: str = "url") -> DataFrame:
     """sitemap files → one row per entry:
