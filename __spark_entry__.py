@@ -1513,6 +1513,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.col("rn").cast("long").alias("rn"))
     q["tfidf_keywords"] = tfidf_keywords
 
+    def host_split(spark, sf):
+        # leakage-free train/val/test: the whole SOURCE lands in one
+        # split (group-held-out hashing, zero-shuffle narrow map);
+        # binary-exact fractions so both engines cut at identical
+        # double boundaries.
+        from weakscraper_spark.operators.corpus import split_by_group
+        out = split_by_group(
+            _t(spark, sf, "documents").select("doc_id", "source"),
+            "source", {"train": 0.5, "val": 0.25, "test": 0.25})
+        return out.select("doc_id", "source", "split")
+    q["host_split"] = host_split
+
     def nb_quality(spark, sf):
         # model-based quality filter (fastText-style): Naive-Bayes
         # log-odds self-trained with label = (lang = 'en'), mean
@@ -1572,7 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # promotions, snap_versions cleanup), (3) rotation of the rest.
     _sample_first = [
         "trim_substrings", "chunk_docs", "sitemap_entries",
-        "robots_sitemaps", "tfidf_keywords",
+        "robots_sitemaps", "tfidf_keywords", "host_split",
         "dup_substrings", "nb_quality", "url_filter", "epoch_shuffle",
         "link_graph", "host_rank", "anchor_topk", "mix_corpus",
         "srp_overcap", "lsh_near_dup", "lsh_ann_topk",
@@ -1998,6 +2010,17 @@ def oracle_sql() -> dict[str, str]:
                            AS sitemap_url
                 FROM h WHERE hid % 3 = 0)
             SELECT * FROM a UNION ALL SELECT * FROM b
+        """,
+        "host_split": """
+            SELECT doc_id, source,
+                   CASE WHEN u < 0.5 THEN 'train'
+                        WHEN u < 0.75 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, source,
+                         ('0x' || substr(md5('42:split:' || source),
+                                         1, 15))::UBIGINT
+                         / (16.0 ** 15) AS u
+                  FROM documents)
         """,
         "tfidf_keywords": """
             WITH tk AS (

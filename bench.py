@@ -124,7 +124,7 @@ def _run_queries(sf_dir: str, cpus: int,
         "link_graph", "host_rank", "anchor_topk", "mix_corpus",
         "dup_substrings", "nb_quality", "url_filter", "epoch_shuffle",
         "trim_substrings", "chunk_docs", "sitemap_entries",
-        "robots_sitemaps", "tfidf_keywords",
+        "robots_sitemaps", "tfidf_keywords", "host_split",
     ]
     # raw_extract (archives→extract composition) is deliberately NOT
     # a headline: it chains five Python stages over a synthesized

@@ -199,3 +199,66 @@ def test_chunk_tokens_min_tokens(spark):
     out = chunk_tokens(df, size=4, min_tokens=2).collect()
     # windows [0,4) [4,8) [8,9): the 1-token tail is dropped
     assert sorted(r.chunk_start for r in out) == [0, 4]
+
+
+# ---------------------------------------------------------------- split
+
+
+def test_split_by_group_consistency(spark):
+    from weakscraper_spark.operators.corpus import split_by_group
+    rows = [(i, f"h{i % 7}.example") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    out = split_by_group(df, "host",
+                         {"train": 0.5, "val": 0.25, "test": 0.25})
+    # every group maps to exactly one split — the leakage-free law
+    per_group = (out.groupBy("host")
+                 .agg(F.countDistinct("split").alias("n")).collect())
+    assert all(r.n == 1 for r in per_group)
+    assert set(r.split for r in out.collect()) <= {"train", "val",
+                                                   "test"}
+
+
+def test_split_by_group_fractions_approx(spark):
+    from weakscraper_spark.operators.corpus import split_by_group
+    # 1000 singleton groups: split sizes concentrate near fractions
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("g"), F.col("id")).alias("g"))
+    out = split_by_group(df, "g", {"train": 0.8, "val": 0.2},
+                         seed=7)
+    counts = {r.split: r.n for r in
+              out.groupBy("split").agg(F.count("*").alias("n"))
+              .collect()}
+    assert 730 <= counts["train"] <= 870
+    assert counts["train"] + counts["val"] == 1000
+
+
+def test_split_by_group_null_and_determinism(spark):
+    from weakscraper_spark.operators.corpus import split_by_group
+    df = spark.createDataFrame([(1, None), (2, "a")],
+                               "doc_id long, host string")
+    fr = {"train": 0.5, "val": 0.25, "test": 0.25}
+    one = {(r.doc_id, r.split)
+           for r in split_by_group(df, "host", fr).collect()}
+    two = {(r.doc_id, r.split)
+           for r in split_by_group(df, "host", fr).collect()}
+    assert one == two                      # resume-stable
+    null_split = dict(one)[1]
+    assert null_split == "test"            # NULL falls to LAST split
+
+
+def test_split_by_group_plan_is_narrow(spark):
+    from weakscraper_spark.operators.corpus import split_by_group
+    df = spark.createDataFrame([(1, "a")], "doc_id long, host string")
+    plan = split_by_group(df, "host")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_split_by_group_validates(spark):
+    from weakscraper_spark.operators.corpus import split_by_group
+    df = spark.createDataFrame([(1, "a")], "doc_id long, host string")
+    with pytest.raises(ValueError):
+        split_by_group(df, "host", {})
+    with pytest.raises(ValueError):
+        split_by_group(df, "host", {"train": 0.0})

@@ -325,3 +325,54 @@ def chunk_tokens(df: DataFrame, id_col: str = "doc_id",
         "chunk_start",
         F.size("_w").cast("long").alias("n_chunk_tokens"),
         F.concat_ws(" ", F.col("_w")).alias("chunk_text"))
+
+
+def split_by_group(df: DataFrame, group_col: str,
+                   fractions: dict[str, float] | None = None,
+                   seed: int = 42,
+                   split_col: str = "split") -> DataFrame:
+    """Leakage-free train/val/test assignment: the ENTIRE group
+    (host, source, domain — whatever ``group_col`` names) lands in
+    one split, so evaluation rows never share a group with training
+    rows. Splitting per-DOCUMENT leaks: near-identical pages from one
+    host straddle the boundary and the val loss measures memorization
+    of the host's template, not generalization — group-held-out
+    splitting is the standard countermeasure.
+
+    The draw is the repo's md5-uniform u = md5(seed:split:group)
+    (RNG-free, resume-stable, mirrored bit-for-bit in DuckDB), cut at
+    the cumulative ``fractions`` boundaries IN DICT ORDER — pass
+    binary-exact fractions (0.5/0.25/0.25) when the assignment itself
+    is value-checked cross-engine, since the boundaries are embedded
+    as double literals on both sides. Fractions are normalized; a
+    NULL group hashes to NULL and falls through to the LAST split
+    (CASE semantics — deterministic, documented, and the conservative
+    direction when the last split is 'test': unattributable rows
+    never train).
+
+    Scale shape: pure narrow JVM map — the group key is hashed
+    per-row, so group consistency needs NO join, shuffle, or group
+    materialization; the plan is a Project over the scan at any
+    corpus size."""
+    if fractions is None:
+        fractions = {"train": 0.9, "val": 0.05, "test": 0.05}
+    if len(fractions) < 1:
+        raise ValueError("fractions must name at least one split")
+    z = sum(fractions.values())
+    if z <= 0:
+        raise ValueError("fractions must sum to a positive weight")
+    u = (F.conv(F.substring(
+            F.md5(F.encode(F.concat(F.lit(f"{seed}:split:"),
+                                    F.col(group_col).cast("string")),
+                           "UTF-8")), 1, 15), 16, 10)
+         .cast("double") / F.lit(float(16 ** 15)))
+    names = list(fractions)
+    expr, acc = None, 0.0
+    for name in names[:-1]:
+        acc += fractions[name] / z
+        branch = (u < F.lit(acc), F.lit(name))
+        expr = (F.when(*branch) if expr is None
+                else expr.when(*branch))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
