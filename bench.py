@@ -125,6 +125,7 @@ def _run_queries(sf_dir: str, cpus: int,
         "dup_substrings", "nb_quality", "url_filter", "epoch_shuffle",
         "trim_substrings", "chunk_docs", "sitemap_entries",
         "robots_sitemaps", "tfidf_keywords", "host_split",
+        "md_convert",
     ]
     # raw_extract (archives→extract composition) is deliberately NOT
     # a headline: it chains five Python stages over a synthesized
@@ -182,6 +183,20 @@ def _run_queries(sf_dir: str, cpus: int,
             anchor_topk, extract_links)
         return anchor_topk(extract_links(spark.read.parquet(linked_path)))
 
+    # markdown conversion: pre-synthesize the structured corpus once
+    # (untimed, md truth column dropped) so the wall times the
+    # parse+render map, not synthesis or the oracle's truth staging
+    from weakscraper_spark.sources.synthmd import synth_md_pages
+    md_path = os.path.join(workdir, "headline_md")
+    synth_md_pages(spark, n, partitions=max(32, n // 1000)) \
+        .drop("md") \
+        .write.mode("overwrite").parquet(md_path)
+
+    def md_convert_headline(spark, _sf):
+        from weakscraper_spark.operators.markdown import (
+            html_to_markdown)
+        return html_to_markdown(spark.read.parquet(md_path))
+
     runners = dict.fromkeys(headline)
     runners.update({name: qs[name] for name in headline})
     runners["extract_pages"] = extract_headline
@@ -189,6 +204,7 @@ def _run_queries(sf_dir: str, cpus: int,
     runners["link_graph"] = link_graph_headline
     runners["host_rank"] = host_rank_headline
     runners["anchor_topk"] = anchor_topk_headline
+    runners["md_convert"] = md_convert_headline
 
     # untimed warmup: JVM JIT, python daemon fork, pandas import,
     # broadcast send — per-session constants the first timed query
