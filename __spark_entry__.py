@@ -1594,6 +1594,111 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("n_blocks").cast("int").alias("n_blocks")))
     q["md_convert"] = md_convert
 
+    # ---- RSS/Atom feed ingestion (operators/feeds.py): synthesize
+    # 10 RSS + 10 Atom feeds deterministically from doc_id arithmetic
+    # (CDATA titles, entity-escaped hrefs, guid attributes, Atom
+    # link-preference distractors, published→updated fallback,
+    # summary→content fallback, a no-link entry) and the oracle
+    # states the CLOSED FORM of what must parse back out -------------------
+    def _feed_corpus(spark, sf):
+        d = F.col("doc_id")
+        ds = d.cast("string")
+        fs = (d % 20).cast("string")
+        host = F.concat(F.lit("https://h"), fs, F.lit(".example.org"))
+        link = F.concat(
+            host, F.lit("/post/"), ds,
+            F.when(d % 5 == 0, F.lit("?x=1&y=2")).otherwise(F.lit("")))
+        esc = F.replace(link, F.lit("&"), F.lit("&amp;"))
+        title = F.when(d % 7 == 0, F.concat(
+            F.lit("<title><![CDATA[T & "), ds, F.lit("]]></title>"))
+        ).otherwise(F.concat(
+            F.lit("<title>T &amp; "), ds, F.lit("</title>")))
+        mm = F.format_string("%02d", (d % 12 + 1).cast("int"))
+        dd = F.format_string("%02d", (d % 28 + 1).cast("int"))
+        rss_item = F.concat(
+            F.lit("<item>"),
+            F.when(d % 3 == 0, F.concat(
+                F.lit('<guid isPermaLink="false">tag:'), ds,
+                F.lit("</guid>"))).otherwise(F.lit("")),
+            F.lit("<link>"), esc, F.lit("</link>"), title,
+            F.when(d % 3 != 0, F.concat(
+                F.lit("<pubDate>Mon, "), dd,
+                F.lit(" Jan 2025 00:00:00 GMT</pubDate>")))
+             .otherwise(F.lit("")),
+            F.when(d % 4 == 0, F.concat(
+                F.lit("<description>sum "), ds,
+                F.lit("</description>"))).otherwise(F.lit("")),
+            F.lit("</item>"))
+        atom_entry = F.concat(
+            F.lit("<entry>"),
+            # rel="self" distractor: the preference rule must skip it
+            F.lit('<link rel="self" href="'), host,
+            F.lit('/feed.xml"/>'),
+            F.when(d % 13 == 0, F.lit(""))
+             .when(d % 2 == 0, F.concat(
+                 F.lit('<link rel="alternate" href="'), esc,
+                 F.lit('"/>')))
+             .otherwise(F.concat(
+                 F.lit('<link href="'), esc, F.lit('"/>'))),
+            F.lit("<id>urn:doc:"), ds, F.lit("</id>"), title,
+            F.when(d % 3 != 0, F.concat(
+                F.lit("<published>2025-"), mm, F.lit("-"), dd,
+                F.lit("T00:00:00Z</published>")))
+             .otherwise(F.concat(
+                F.lit("<updated>2025-"), mm, F.lit("-"), dd,
+                F.lit("T12:00:00Z</updated>"))),
+            F.when(d % 4 == 0, F.concat(
+                F.lit("<summary>sum "), ds, F.lit("</summary>")))
+             .when(d % 4 == 1, F.concat(
+                F.lit('<content type="text">c '), ds,
+                F.lit("</content>")))
+             .otherwise(F.lit("")),
+            F.lit("</entry>"))
+        body = F.when(d % 20 < 10, rss_item).otherwise(atom_entry)
+        rss_hdr = F.concat(
+            F.lit('<?xml version="1.0"?><rss version="2.0">'
+                  "<channel><title>Feed "), F.col("fid").cast("string"),
+            F.lit(" &amp; co</title><link>https://h"),
+            F.col("fid").cast("string"), F.lit(".example.org/</link>"))
+        atom_hdr = F.concat(
+            F.lit('<?xml version="1.0"?>'
+                  '<feed xmlns="http://www.w3.org/2005/Atom">'
+                  "<title>Feed "), F.col("fid").cast("string"),
+            F.lit(' &amp; co</title><link rel="self" href="https://h'),
+            F.col("fid").cast("string"),
+            F.lit('.example.org/feed.xml"/>'
+                  '<link rel="alternate" href="https://h'),
+            F.col("fid").cast("string"),
+            F.lit('.example.org/"/><id>urn:feed:'),
+            F.col("fid").cast("string"), F.lit("</id>"))
+        return (_t(spark, sf, "documents")
+                .select((d % 20).alias("fid"), body.alias("b"))
+                .groupBy("fid")
+                .agg(F.concat_ws("", F.collect_list("b")).alias("bs"))
+                .select(
+                    F.concat(F.lit("https://h"),
+                             F.col("fid").cast("string"),
+                             F.lit(".example.org/feed.xml")).alias("url"),
+                    F.when(F.col("fid") < 10, F.concat(
+                        rss_hdr, F.col("bs"), F.lit("</channel></rss>")))
+                     .otherwise(F.concat(
+                        atom_hdr, F.col("bs"), F.lit("</feed>")))
+                     .alias("xml")))
+
+    def feed_entries(spark, sf):
+        from weakscraper_spark.operators.feeds import parse_feeds
+        return parse_feeds(_feed_corpus(spark, sf))
+    q["feed_entries"] = feed_entries
+
+    def feed_headers(spark, sf):
+        from weakscraper_spark.operators.feeds import feed_meta
+        plain = spark.range(1).select(
+            F.lit("https://plain.example.org/page.html").alias("url"),
+            F.lit("<html><body><p>not syndicated</p></body></html>")
+             .alias("xml"))
+        return feed_meta(_feed_corpus(spark, sf).unionByName(plain))
+    q["feed_headers"] = feed_headers
+
     # Driver sampling order (VERDICT r03 #2): the driver checks ~50
     # queries per round IN DICT ORDER. Every query has now been
     # driver-sampled at least once (r04 verdict), so r05 priority =
@@ -1601,7 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # changed this round (SRP caps/multi-probe, staged-truth
     # promotions, snap_versions cleanup), (3) rotation of the rest.
     _sample_first = [
-        "md_convert",
+        "feed_entries", "feed_headers", "md_convert",
         "trim_substrings", "chunk_docs", "sitemap_entries",
         "robots_sitemaps", "tfidf_keywords", "host_split",
         "dup_substrings", "nb_quality", "url_filter", "epoch_shuffle",
@@ -2013,6 +2118,55 @@ def oracle_sql() -> dict[str, str]:
                        CAST(NULL AS VARCHAR) AS priority
                 FROM d)
             SELECT * FROM urls UNION ALL SELECT * FROM idx
+        """,
+        "feed_entries": """
+            WITH base AS (
+                SELECT doc_id AS d, (doc_id % 20) AS f,
+                       'https://h' || (doc_id % 20)
+                           || '.example.org/post/' || doc_id
+                           || CASE WHEN doc_id % 5 = 0 THEN '?x=1&y=2'
+                                   ELSE '' END AS lk,
+                       'T & ' || doc_id AS ttl,
+                       printf('%02d', doc_id % 12 + 1) AS mm,
+                       printf('%02d', doc_id % 28 + 1) AS dd
+                FROM documents)
+            SELECT 'https://h' || f || '.example.org/feed.xml'
+                       AS feed_url,
+                   'rss' AS kind,
+                   CASE WHEN d % 3 = 0 THEN 'tag:' || d END AS entry_id,
+                   lk AS link,
+                   ttl AS title,
+                   CASE WHEN d % 3 <> 0 THEN
+                       'Mon, ' || dd || ' Jan 2025 00:00:00 GMT'
+                   END AS published,
+                   CASE WHEN d % 4 = 0 THEN 'sum ' || d END AS summary
+            FROM base WHERE f < 10
+            UNION ALL
+            SELECT 'https://h' || f || '.example.org/feed.xml',
+                   'atom',
+                   'urn:doc:' || d,
+                   CASE WHEN d % 13 = 0 THEN NULL ELSE lk END,
+                   ttl,
+                   CASE WHEN d % 3 <> 0 THEN
+                       '2025-' || mm || '-' || dd || 'T00:00:00Z'
+                   ELSE '2025-' || mm || '-' || dd || 'T12:00:00Z'
+                   END,
+                   CASE WHEN d % 4 = 0 THEN 'sum ' || d
+                        WHEN d % 4 = 1 THEN 'c ' || d END
+            FROM base WHERE f >= 10
+        """,
+        "feed_headers": """
+            WITH f AS (
+                SELECT DISTINCT (doc_id % 20) AS f FROM documents)
+            SELECT 'https://h' || f || '.example.org/feed.xml'
+                       AS feed_url,
+                   CASE WHEN f < 10 THEN 'rss' ELSE 'atom' END AS kind,
+                   'Feed ' || f || ' & co' AS title,
+                   'https://h' || f || '.example.org/' AS site_link
+            FROM f
+            UNION ALL
+            SELECT 'https://plain.example.org/page.html',
+                   NULL, NULL, NULL
         """,
         "robots_sitemaps": """
             WITH h AS (
