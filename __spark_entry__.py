@@ -1746,6 +1746,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return table_shapes(extract_tables(_table_corpus(spark, sf)))
     q["table_stats"] = table_stats
 
+    # ---- positional inverted index + exact-phrase retrieval
+    # (operators/search.py): postings restricted map-side to a term
+    # subset, and a phrase fold incl. the repeated-term overlap case
+    # ("batch batch") — arrays stringified for the cross-engine hash ----
+    def postings_index(spark, sf):
+        from weakscraper_spark.operators.search import build_postings
+        p = build_postings(_t(spark, sf, "documents"),
+                           terms=["merge", "batch", "join"])
+        return p.select("term", "doc_id", "tf",
+                        F.array_join("positions", ",").alias("positions"))
+    q["postings_index"] = postings_index
+
+    def phrase_hits(spark, sf):
+        from weakscraper_spark.operators.search import phrase_search
+        docs = _t(spark, sf, "documents")
+        out = None
+        for terms in (["batch", "batch"], ["sort", "merge"]):
+            r = (phrase_search(docs, terms)
+                 .withColumn("phrase", F.lit(" ".join(terms))))
+            out = r if out is None else out.unionByName(r)
+        return out.select(
+            "phrase", "doc_id", "n_matches",
+            F.array_join("first_positions", ",").alias("first_positions"))
+    q["phrase_hits"] = phrase_hits
+
     # Driver sampling order (VERDICT r03 #2): the driver checks ~50
     # queries per round IN DICT ORDER. Every query has now been
     # driver-sampled at least once (r04 verdict), so r05 priority =
@@ -1754,7 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # promotions, snap_versions cleanup), (3) rotation of the rest.
     _sample_first = [
         "feed_entries", "feed_headers", "html_tables", "table_stats",
-        "md_convert",
+        "postings_index", "phrase_hits", "md_convert",
         "trim_substrings", "chunk_docs", "sitemap_entries",
         "robots_sitemaps", "tfidf_keywords", "host_split",
         "dup_substrings", "nb_quality", "url_filter", "epoch_shuffle",
@@ -2166,6 +2191,56 @@ def oracle_sql() -> dict[str, str]:
                        CAST(NULL AS VARCHAR) AS priority
                 FROM d)
             SELECT * FROM urls UNION ALL SELECT * FROM idx
+        """,
+        "postings_index": """
+            WITH tk AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents),
+            pos AS (
+                SELECT doc_id, unnest(t) AS term,
+                       unnest(range(1, len(t) + 1)) AS pos
+                FROM tk)
+            SELECT term, doc_id, count(*)::INT AS tf,
+                   array_to_string(list_sort(list(pos)), ',')
+                       AS positions
+            FROM pos WHERE term IN ('merge', 'batch', 'join')
+            GROUP BY term, doc_id
+        """,
+        "phrase_hits": """
+            WITH tk AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents),
+            pos AS (
+                SELECT doc_id, unnest(t) AS term,
+                       unnest(range(1, len(t) + 1)) AS pos
+                FROM tk),
+            pl AS (
+                SELECT doc_id, term, list_sort(list(pos)) AS p
+                FROM pos WHERE term IN ('batch', 'sort', 'merge')
+                GROUP BY doc_id, term),
+            bb AS (
+                SELECT a.doc_id,
+                       list_sort(list_intersect(
+                           list_transform(a.p, x -> x + 1), b.p)) AS m
+                FROM pl a JOIN pl b USING (doc_id)
+                WHERE a.term = 'batch' AND b.term = 'batch'),
+            sm AS (
+                SELECT a.doc_id,
+                       list_sort(list_intersect(
+                           list_transform(a.p, x -> x + 1), b.p)) AS m
+                FROM pl a JOIN pl b USING (doc_id)
+                WHERE a.term = 'sort' AND b.term = 'merge')
+            SELECT 'batch batch' AS phrase, doc_id,
+                   len(m)::INT AS n_matches,
+                   array_to_string(list_transform(m, x -> x - 1), ',')
+                       AS first_positions
+            FROM bb WHERE len(m) > 0
+            UNION ALL
+            SELECT 'sort merge', doc_id, len(m)::INT,
+                   array_to_string(list_transform(m, x -> x - 1), ',')
+            FROM sm WHERE len(m) > 0
         """,
         "html_tables": """
             WITH d AS (

@@ -134,3 +134,78 @@ def rrf_fuse(rankings: list[DataFrame], id_col: str = "doc_id",
     return (allp.groupBy(id_col)
             .agg(F.count("*").alias("n_lists"),
                  F.sum("_c").alias("rrf_score")))
+
+
+def build_postings(docs: DataFrame, terms: list[str] | None = None,
+                   id_col: str = "doc_id",
+                   col: str = "text") -> DataFrame:
+    """Positional inverted index — the retrieval structure BM25's
+    postings implicitly stream through, materialized as a table:
+
+    (term, id, tf, positions)   positions = sorted array<int>, 1-based
+
+    ``terms`` restricts the index to a term subset with the BM25
+    map-side discipline: the filter runs on the exploded token rows
+    BEFORE the groupBy, so only matching (doc, term, pos) rows ever
+    enter the shuffle — per-call volume is O(postings of the listed
+    terms), not O(corpus tokens). ``terms=None`` builds the full
+    index (the one-off offline artifact; same plan, no filter).
+    Tokenization mirrors the dedup/BM25 family (lower + whitespace
+    split) so DuckDB twins check values bit-for-bit."""
+    base = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col(col))), r"\s+"))
+         .alias("p0", "term"))
+    if terms is not None:
+        base = base.filter(F.col("term").isin(list(terms)))
+    return (base
+            .groupBy("term", "doc")
+            .agg(F.count("*").cast("int").alias("tf"),
+                 F.sort_array(F.collect_list(
+                     (F.col("p0") + 1).cast("int"))).alias("positions"))
+            .select("term", F.col("doc").alias(id_col), "tf",
+                    "positions"))
+
+
+def phrase_search(docs: DataFrame, phrase: list[str],
+                  id_col: str = "doc_id",
+                  col: str = "text") -> DataFrame:
+    """Exact-phrase retrieval over the positional index:
+
+    (id, n_matches, first_positions)   for docs containing the
+    adjacent token sequence ``phrase``; ``first_positions`` is the
+    sorted 1-based positions where the phrase STARTS.
+
+    Plan: one postings build filtered map-side to the phrase's
+    (deduplicated) terms, then a left-deep chain of |phrase|−1
+    equi-joins on doc — each step intersects the previous match
+    positions shifted by one with the next term's postings, so a
+    repeated-term phrase ("batch batch") gets overlapping
+    occurrences right by construction. Every joined relation is the
+    postings of ONE term (corpus-frequency-bounded, far below doc
+    count for real queries); the intersect math is JVM array
+    expressions."""
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    p = build_postings(docs, terms=sorted(set(phrase)),
+                       id_col=id_col, col=col)
+    cur = (p.filter(F.col("term") == phrase[0])
+           .select(F.col(id_col).alias("doc"),
+                   F.col("positions").alias("_m")))
+    for i, t in enumerate(phrase[1:], start=1):
+        nxt = (p.filter(F.col("term") == t)
+               .select(F.col(id_col).alias("doc"),
+                       F.col("positions").alias(f"_p{i}")))
+        cur = (cur.join(nxt, "doc")
+               .select("doc", F.array_intersect(
+                   F.transform("_m", lambda x: x + 1),
+                   F.col(f"_p{i}")).alias("_m"))
+               .filter(F.size("_m") > 0))
+    # _m holds the LAST term's positions; shift back to phrase starts
+    off = len(phrase) - 1
+    return cur.select(
+        F.col("doc").alias(id_col),
+        F.size("_m").cast("int").alias("n_matches"),
+        F.sort_array(F.transform(
+            "_m", lambda x: x - off)).alias("first_positions"))
