@@ -1771,6 +1771,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.array_join("first_positions", ",").alias("first_positions"))
     q["phrase_hits"] = phrase_hits
 
+    # ---- template-drift detection (operators/drift.py): synthesized
+    # per-host (ts, ok) extraction statuses — even hosts redesign at
+    # day 5, odd hosts only background noise — the largest
+    # day-over-day error-rate jump per host, vs a full SQL mirror ---------
+    def drift_hosts(spark, sf):
+        from weakscraper_spark.operators.drift import drift_points
+        d = F.col("doc_id")
+        h = d % 20
+        k = F.floor(d / 20) % 10
+        obs = _t(spark, sf, "documents").select(
+            F.concat(F.lit("h"), h.cast("string")).alias("host"),
+            F.date_add(F.lit("2025-03-01").cast("date"),
+                       k.cast("int")).alias("ts"),
+            (~(((h % 2 == 0) & (k >= 5) & (d % 4 != 0)) |
+               ((h % 2 == 1) & (d % 17 == 0)))).alias("ok"))
+        out = drift_points(obs)
+        return out.select(
+            "host", F.col("drift_day").cast("string").alias("drift_day"),
+            _dec(F.col("rate_before"), 6).alias("rate_before"),
+            _dec(F.col("rate_after"), 6).alias("rate_after"),
+            _dec(F.col("jump"), 6).alias("jump"),
+            "n_days")
+    q["drift_hosts"] = drift_hosts
+
     # Driver sampling order (VERDICT r03 #2): the driver checks ~50
     # queries per round IN DICT ORDER. Every query has now been
     # driver-sampled at least once (r04 verdict), so r05 priority =
@@ -1779,7 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # promotions, snap_versions cleanup), (3) rotation of the rest.
     _sample_first = [
         "feed_entries", "feed_headers", "html_tables", "table_stats",
-        "postings_index", "phrase_hits", "md_convert",
+        "postings_index", "phrase_hits", "drift_hosts", "md_convert",
         "trim_substrings", "chunk_docs", "sitemap_entries",
         "robots_sitemaps", "tfidf_keywords", "host_split",
         "dup_substrings", "nb_quality", "url_filter", "epoch_shuffle",
@@ -2191,6 +2215,47 @@ def oracle_sql() -> dict[str, str]:
                        CAST(NULL AS VARCHAR) AS priority
                 FROM d)
             SELECT * FROM urls UNION ALL SELECT * FROM idx
+        """,
+        "drift_hosts": """
+            WITH obs AS (
+                SELECT 'h' || (doc_id % 20) AS host,
+                       DATE '2025-03-01'
+                           + (((doc_id // 20) % 10)::INT) AS day,
+                       NOT (((doc_id % 20) % 2 = 0
+                             AND (doc_id // 20) % 10 >= 5
+                             AND doc_id % 4 <> 0)
+                            OR ((doc_id % 20) % 2 = 1
+                                AND doc_id % 17 = 0)) AS ok
+                FROM documents),
+            daily AS (
+                SELECT host, day, count(*) AS n_pages,
+                       sum(CASE WHEN ok THEN 0 ELSE 1 END) AS n_err
+                FROM obs GROUP BY host, day),
+            stepped AS (
+                SELECT host, day,
+                       n_err::DOUBLE / n_pages AS rate_after,
+                       lag(n_err::DOUBLE / n_pages)
+                           OVER (PARTITION BY host ORDER BY day)
+                           AS rate_before
+                FROM daily),
+            ranked AS (
+                SELECT host, day, rate_before, rate_after,
+                       rate_after - rate_before AS jump,
+                       count(*) OVER (PARTITION BY host) + 1 AS n_days,
+                       row_number() OVER (
+                           PARTITION BY host
+                           ORDER BY rate_after - rate_before DESC,
+                                    day ASC) AS rn
+                FROM stepped WHERE rate_before IS NOT NULL)
+            SELECT host, day::VARCHAR AS drift_day,
+                   CAST(CAST(round(rate_before, 6) AS DECIMAL(18,6))
+                        AS VARCHAR) AS rate_before,
+                   CAST(CAST(round(rate_after, 6) AS DECIMAL(18,6))
+                        AS VARCHAR) AS rate_after,
+                   CAST(CAST(round(jump, 6) AS DECIMAL(18,6))
+                        AS VARCHAR) AS jump,
+                   n_days
+            FROM ranked WHERE rn = 1 AND jump >= 0
         """,
         "postings_index": """
             WITH tk AS (

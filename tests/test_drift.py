@@ -1,0 +1,91 @@
+"""Template-drift detection: daily rates, adjacent-observation jumps,
+tie-breaks, gap handling, and the host-partitioned window plan."""
+
+import contextlib
+import datetime as dt
+import io
+import re
+
+import pytest
+
+from weakscraper_spark.operators.drift import (drift_points,
+                                               host_error_daily)
+
+
+def _rows():
+    # host A: clean until 2025-03-10, then a redesign: error rate
+    # jumps 0.0 -> 0.75; a later smaller wobble must NOT win.
+    rows = []
+    for d, oks in [(1, [1, 1, 1, 1]), (2, [1, 1, 1, 1]),
+                   (10, [0, 0, 0, 1]), (11, [0, 1, 0, 0]),
+                   (20, [0, 0, 0, 0])]:
+        for ok in oks:
+            rows.append(("a.org", dt.date(2025, 3, d), bool(ok)))
+    # host B: single observed day -> excluded (nothing to compare)
+    rows += [("b.org", dt.date(2025, 3, 5), True)]
+    # host C: two equal jumps (0 -> .5 on d3, .5 -> 1.0? no: make
+    # them equal: 0,.5,.5,1.0 => jumps .5 on d2 and .5 on d4; the
+    # EARLIEST day must win the tie.
+    for d, oks in [(1, [1, 1]), (2, [1, 0]), (3, [1, 0]),
+                   (4, [0, 0])]:
+        for ok in oks:
+            rows.append(("c.org", dt.date(2025, 3, d), bool(ok)))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        _rows(), "host string, ts date, ok boolean")
+
+
+def test_daily_rates(df):
+    got = {(r.host, str(r.day)): (r.n_pages, r.n_err, r.err_rate)
+           for r in host_error_daily(df).collect()}
+    assert got[("a.org", "2025-03-01")] == (4, 0, 0.0)
+    assert got[("a.org", "2025-03-10")] == (4, 3, 0.75)
+    assert got[("b.org", "2025-03-05")] == (1, 0, 0.0)
+
+
+def test_drift_day_and_gap(df):
+    got = {r.host: r for r in drift_points(df).collect()}
+    a = got["a.org"]
+    # the 03-02 -> 03-10 transition is adjacent-OBSERVATION (8-day
+    # calendar gap): jump 0.0 -> 0.75
+    assert str(a.drift_day) == "2025-03-10"
+    assert a.rate_before == 0.0 and a.rate_after == 0.75
+    assert abs(a.jump - 0.75) < 1e-12
+    assert a.n_days == 5
+    assert "b.org" not in got
+
+
+def test_tie_breaks_earliest(df):
+    c = {r.host: r for r in drift_points(df).collect()}["c.org"]
+    assert str(c.drift_day) == "2025-03-02"
+    assert abs(c.jump - 0.5) < 1e-12
+
+
+def test_min_jump_filter(df):
+    got = {r.host for r in drift_points(df, min_jump=0.7).collect()}
+    assert got == {"a.org"}
+
+
+def test_int_ok_column(spark):
+    df = spark.createDataFrame(
+        [("h", dt.date(2025, 1, 1), 1), ("h", dt.date(2025, 1, 2), 0)],
+        "host string, ts date, ok int")
+    r = drift_points(df).collect()[0]
+    assert r.jump == 1.0
+
+
+def test_window_partitioned_by_host(df):
+    """No global (unpartitioned) window: the lag must run per host."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        drift_points(df).explain("formatted")
+    txt = buf.getvalue()
+    # every window spec in the plan must partition by host
+    win_lines = [ln for ln in txt.splitlines()
+                 if "windowspecdefinition" in ln.lower()]
+    assert win_lines, txt
+    assert all("host" in ln for ln in win_lines), win_lines

@@ -1,0 +1,82 @@
+"""Template-drift detection — the extraction tier's rot monitor.
+
+A template (enginelib/spec.py) is pinned to a site's markup; when the
+site redesigns, extraction keeps RUNNING but starts returning
+``mismatch:*`` statuses (enginelib/errors.py taxonomy). At fleet
+scale nobody reads per-page statuses — the operational signal is the
+per-host failure-rate TIME SERIES and, specifically, the day it
+jumps. This module turns extraction output (host, event time, ok
+flag) into that signal:
+
+- ``host_error_daily``: per (host, day) page counts + error rate —
+  the dashboard relation.
+- ``drift_points``: per host, the largest day-over-day error-rate
+  jump (the redesign candidate): (host, drift_day, rate_before,
+  rate_after, jump, n_days). Hosts with a single observed day have
+  nothing to compare and are excluded.
+
+Scale shape: one map-side-combinable groupBy(host, day); the lag +
+argmax windows are partitioned BY HOST (the natural key — no global
+window, no single-partition straggler), and they run on the
+host×day AGGREGATE, which is ~10^4× smaller than the page corpus.
+``max_by`` semantics: ties on jump resolve to the EARLIEST day
+(deterministic, mirrored in the oracle twin via ORDER BY jump DESC,
+day ASC)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def host_error_daily(df: DataFrame, host_col: str = "host",
+                     ts_col: str = "ts",
+                     ok_col: str = "ok") -> DataFrame:
+    """(host, day, n_pages, n_err, err_rate) — ``day`` is the date of
+    ``ts_col`` (date column or castable); ``ok_col`` is boolean or
+    0/1. err_rate is DOUBLE in [0, 1]."""
+    day = F.col(ts_col).cast("date")
+    err = (~F.col(ok_col).cast("boolean")).cast("int")
+    return (df.groupBy(F.col(host_col).alias("host"),
+                       day.alias("day"))
+            .agg(F.count("*").alias("n_pages"),
+                 F.sum(err).alias("n_err"))
+            .withColumn("err_rate",
+                        F.col("n_err") / F.col("n_pages")))
+
+
+def drift_points(df: DataFrame, host_col: str = "host",
+                 ts_col: str = "ts", ok_col: str = "ok",
+                 min_jump: float = 0.0) -> DataFrame:
+    """Per host, the largest day-over-day error-rate jump:
+
+    (host, drift_day, rate_before, rate_after, jump, n_days)
+
+    ``jump`` = err_rate(day) − err_rate(previous OBSERVED day) — gaps
+    in the calendar compare adjacent observations, the right behavior
+    for crawl schedules that skip days. ``min_jump`` drops hosts
+    whose max jump is below the threshold (0 keeps every host with
+    ≥2 observed days). Ties on jump pick the earliest day."""
+    daily = host_error_daily(df, host_col, ts_col, ok_col)
+    w = Window.partitionBy("host").orderBy("day")
+    stepped = (daily
+               .withColumn("rate_before", F.lag("err_rate").over(w))
+               .filter(F.col("rate_before").isNotNull())
+               .withColumn("jump",
+                           F.col("err_rate") - F.col("rate_before")))
+    best = (stepped.groupBy("host")
+            .agg(F.max_by(
+                    F.struct("day", "rate_before",
+                             F.col("err_rate").alias("rate_after"),
+                             "jump"),
+                    # max_by on (jump, -epoch(day)): earliest day wins ties
+                    F.struct(F.col("jump"),
+                             (-F.unix_date(F.col("day"))).alias("_d"))
+                 ).alias("_b"),
+                 (F.count("*") + 1).alias("n_days")))
+    return (best.select("host",
+                        F.col("_b.day").alias("drift_day"),
+                        F.col("_b.rate_before").alias("rate_before"),
+                        F.col("_b.rate_after").alias("rate_after"),
+                        F.col("_b.jump").alias("jump"),
+                        "n_days")
+            .filter(F.col("jump") >= float(min_jump)))
