@@ -1795,6 +1795,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_days")
     q["drift_hosts"] = drift_hosts
 
+    # ---- embedding hygiene (operators/embquality.py): per-vector
+    # diagnostics + per-label norm z-scores over the embeddings
+    # table, both vs full DuckDB list-lambda mirrors --------------------
+    def emb_stats(spark, sf):
+        from weakscraper_spark.operators.embquality import embedding_stats
+        out = embedding_stats(_t(spark, sf, "embeddings"))
+        return out.select(
+            "vec_id", "dim",
+            _dec(F.col("l2_norm"), 6).alias("l2_norm"),
+            _dec(F.col("min_v"), 6).alias("min_v"),
+            _dec(F.col("max_v"), 6).alias("max_v"),
+            "n_nonfinite", "is_degenerate")
+    q["emb_stats"] = emb_stats
+
+    def emb_outliers(spark, sf):
+        from weakscraper_spark.operators.embquality import norm_outliers
+        out = norm_outliers(_t(spark, sf, "embeddings"))
+        return out.select(
+            "vec_id", "label",
+            _dec(F.col("l2_norm"), 6).alias("l2_norm"),
+            _dec(F.col("group_mean"), 6).alias("group_mean"),
+            _dec(F.col("group_std"), 6).alias("group_std"),
+            _dec(F.col("z"), 6).alias("z"))
+    q["emb_outliers"] = emb_outliers
+
     # Driver sampling order (VERDICT r03 #2): the driver checks ~50
     # queries per round IN DICT ORDER. Every query has now been
     # driver-sampled at least once (r04 verdict), so r05 priority =
@@ -1803,7 +1828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # promotions, snap_versions cleanup), (3) rotation of the rest.
     _sample_first = [
         "feed_entries", "feed_headers", "html_tables", "table_stats",
-        "postings_index", "phrase_hits", "drift_hosts", "md_convert",
+        "postings_index", "phrase_hits", "drift_hosts", "emb_stats",
+        "emb_outliers", "md_convert",
         "trim_substrings", "chunk_docs", "sitemap_entries",
         "robots_sitemaps", "tfidf_keywords", "host_split",
         "dup_substrings", "nb_quality", "url_filter", "epoch_shuffle",
@@ -2215,6 +2241,62 @@ def oracle_sql() -> dict[str, str]:
                        CAST(NULL AS VARCHAR) AS priority
                 FROM d)
             SELECT * FROM urls UNION ALL SELECT * FROM idx
+        """,
+        "emb_stats": """
+            WITH s AS (
+                SELECT vec_id,
+                       coalesce(len(embedding), 0)::INT AS dim,
+                       sqrt(list_sum(list_transform(
+                           embedding,
+                           x -> x::DOUBLE * x::DOUBLE))) AS l2,
+                       list_min(embedding)::DOUBLE AS min_v,
+                       list_max(embedding)::DOUBLE AS max_v,
+                       coalesce(len(list_filter(
+                           embedding,
+                           x -> isnan(x::DOUBLE) OR isinf(x::DOUBLE))),
+                           0)::INT AS n_nonfinite
+                FROM embeddings)
+            SELECT vec_id, dim,
+                   CAST(CAST(round(l2, 6) AS DECIMAL(18,6)) AS VARCHAR)
+                       AS l2_norm,
+                   CAST(CAST(round(min_v, 6) AS DECIMAL(18,6))
+                        AS VARCHAR) AS min_v,
+                   CAST(CAST(round(max_v, 6) AS DECIMAL(18,6))
+                        AS VARCHAR) AS max_v,
+                   n_nonfinite,
+                   (dim = 0 OR n_nonfinite > 0 OR isnan(l2) OR l2 = 0
+                    OR l2 IS NULL) AS is_degenerate
+            FROM s
+        """,
+        "emb_outliers": """
+            WITH base AS (
+                SELECT vec_id, label,
+                       sqrt(list_sum(list_transform(
+                           embedding,
+                           x -> x::DOUBLE * x::DOUBLE))) AS l2
+                FROM embeddings
+                WHERE embedding IS NOT NULL
+                  AND len(list_filter(
+                        embedding,
+                        x -> isnan(x::DOUBLE) OR isinf(x::DOUBLE))) = 0),
+            ok AS (
+                SELECT * FROM base
+                WHERE l2 IS NOT NULL AND NOT isnan(l2) AND l2 > 0),
+            st AS (
+                SELECT label, avg(l2) AS m, stddev_pop(l2) AS sd
+                FROM ok GROUP BY label)
+            SELECT vec_id, label,
+                   CAST(CAST(round(l2, 6) AS DECIMAL(18,6)) AS VARCHAR)
+                       AS l2_norm,
+                   CAST(CAST(round(m, 6) AS DECIMAL(18,6)) AS VARCHAR)
+                       AS group_mean,
+                   CAST(CAST(round(sd, 6) AS DECIMAL(18,6)) AS VARCHAR)
+                       AS group_std,
+                   CASE WHEN sd > 0 THEN
+                       CAST(CAST(round((l2 - m) / sd, 6)
+                            AS DECIMAL(18,6)) AS VARCHAR)
+                   END AS z
+            FROM ok JOIN st USING (label)
         """,
         "drift_hosts": """
             WITH obs AS (
