@@ -1030,12 +1030,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           (F.col("status") == "ok").alias("ok"), "text")
     q["extract_pages"] = extract_pages
 
-    # ---- extraction WITH capture spans (rows-only BUT value-pinned:
-    # a row survives only when extraction stayed byte-identical to
-    # ground truth AND the per-field source-offset spans were
-    # produced — the north rule's "text/spans per url" leg; span
-    # slice exactness itself is pinned corpus-wide in
-    # tests/test_spans.py) -------------------------------------------------
+    # ---- extraction WITH capture spans — ORACLE-VALUE-CHECKED via
+    # staged generator truth (r05 promotion; was rows-only): the
+    # "text" field captures the content element, whose [start, end)
+    # source offsets the GENERATOR derives independently of the
+    # engine — a JVM substring search (instr) over the rendered html
+    # vs the parser's position tracking. Every well-formed page must
+    # extract ok AND carry exactly the truth span: a missing row or a
+    # one-character drift fails the hash (north rule's "text/spans
+    # per url" leg; per-field slice exactness is additionally pinned
+    # corpus-wide in tests/test_spans.py) -------------------------------
     def extract_spans(spark, sf):
         from weakscraper_spark.operators.extract import extract_pages
         from weakscraper_spark.plans.pipeline import (
@@ -1044,18 +1048,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             compiled_specs, synth_pages, synth_templates)
         n = 1000 if "0.01" in sf else (3000 if "0.1" in sf else 400)
         pages = synth_pages(spark, n)
+        markers = ('<div class="content">', '<div class="desc">',
+                   '<div class="main">')
+        h = F.col("html").cast("string")
+        pos = F.greatest(*[F.instr(h, m) for m in markers])
+        mlen = F.coalesce(*[
+            F.when(F.instr(h, m) > 0, F.lit(len(m))) for m in markers])
+        truth = (pages
+                 .filter(pos > 0)
+                 .select("url",
+                         F.col("warc_ts").cast("string").alias("warc_ts"),
+                         (pos - 1).cast("long").alias("span_start"),
+                         (pos - 1 + mlen + F.length("text") + 6)
+                         .cast("long").alias("span_end")))
+        _stage_truth(truth, "extract_spans")
         staged = attach_template(prepare_pages(pages),
                                  synth_templates(spark))
         out = extract_pages(staged, compiled_specs(), spans=True)
-        truth = synth_pages(spark, n).select(
-            "url", "warc_ts", F.col("text").alias("truth"))
-        return (out.join(truth, ["url", "warc_ts"])
-                .filter((F.col("status") == "ok") &
-                        (F.col("text") == F.col("truth")) &
-                        F.col("spans_json").isNotNull())
-                .select("url", "status",
-                        F.length("spans_json").cast("long")
-                        .alias("spans_len")))
+        return (out.filter(F.col("status") == "ok")
+                .select("url",
+                        F.col("warc_ts").cast("string").alias("warc_ts"),
+                        F.get_json_object("spans_json", "$.text[0][0]")
+                        .cast("long").alias("span_start"),
+                        F.get_json_object("spans_json", "$.text[0][1]")
+                        .cast("long").alias("span_end")))
     q["extract_spans"] = extract_spans
 
     # ---- template-FREE extraction: boilerplate strip via shallow
@@ -3593,6 +3609,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM read_parquet('{_TRUTH_ROOT}/raw_extract/*.parquet'))
             SELECT url, text <> '' AS ok, nullif(text, '') AS text
             FROM latest WHERE rn = 1
+        """,
+        "extract_spans": f"""
+            SELECT url, warc_ts, span_start, span_end
+            FROM read_parquet('{_TRUTH_ROOT}/extract_spans/*.parquet')
         """,
         "md_convert": f"""
             SELECT url, 'ok' AS status, md,

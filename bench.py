@@ -125,7 +125,8 @@ def _run_queries(sf_dir: str, cpus: int,
         "dup_substrings", "nb_quality", "url_filter", "epoch_shuffle",
         "trim_substrings", "chunk_docs", "sitemap_entries",
         "robots_sitemaps", "tfidf_keywords", "host_split",
-        "md_convert",
+        "md_convert", "feed_entries", "html_tables", "postings_index",
+        "phrase_hits", "drift_hosts", "emb_stats", "emb_outliers",
     ]
     # raw_extract (archives→extract composition) is deliberately NOT
     # a headline: it chains five Python stages over a synthesized
