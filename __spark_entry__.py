@@ -284,21 +284,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # value-pinned: the 'text' capture rows are kept only when they
     # equal the synthesized ground truth, so the row COUNT the driver
     # records moves if extraction values drift — not just cardinality) ------
+    # ORACLE-VALUE-CHECKED via staged generator truth (r05 promotion;
+    # was rows-only): every SCALAR capture of every well-formed page
+    # must come back byte-identical to the slot value the renderer
+    # consumed — the north rule's "captured fields per url" leg. A
+    # missing ok row, an extra ok row, or a one-byte field drift
+    # fails the hash. List captures (tags/posts) stay pinned by the
+    # parity-fixture ring (their fields_json form is engine
+    # serialization, not generator truth).
     def fields_long(spark, sf):
         from pyspark.sql import types as T
         from weakscraper_spark.plans.pipeline import synth_and_extract
-        from weakscraper_spark.sources.synth import synth_pages
-        out = synth_and_extract(spark, 400).filter("status = 'ok'")
-        truth = synth_pages(spark, 400).select(
-            "url", "warc_ts", F.col("text").alias("truth"))
+        from weakscraper_spark.sources.synth import (
+            SCALAR_TRUTH_FIELDS, synth_fields_truth)
+        n = 400
+        truth = synth_fields_truth(spark, n).select(
+            "url", F.col("warc_ts").cast("string").alias("warc_ts"),
+            "field", "value")
+        _stage_truth(truth, "fields_long")
+        scalars = sorted({f for fs in SCALAR_TRUTH_FIELDS.values()
+                          for f in fs})
+        out = synth_and_extract(spark, n).filter("status = 'ok'")
         fields = F.from_json(
             "fields_json", T.MapType(T.StringType(), T.StringType()))
-        exploded = out.select(
-            "url", "warc_ts", F.explode(fields).alias("key", "val"))
-        return (exploded.join(truth, ["url", "warc_ts"])
-                .filter((F.col("key") != "text") |
-                        (F.col("val") == F.col("truth")))
-                .select("url", "key", "val"))
+        return (out
+                .select("url",
+                        F.col("warc_ts").cast("string").alias("warc_ts"),
+                        F.explode(fields).alias("field", "value"))
+                .filter(F.col("field").isin(scalars)))
     q["fields_long"] = fields_long
 
     # ---- as-of join (union-window form; DuckDB has native ASOF) -----------
@@ -355,23 +368,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sessionize_events"] = sessionize_events
 
     # ---- template induction round-trip (C12; rows-only — engine op) -------
+    # ORACLE-VALUE-CHECKED via staged generator truth (r05 promotion;
+    # was rows-only): the induced template's captures must return the
+    # exact SLOT values the renderer consumed — title (h1), author,
+    # main text, and the variable footer — for every sample. Slot
+    # numbering (slot_1..slot_6, document order) is the deterministic
+    # induction output; the query maps it to semantic names.
     def induce_roundtrip(spark, sf):
         from weakscraper_spark.enginelib import induce_template
         from weakscraper_spark.enginelib.match import extract
         from weakscraper_spark.sources.synth import (
             make_slots, render_page)
-        samples = [render_page("t_article",
-                               make_slots("t_article", f"ind:{i}"))[0]
-                   for i in range(4)]
+        slotlist = [make_slots("t_article", f"ind:{i}")
+                    for i in range(4)]
+        samples = [render_page("t_article", s)[0] for s in slotlist]
+        truth = spark.createDataFrame(
+            [(i, "ok", s["title"], s["author"], s["text"], s["junk"])
+             for i, s in enumerate(slotlist)],
+            "sample_id long, status string, title string, "
+            "author string, text string, junk string")
+        _stage_truth(truth, "induce_roundtrip")
         spec = induce_template(samples)
         rows = []
         for i, html in enumerate(samples):
             r = extract(spec, html)
-            rows.append((i, r["status"],
-                         len(r["fields"] or {}), r["text"]))
+            f = r["fields"] or {}
+            rows.append((i, r["status"], f.get("slot_2"),
+                         f.get("slot_3"), f.get("slot_4"),
+                         f.get("slot_6")))
         return spark.createDataFrame(
-            rows, "sample_id long, status string, n_slots long, "
-                  "text string")
+            rows, "sample_id long, status string, title string, "
+                  "author string, text string, junk string")
     q["induce_roundtrip"] = induce_roundtrip
 
     # ---- approx distinct (HLL sketch; engines' sketches differ →
@@ -3609,6 +3636,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM read_parquet('{_TRUTH_ROOT}/raw_extract/*.parquet'))
             SELECT url, text <> '' AS ok, nullif(text, '') AS text
             FROM latest WHERE rn = 1
+        """,
+        "induce_roundtrip": f"""
+            SELECT sample_id, status, title, author, text, junk
+            FROM read_parquet('{_TRUTH_ROOT}/induce_roundtrip/*.parquet')
+        """,
+        "fields_long": f"""
+            SELECT url, warc_ts, field, value
+            FROM read_parquet('{_TRUTH_ROOT}/fields_long/*.parquet')
         """,
         "extract_spans": f"""
             SELECT url, warc_ts, span_start, span_end

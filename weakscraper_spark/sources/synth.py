@@ -177,10 +177,10 @@ def make_slots(template_id: str, key: str, min_words: int = 8,
     return slots
 
 
-def rows_for_index(i: int, n_hosts: int, head_share: float, seed: int,
-                   min_words: int = 8, rng_words: int = 40,
-                   junk_words: int = 12, junk_markup: bool = False):
-    """All synthetic rows for page index i (1 or 3 snapshots)."""
+def _page_meta(i: int, n_hosts: int, head_share: float, seed: int):
+    """The per-index draws every generator view shares (pages, truth
+    twins): one source of truth so a twin can never drift from the
+    corpus it describes."""
     key = f"{seed}:{i}"
     u_host = _h(f"{key}:host") / 2**32
     hidx = _pick(host_cdf(n_hosts, head_share), u_host)
@@ -190,6 +190,15 @@ def rows_for_index(i: int, n_hosts: int, head_share: float, seed: int,
     lang = _LANGS[_pick(_LANG_CDF, _h(f"{key}:lang") / 2**32)]
     kind = _h(f"{key}:kind", 100)
     n_snaps = 3 if _h(f"{key}:snap", 10) == 0 else 1
+    return key, url, template_id, lang, kind, n_snaps
+
+
+def rows_for_index(i: int, n_hosts: int, head_share: float, seed: int,
+                   min_words: int = 8, rng_words: int = 40,
+                   junk_words: int = 12, junk_markup: bool = False):
+    """All synthetic rows for page index i (1 or 3 snapshots)."""
+    key, url, template_id, lang, kind, n_snaps = _page_meta(
+        i, n_hosts, head_share, seed)
 
     out = []
     for s in range(n_snaps):
@@ -248,6 +257,74 @@ def synth_pages(spark: SparkSession, n_pages: int, n_hosts: int = 50,
         spark.range(0, n_pages, numPartitions=partitions)
         .mapInPandas(gen, PAGES_SCHEMA)
     )
+
+
+#: the scalar (atomic-text) captures each template's spec declares —
+#: list captures (tags, posts) are excluded: their fields_json
+#: serialization is engine formatting, not generator ground truth
+SCALAR_TRUTH_FIELDS: dict[str, tuple[str, ...]] = {
+    "t_article": ("head_title", "title", "author", "text"),
+    "t_product": ("name", "price", "text"),
+    "t_forum": ("title", "text"),
+}
+
+
+def _truth_scalars(template_id: str, slots: dict) -> dict[str, str]:
+    """field name → expected captured value, stated from the SLOTS the
+    renderer consumed — independent of the parse/match engine."""
+    if template_id == "t_article":
+        return {"head_title": slots["title"], "title": slots["title"],
+                "author": slots["author"], "text": slots["text"]}
+    if template_id == "t_product":
+        return {"name": slots["name"], "price": slots["price"],
+                "text": slots["text"]}
+    return {"title": slots["title"], "text": slots["text"]}
+
+
+def fields_for_index(i: int, n_hosts: int, head_share: float,
+                     seed: int, min_words: int = 8,
+                     rng_words: int = 40, junk_words: int = 12):
+    """Ground-truth (url, warc_ts, field, value) rows for page index
+    i — scalar captures only, well-formed pages only (kind<6 pages
+    are alien/malformed by construction and must NOT extract ok),
+    LATEST snapshot only (s=0): the extract plan's dedup_latest stage
+    drops the older snapshots before extraction, so they are not part
+    of the contract output."""
+    key, url, template_id, lang, kind, n_snaps = _page_meta(
+        i, n_hosts, head_share, seed)
+    if kind < 6:
+        return []
+    slots = make_slots(template_id, f"{key}:0", min_words, rng_words,
+                       junk_words)
+    ts = _EPOCH + dt.timedelta(seconds=i * 7)
+    return [(url, ts, fname, val)
+            for fname, val in _truth_scalars(template_id, slots).items()]
+
+
+def synth_fields_truth(spark: SparkSession, n_pages: int,
+                       n_hosts: int = 50, head_share: float = 0.30,
+                       seed: int = 42,
+                       partitions: int | None = None) -> DataFrame:
+    """Distributed generator-side truth table for the scalar captures
+    of ``synth_pages(spark, n_pages)`` (same defaults ⇒ same corpus):
+    (url, warc_ts, field, value). Built from the SLOTS, never from the
+    engine — hash equality against extraction output certifies the
+    north rule's "captured fields per url" leg byte-for-byte."""
+    partitions = partitions or max(
+        8, spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                rows.extend(fields_for_index(int(i), n_hosts,
+                                             head_share, seed))
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "field", "value"])
+
+    return (spark.range(0, n_pages, numPartitions=partitions)
+            .mapInPandas(gen, "url string, warc_ts timestamp, "
+                              "field string, value string"))
 
 
 def synth_rich_text(spark: SparkSession, n_docs: int,
