@@ -436,3 +436,36 @@ def with_compression_ratio(df: DataFrame, id_col: str = "doc_id",
     return (df.select(id_col, col)
             .mapInPandas(run, out_schema)
             .withColumnRenamed("_id", id_col))
+
+
+def segment_sentences(df: DataFrame, id_col: str = "doc_id",
+                      col: str = "text",
+                      min_tokens: int = 1) -> DataFrame:
+    """Sentence segmentation — (id, sent_idx, sentence, n_tokens):
+    the unit the sentence-granular pipeline steps want (sentence-level
+    dedup, per-sentence LM scoring, citation alignment). Sentences are
+    maximal runs ending at ``.``/``!``/``?`` clusters ("Really?!" is
+    ONE boundary), plus the unterminated tail — dropping trailing
+    fragments would silently lose corpus text. ``sent_idx`` is the
+    0-based document-order ordinal; ``min_tokens`` drops noise
+    sentences below the threshold AFTER indexing (gaps in sent_idx
+    preserve provenance).
+
+    Deliberately regex-tier (no abbreviation lexicon — "Dr. Smith"
+    splits): the rule is deterministic, cheap, and cross-engine
+    mirrorable; a lexicon-aware splitter belongs behind the same
+    signature when quality work needs it. Scale shape: one
+    corpus-width regexp scan materializes the sentence array, one
+    posexplode, per-sentence ops on slim strings — pure narrow map,
+    zero shuffle, nothing leaves the JVM."""
+    sents = F.regexp_extract_all(
+        F.col(col), F.lit(r"[^.!?]+(?:[.!?]+|$)"), 0)
+    out = (df.select(F.col(id_col),
+                     F.posexplode(sents).alias("sent_idx", "_s"))
+           .select(id_col,
+                   F.col("sent_idx").cast("int").alias("sent_idx"),
+                   F.trim("_s").alias("sentence")))
+    return (out.filter(F.col("sentence") != "")
+            .withColumn("n_tokens",
+                        F.size(F.split("sentence", r"\s+")).cast("int"))
+            .filter(F.col("n_tokens") >= int(min_tokens)))
