@@ -154,3 +154,49 @@ def stream_extract_latest(spark: SparkSession, source_dir: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_host_error_rates(spark: SparkSession, source_dir: str,
+                            source_schema: str, out_dir: str,
+                            checkpoint_dir: str,
+                            window: str = "1 day",
+                            watermark: str = "1 day",
+                            ts_col: str = "ts", ok_col: str = "ok",
+                            host_col: str = "host",
+                            trigger_available_now: bool = True):
+    """Streaming twin of ``operators/drift.py::host_error_daily`` —
+    the live template-rot monitor: per (host, event-time tumbling
+    window) page counts and error rate over the stream of extraction
+    statuses, written append-only as windows CLOSE.
+
+    Semantics: the watermark bounds lateness — a status row arriving
+    later than ``watermark`` after its window's end is dropped (state
+    for the window is already evicted and the row is emitted nowhere;
+    monitoring tolerates that, dedup would not). Append mode means a
+    window is emitted exactly once, when the watermark passes its
+    end — the drift detector (``drift_points``) can then run as a
+    plain batch query over the sink, no reprocessing.
+
+    Scale shape: Spark maintains per-(host, window) partial aggregates
+    in the state store — map-side combined, keyed state ~|active
+    hosts × open windows|, never per-row; the parquet append sink is
+    the dashboard relation."""
+    stream = (spark.readStream.schema(source_schema)
+              .parquet(source_dir)
+              .withWatermark(ts_col, watermark))
+    err = (~F.col(ok_col).cast("boolean")).cast("int")
+    agg = (stream
+           .groupBy(F.col(host_col).alias("host"),
+                    F.window(ts_col, window).alias("w"))
+           .agg(F.count("*").alias("n_pages"),
+                F.sum(err).alias("n_err"))
+           .select("host", F.col("w.start").alias("win_start"),
+                   "n_pages", "n_err",
+                   (F.col("n_err") / F.col("n_pages"))
+                   .alias("err_rate")))
+    writer = (agg.writeStream.outputMode("append").format("parquet")
+              .option("path", out_dir)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
