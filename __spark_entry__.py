@@ -1877,6 +1877,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return segment_sentences(punct, min_tokens=1)
     q["doc_sentences"] = doc_sentences
 
+    # ---- discovery integration: sitemap locs + feed links (the two
+    # discovery sources) unioned into url_dedup — www/trailing-slash/
+    # fragment variants collapse onto the feed's clean urls; the
+    # oracle states the closed form of the collapsed frontier --------------
+    def discovered_frontier(spark, sf):
+        from weakscraper_spark.operators.feeds import parse_feeds
+        from weakscraper_spark.operators.sitemap import parse_sitemaps
+        from weakscraper_spark.operators.urlnorm import url_dedup
+        d = F.col("doc_id")
+        ds = d.cast("string")
+        fs = (d % 20).cast("string")
+        loc = F.concat(F.lit("https://WWW.h"), fs,
+                       F.lit(".example.org/post/"), ds,
+                       F.lit("/#frag"))
+        block = F.concat(F.lit("<url><loc>"), loc,
+                         F.lit("</loc></url>"))
+        sets = (_t(spark, sf, "documents")
+                .select((d % 20).alias("sm"), block.alias("b"))
+                .groupBy("sm")
+                .agg(F.concat(
+                    F.lit("<urlset>"),
+                    F.concat_ws("", F.collect_list("b")),
+                    F.lit("</urlset>")).alias("xml"))
+                .select(F.concat(
+                    F.lit("https://h"), F.col("sm").cast("string"),
+                    F.lit(".example.org/sitemap.xml")).alias("url"),
+                    "xml"))
+        sm_urls = parse_sitemaps(sets).select(F.col("loc").alias("url"))
+        feed_urls = (parse_feeds(_feed_corpus(spark, sf))
+                     .filter(F.col("link").isNotNull())
+                     .select(F.col("link").alias("url")))
+        return url_dedup(sm_urls.unionByName(feed_urls))
+    q["discovered_frontier"] = discovered_frontier
+
     # Driver sampling order (VERDICT r03 #2): the driver checks ~50
     # queries per round IN DICT ORDER. Every query has now been
     # driver-sampled at least once (r04 verdict), so r05 priority =
@@ -1886,7 +1920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _sample_first = [
         "feed_entries", "feed_headers", "html_tables", "table_stats",
         "postings_index", "phrase_hits", "drift_hosts", "emb_stats",
-        "emb_outliers", "doc_sentences", "fields_long",
+        "emb_outliers", "doc_sentences", "discovered_frontier",
+        "fields_long",
         "extract_spans", "induce_roundtrip", "md_convert",
         "trim_substrings", "chunk_docs", "sitemap_entries",
         "robots_sitemaps", "tfidf_keywords", "host_split",
@@ -2298,6 +2333,28 @@ def oracle_sql() -> dict[str, str]:
                        CAST(NULL AS VARCHAR) AS priority
                 FROM d)
             SELECT * FROM urls UNION ALL SELECT * FROM idx
+        """,
+        "discovered_frontier": """
+            WITH feedrow AS (
+                SELECT doc_id AS d, (doc_id % 20) AS f,
+                       'https://h' || (doc_id % 20)
+                           || '.example.org/post/' || doc_id AS b,
+                       'https://h' || (doc_id % 20)
+                           || '.example.org/post/' || doc_id
+                           || CASE WHEN doc_id % 5 = 0 THEN '?x=1&y=2'
+                                   ELSE '' END AS fl,
+                       NOT ((doc_id % 20) >= 10 AND doc_id % 13 = 0)
+                           AS has_link
+                FROM documents)
+            SELECT b AS url_canon,
+                   'https://WWW.h' || f || '.example.org/post/' || d
+                       || '/#frag' AS first_url,
+                   (1 + CASE WHEN d % 5 <> 0 AND has_link
+                             THEN 1 ELSE 0 END)::BIGINT AS n_variants
+            FROM feedrow
+            UNION ALL
+            SELECT fl, fl, 1::BIGINT
+            FROM feedrow WHERE d % 5 = 0 AND has_link
         """,
         "doc_sentences": """
             WITH p AS (
