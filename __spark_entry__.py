@@ -1911,6 +1911,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return url_dedup(sm_urls.unionByName(feed_urls))
     q["discovered_frontier"] = discovered_frontier
 
+    # ---- snapshot churn (operators/drift.py): planted same/changed/
+    # removed/added rows between two synthesized crawl snapshots; the
+    # oracle states the per-host closed form --------------------------------
+    def snap_change_rate(spark, sf):
+        from weakscraper_spark.operators.drift import (
+            snapshot_change_rate)
+        d = F.col("doc_id")
+        ds = d.cast("string")
+        host = F.concat(F.lit("h"), (d % 20).cast("string"))
+        docs = _t(spark, sf, "documents")
+        old = docs.select(host.alias("host"),
+                          F.concat(F.lit("u"), ds).alias("url"),
+                          F.concat(F.lit("c"), ds).alias("content_hash"))
+        kept = docs.filter(d % 10 != 0).select(
+            host.alias("host"),
+            F.concat(F.lit("u"), ds).alias("url"),
+            F.when(d % 7 == 0, F.concat(F.lit("x"), ds))
+             .otherwise(F.concat(F.lit("c"), ds)).alias("content_hash"))
+        added = docs.filter(d % 11 == 0).select(
+            host.alias("host"),
+            F.concat(F.lit("a"), ds).alias("url"),
+            F.concat(F.lit("c"), ds).alias("content_hash"))
+        out = snapshot_change_rate(old, kept.unionByName(added))
+        return out.select(
+            "host", "n_old", "n_new", "n_added", "n_removed",
+            "n_changed", "n_same",
+            _dec(F.col("change_rate"), 6).alias("change_rate"))
+    q["snap_change_rate"] = snap_change_rate
+
     # Driver sampling order (VERDICT r03 #2): the driver checks ~50
     # queries per round IN DICT ORDER. Every query has now been
     # driver-sampled at least once (r04 verdict), so r05 priority =
@@ -1921,7 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_entries", "feed_headers", "html_tables", "table_stats",
         "postings_index", "phrase_hits", "drift_hosts", "emb_stats",
         "emb_outliers", "doc_sentences", "discovered_frontier",
-        "fields_long",
+        "snap_change_rate", "fields_long",
         "extract_spans", "induce_roundtrip", "md_convert",
         "trim_substrings", "chunk_docs", "sitemap_entries",
         "robots_sitemaps", "tfidf_keywords", "host_split",
@@ -2333,6 +2362,35 @@ def oracle_sql() -> dict[str, str]:
                        CAST(NULL AS VARCHAR) AS priority
                 FROM d)
             SELECT * FROM urls UNION ALL SELECT * FROM idx
+        """,
+        "snap_change_rate": """
+            WITH s AS (
+                SELECT 'h' || (doc_id % 20) AS host,
+                       count(*) AS n_old,
+                       sum(CASE WHEN doc_id % 10 <> 0 THEN 1
+                                ELSE 0 END)
+                       + sum(CASE WHEN doc_id % 11 = 0 THEN 1
+                                  ELSE 0 END) AS n_new,
+                       sum(CASE WHEN doc_id % 11 = 0 THEN 1
+                                ELSE 0 END) AS n_added,
+                       sum(CASE WHEN doc_id % 10 = 0 THEN 1
+                                ELSE 0 END) AS n_removed,
+                       sum(CASE WHEN doc_id % 10 <> 0
+                                 AND doc_id % 7 = 0 THEN 1
+                                ELSE 0 END) AS n_changed,
+                       sum(CASE WHEN doc_id % 10 <> 0
+                                 AND doc_id % 7 <> 0 THEN 1
+                                ELSE 0 END) AS n_same
+                FROM documents GROUP BY 1)
+            SELECT host, n_old, n_new::BIGINT AS n_new,
+                   n_added::BIGINT AS n_added,
+                   n_removed::BIGINT AS n_removed,
+                   n_changed::BIGINT AS n_changed,
+                   n_same::BIGINT AS n_same,
+                   CAST(CAST(round(n_changed::DOUBLE /
+                        nullif(n_changed + n_same, 0), 6)
+                        AS DECIMAL(18,6)) AS VARCHAR) AS change_rate
+            FROM s
         """,
         "discovered_frontier": """
             WITH feedrow AS (

@@ -89,3 +89,40 @@ def test_window_partitioned_by_host(df):
                  if "windowspecdefinition" in ln.lower()]
     assert win_lines, txt
     assert all("host" in ln for ln in win_lines), win_lines
+
+
+def test_snapshot_change_rate(spark):
+    from weakscraper_spark.operators.drift import snapshot_change_rate
+    old = spark.createDataFrame(
+        [("h1", "u1", "a"), ("h1", "u2", "b"), ("h1", "u3", "c"),
+         ("h2", "u4", "d")],
+        "host string, url string, content_hash string")
+    new = spark.createDataFrame(
+        [("h1", "u1", "a"),            # same
+         ("h1", "u2", "B"),            # changed
+         # u3 removed
+         ("h1", "u5", "e"),            # added
+         ("h3", "u4", "d")],           # moved host, same content
+        "host string, url string, content_hash string")
+    got = {r.host: r for r in
+           snapshot_change_rate(old, new).collect()}
+    h1 = got["h1"]
+    assert (h1.n_old, h1.n_new, h1.n_added, h1.n_removed,
+            h1.n_changed, h1.n_same) == (3, 3, 1, 1, 1, 1)
+    assert abs(h1.change_rate - 0.5) < 1e-12
+    # u4 counts under its NEW host h3; old host h2 keeps nothing
+    assert "h2" not in got
+    h3 = got["h3"]
+    assert (h3.n_old, h3.n_new, h3.n_changed, h3.n_same) == (1, 1, 0, 1)
+    assert h3.change_rate == 0.0
+
+
+def test_change_rate_null_when_no_overlap(spark):
+    from weakscraper_spark.operators.drift import snapshot_change_rate
+    old = spark.createDataFrame([("h", "u1", "a")],
+                                "host string, url string, content_hash string")
+    new = spark.createDataFrame([("h", "u2", "b")],
+                                "host string, url string, content_hash string")
+    r = snapshot_change_rate(old, new).collect()[0]
+    assert r.change_rate is None
+    assert (r.n_added, r.n_removed) == (1, 1)

@@ -80,3 +80,60 @@ def drift_points(df: DataFrame, host_col: str = "host",
                         F.col("_b.jump").alias("jump"),
                         "n_days")
             .filter(F.col("jump") >= float(min_jump)))
+
+
+def snapshot_change_rate(old: DataFrame, new: DataFrame,
+                         key_col: str = "url",
+                         hash_col: str = "content_hash",
+                         group_col: str = "host") -> DataFrame:
+    """Between two crawl snapshots, the per-group churn signal
+    adaptive re-crawl scheduling consumes:
+
+    (group, n_old, n_new, n_added, n_removed, n_changed, n_same,
+     change_rate)   change_rate = changed / (changed + same), NULL
+    when the snapshots share no key.
+
+    Precondition: ``key_col`` is unique within each snapshot (crawl
+    tables are latest-per-url by construction — dedup_latest /
+    SnapTable upstream). For a key present in both, the NEW side's
+    group labels the row (a url that moved hosts counts under its
+    current home).
+
+    Scale shape: union + ONE key-keyed aggregation pairs the two
+    sides (instead of a full-outer join's two shuffle legs), then a
+    map-side-combinable group rollup — two exchanges total, both on
+    natural keys."""
+    o = old.select(F.col(key_col).alias("k"),
+                   F.col(group_col).alias("g"),
+                   F.col(hash_col).alias("h"),
+                   F.lit(0).alias("side"))
+    n = new.select(F.col(key_col).alias("k"),
+                   F.col(group_col).alias("g"),
+                   F.col(hash_col).alias("h"),
+                   F.lit(1).alias("side"))
+    paired = (o.unionByName(n)
+              .groupBy("k")
+              .agg(F.coalesce(F.max(F.when(F.col("side") == 1,
+                                           F.col("g"))),
+                              F.max(F.when(F.col("side") == 0,
+                                           F.col("g")))).alias("grp"),
+                   F.max(F.when(F.col("side") == 0,
+                                F.col("h"))).alias("h_old"),
+                   F.max(F.when(F.col("side") == 1,
+                                F.col("h"))).alias("h_new")))
+    both = F.col("h_old").isNotNull() & F.col("h_new").isNotNull()
+    agg = (paired.groupBy(F.col("grp").alias(group_col))
+           .agg(F.count("h_old").alias("n_old"),
+                F.count("h_new").alias("n_new"),
+                F.sum(F.when(F.col("h_old").isNull(), 1)
+                      .otherwise(0)).alias("n_added"),
+                F.sum(F.when(F.col("h_new").isNull(), 1)
+                      .otherwise(0)).alias("n_removed"),
+                F.sum(F.when(both & (F.col("h_old") != F.col("h_new")),
+                             1).otherwise(0)).alias("n_changed"),
+                F.sum(F.when(both & (F.col("h_old") == F.col("h_new")),
+                             1).otherwise(0)).alias("n_same")))
+    return agg.withColumn(
+        "change_rate",
+        F.col("n_changed") /
+        F.nullif(F.col("n_changed") + F.col("n_same"), F.lit(0)))
