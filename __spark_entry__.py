@@ -1940,6 +1940,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _dec(F.col("change_rate"), 6).alias("change_rate"))
     q["snap_change_rate"] = snap_change_rate
 
+    # ---- bucketed co-located join (plans/bucketing.py): both sides
+    # written bucketBy(8, doc_id) then joined with ZERO Exchange
+    # (plan contract in tests/test_bucketing.py); eager collect +
+    # table/file cleanup per the snap_versions discipline -----------------
+    def bucketed_join(spark, sf):
+        import shutil
+        import tempfile
+        from weakscraper_spark.plans.bucketing import (
+            bucketed_join as bjoin, drop_table, write_bucketed)
+        d = F.col("doc_id")
+        docs = _t(spark, sf, "documents")
+        root = tempfile.mkdtemp(prefix="bktq_")
+        try:
+            write_bucketed(docs.select("doc_id", (d % 7).alias("a")),
+                           "q_bk_left", "doc_id", 8, root)
+            write_bucketed(docs.filter(d % 2 == 0)
+                           .select("doc_id", (d % 5).alias("b")),
+                           "q_bk_right", "doc_id", 8, root)
+            rows = bjoin(spark, "q_bk_left", "q_bk_right",
+                         key="doc_id").collect()
+        finally:
+            drop_table(spark, "q_bk_left")
+            drop_table(spark, "q_bk_right")
+            shutil.rmtree(root, ignore_errors=True)
+        return spark.createDataFrame(
+            rows, "doc_id long, a long, b long")
+    q["bucketed_join"] = bucketed_join
+
     # Driver sampling order (VERDICT r03 #2): the driver checks ~50
     # queries per round IN DICT ORDER. Every query has now been
     # driver-sampled at least once (r04 verdict), so r05 priority =
@@ -1950,7 +1978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_entries", "feed_headers", "html_tables", "table_stats",
         "postings_index", "phrase_hits", "drift_hosts", "emb_stats",
         "emb_outliers", "doc_sentences", "discovered_frontier",
-        "snap_change_rate", "fields_long",
+        "snap_change_rate", "bucketed_join", "fields_long",
         "extract_spans", "induce_roundtrip", "md_convert",
         "trim_substrings", "chunk_docs", "sitemap_entries",
         "robots_sitemaps", "tfidf_keywords", "host_split",
@@ -2362,6 +2390,10 @@ def oracle_sql() -> dict[str, str]:
                        CAST(NULL AS VARCHAR) AS priority
                 FROM d)
             SELECT * FROM urls UNION ALL SELECT * FROM idx
+        """,
+        "bucketed_join": """
+            SELECT doc_id, doc_id % 7 AS a, doc_id % 5 AS b
+            FROM documents WHERE doc_id % 2 = 0
         """,
         "snap_change_rate": """
             WITH s AS (
