@@ -1998,6 +1998,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL (DuckDB dialect; tables pre-registered as views)
 # ---------------------------------------------------------------------------
 
+
+# shared by the dup_substrings / trim_substrings oracles (r05 review:
+# the twins previously stated this ~40-line gaps-and-islands chain
+# twice and could drift apart): tokenize -> k=8 gram hashes -> dup
+# hashes -> marks -> merged [s, e) spans per doc, mirroring
+# operators/substr.py::_merged_spans
+_DUP_SPANS_CTE = """tk AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+')
+                           AS t
+                FROM documents),
+            g AS (
+                SELECT doc_id,
+                       unnest(range(0, len(t) - 7)) AS start, t
+                FROM tk WHERE len(t) >= 8),
+            h AS (
+                SELECT doc_id, start,
+                       md5(array_to_string(
+                           t[(start + 1):(start + 8)], ' ')) AS h
+                FROM g),
+            dup AS (SELECT h FROM h GROUP BY h HAVING count(*) >= 2),
+            m AS (SELECT doc_id, start FROM h JOIN dup USING (h)),
+            pe AS (
+                SELECT doc_id, start,
+                       max(start + 8) OVER (
+                           PARTITION BY doc_id ORDER BY start
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prev_end
+                FROM m),
+            i AS (
+                SELECT doc_id, start,
+                       CASE WHEN prev_end IS NULL
+                                 OR start > prev_end
+                            THEN 1 ELSE 0 END AS nw
+                FROM pe),
+            il AS (
+                SELECT doc_id, start,
+                       sum(nw) OVER (
+                           PARTITION BY doc_id ORDER BY start
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS isl
+                FROM i),
+            sp AS (
+                SELECT doc_id, isl, min(start) AS s,
+                       max(start) + 8 AS e
+                FROM il GROUP BY 1, 2)"""
+
+
 _SHINGLES_CTE = """
 tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
        FROM documents),
@@ -2210,47 +2258,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY src_host, dst_host)"""
 
     return {
-        "dup_substrings": """
-            WITH tk AS (
-                SELECT doc_id,
-                       string_split_regex(trim(lower(text)), '\\s+')
-                           AS t
-                FROM documents),
-            g AS (
-                SELECT doc_id,
-                       unnest(range(0, len(t) - 7)) AS start, t
-                FROM tk WHERE len(t) >= 8),
-            h AS (
-                SELECT doc_id, start,
-                       md5(array_to_string(
-                           t[(start + 1):(start + 8)], ' ')) AS h
-                FROM g),
-            dup AS (SELECT h FROM h GROUP BY h HAVING count(*) >= 2),
-            m AS (SELECT doc_id, start FROM h JOIN dup USING (h)),
-            pe AS (
-                SELECT doc_id, start,
-                       max(start + 8) OVER (
-                           PARTITION BY doc_id ORDER BY start
-                           ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND 1 PRECEDING) AS prev_end
-                FROM m),
-            i AS (
-                SELECT doc_id, start,
-                       CASE WHEN prev_end IS NULL
-                                 OR start > prev_end
-                            THEN 1 ELSE 0 END AS nw
-                FROM pe),
-            il AS (
-                SELECT doc_id, start,
-                       sum(nw) OVER (
-                           PARTITION BY doc_id ORDER BY start
-                           ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND CURRENT ROW) AS isl
-                FROM i),
-            sp AS (
-                SELECT doc_id, isl, min(start) AS s,
-                       max(start) + 8 AS e
-                FROM il GROUP BY 1, 2),
+        "dup_substrings": "WITH " + _DUP_SPANS_CTE + """,
             pd AS (
                 SELECT doc_id, count(*) AS n_dup_spans,
                        sum(e - s) AS dup_tokens
@@ -2264,47 +2272,7 @@ def oracle_sql() -> dict[str, str]:
                              AS DECIMAL(18,4)) AS VARCHAR) AS dup_frac
             FROM tk LEFT JOIN pd USING (doc_id)
         """,
-        "trim_substrings": """
-            WITH tk AS (
-                SELECT doc_id,
-                       string_split_regex(trim(lower(text)), '\\s+')
-                           AS t
-                FROM documents),
-            g AS (
-                SELECT doc_id,
-                       unnest(range(0, len(t) - 7)) AS start, t
-                FROM tk WHERE len(t) >= 8),
-            h AS (
-                SELECT doc_id, start,
-                       md5(array_to_string(
-                           t[(start + 1):(start + 8)], ' ')) AS h
-                FROM g),
-            dup AS (SELECT h FROM h GROUP BY h HAVING count(*) >= 2),
-            m AS (SELECT doc_id, start FROM h JOIN dup USING (h)),
-            pe AS (
-                SELECT doc_id, start,
-                       max(start + 8) OVER (
-                           PARTITION BY doc_id ORDER BY start
-                           ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND 1 PRECEDING) AS prev_end
-                FROM m),
-            i AS (
-                SELECT doc_id, start,
-                       CASE WHEN prev_end IS NULL
-                                 OR start > prev_end
-                            THEN 1 ELSE 0 END AS nw
-                FROM pe),
-            il AS (
-                SELECT doc_id, start,
-                       sum(nw) OVER (
-                           PARTITION BY doc_id ORDER BY start
-                           ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND CURRENT ROW) AS isl
-                FROM i),
-            sp AS (
-                SELECT doc_id, isl, min(start) AS s,
-                       max(start) + 8 AS e
-                FROM il GROUP BY 1, 2),
+        "trim_substrings": "WITH " + _DUP_SPANS_CTE + """,
             tok AS (
                 SELECT doc_id, unnest(range(0, len(t))) AS i, t
                 FROM tk),
@@ -2560,7 +2528,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(round(jump, 6) AS DECIMAL(18,6))
                         AS VARCHAR) AS jump,
                    n_days
-            FROM ranked WHERE rn = 1 AND jump >= 0
+            FROM ranked WHERE rn = 1
         """,
         "postings_index": """
             WITH tk AS (

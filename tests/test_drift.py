@@ -126,3 +126,31 @@ def test_change_rate_null_when_no_overlap(spark):
     r = snapshot_change_rate(old, new).collect()[0]
     assert r.change_rate is None
     assert (r.n_added, r.n_removed) == (1, 1)
+
+
+def test_recovering_host_kept_by_default(spark):
+    """r05 review: a host whose error rate only DECLINES has a
+    negative max jump and must still appear in the default output."""
+    import datetime as dt
+    from weakscraper_spark.operators.drift import drift_points
+    rows = [("r.org", dt.date(2025, 1, 1), False),
+            ("r.org", dt.date(2025, 1, 2), True)]
+    df = spark.createDataFrame(rows, "host string, ts date, ok boolean")
+    got = {r.host: r for r in drift_points(df).collect()}
+    assert "r.org" in got
+    assert got["r.org"].jump == -1.0
+    assert drift_points(df, min_jump=0.0).count() == 0
+
+
+def test_change_rate_null_hashes(spark):
+    """r05 review: presence is by snapshot side — NULL hashes count
+    in their snapshot; NULL vs value = changed, NULL vs NULL = same."""
+    from weakscraper_spark.operators.drift import snapshot_change_rate
+    sch = "host string, url string, content_hash string"
+    old = spark.createDataFrame(
+        [("h", "u1", None), ("h", "u2", None), ("h", "u3", "a")], sch)
+    new = spark.createDataFrame(
+        [("h", "u1", "x"), ("h", "u2", None), ("h", "u3", "a")], sch)
+    r = snapshot_change_rate(old, new).collect()[0]
+    assert (r.n_old, r.n_new, r.n_added, r.n_removed) == (3, 3, 0, 0)
+    assert (r.n_changed, r.n_same) == (1, 2)

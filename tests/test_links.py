@@ -241,3 +241,18 @@ def test_mix_domains_is_deterministic_and_stable(spark):
     b = sorted(r.doc_id for r in
                mix_domains(docs.repartition(7), **kw).collect())
     assert a == b and len(a) > 0
+
+
+def test_data_href_never_hijacks(spark):
+    """r05 review: href must start an attribute — data-href/ng-href
+    suffixes must neither shadow a real href nor masquerade as one."""
+    from weakscraper_spark.operators.links import extract_links
+    df = spark.createDataFrame(
+        [("https://s.org/p",
+          '<a href="/real" data-href="/lazy">x</a>'
+          '<a class="c" data-href="/ghost">y</a>'
+          '<a data-href="/first" href="/second">z</a>'),
+         ],
+        "url string, html string")
+    got = sorted(r.dst_url for r in extract_links(df).collect())
+    assert got == ["https://s.org/real", "https://s.org/second"]

@@ -180,3 +180,15 @@ def test_operator_plan_is_narrow_map(spark):
              re.finditer(r"^\s*[*+-]*\s*\(\d+\)\s+(\w+)",
                          buf.getvalue(), re.M)]
     assert "Exchange" not in names, names
+
+
+def test_n_blocks_ignores_blank_lines_in_fences(spark):
+    """r05 review: a <pre> with a blank line is ONE block — the old
+    \\n\\n count reported two."""
+    df = spark.createDataFrame(
+        [("u", None, "<pre>a\n\nb</pre><p>tail</p>")],
+        "url string, warc_ts timestamp, html string")
+    from weakscraper_spark.operators.markdown import html_to_markdown
+    r = html_to_markdown(df).collect()[0]
+    assert r.n_blocks == 2
+    assert "```\na\n\nb\n```" in r.markdown

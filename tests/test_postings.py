@@ -84,3 +84,13 @@ def test_filter_precedes_shuffle(docs):
     assert ids["Filter"] < ids["Exchange"], ids
     # and it is the term filter (mentions the literal), not something else
     assert "cat" in txt
+
+
+def test_case_carrying_queries_normalize(docs):
+    """r05 review: tokens are lowercased, so query terms must be too
+    — a cased query silently matching nothing is a trap."""
+    from weakscraper_spark.operators.search import bm25_scores
+    assert build_postings(docs, terms=["CAT"]).count() > 0
+    got = {r.doc_id for r in phrase_search(docs, ["Cat", "SAT"]).collect()}
+    assert got == {1, 3}
+    assert bm25_scores(docs, ["CAT"]).count() == 3

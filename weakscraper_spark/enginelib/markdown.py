@@ -249,9 +249,17 @@ def _blocks(node: Node) -> list[str]:
     return blocks
 
 
+def to_markdown_blocks(html: str) -> list[str]:
+    """The rendered top-level blocks, unjoined — the TRUE block count
+    (a fenced code block containing a blank line is one block; a
+    ``\\n\\n``-count over the joined text would split it, r05
+    review). Raises like :func:`to_markdown`."""
+    return _blocks(_parse(html))
+
+
 def to_markdown(html: str) -> str:
     """Convert an HTML document/fragment to the markdown subset
     above. Never raises on malformed input (the parser is tolerant);
     pathological nesting depth may raise ``RecursionError`` — the
     Spark operator maps that to a status row."""
-    return "\n\n".join(_blocks(_parse(html)))
+    return "\n\n".join(to_markdown_blocks(html))

@@ -46,16 +46,19 @@ def host_error_daily(df: DataFrame, host_col: str = "host",
 
 def drift_points(df: DataFrame, host_col: str = "host",
                  ts_col: str = "ts", ok_col: str = "ok",
-                 min_jump: float = 0.0) -> DataFrame:
+                 min_jump: float | None = None) -> DataFrame:
     """Per host, the largest day-over-day error-rate jump:
 
     (host, drift_day, rate_before, rate_after, jump, n_days)
 
     ``jump`` = err_rate(day) − err_rate(previous OBSERVED day) — gaps
     in the calendar compare adjacent observations, the right behavior
-    for crawl schedules that skip days. ``min_jump`` drops hosts
-    whose max jump is below the threshold (0 keeps every host with
-    ≥2 observed days). Ties on jump pick the earliest day."""
+    for crawl schedules that skip days. ``min_jump=None`` (default)
+    keeps EVERY host with ≥2 observed days — including recovering
+    hosts whose largest jump is negative (r05 review: the old
+    ``>= 0.0`` default silently dropped them from the monitoring
+    relation); a numeric threshold keeps only hosts whose max jump
+    reaches it. Ties on jump pick the earliest day."""
     daily = host_error_daily(df, host_col, ts_col, ok_col)
     w = Window.partitionBy("host").orderBy("day")
     stepped = (daily
@@ -73,13 +76,15 @@ def drift_points(df: DataFrame, host_col: str = "host",
                              (-F.unix_date(F.col("day"))).alias("_d"))
                  ).alias("_b"),
                  (F.count("*") + 1).alias("n_days")))
-    return (best.select("host",
+    out = (best.select("host",
                         F.col("_b.day").alias("drift_day"),
                         F.col("_b.rate_before").alias("rate_before"),
                         F.col("_b.rate_after").alias("rate_after"),
                         F.col("_b.jump").alias("jump"),
-                        "n_days")
-            .filter(F.col("jump") >= float(min_jump)))
+                        "n_days"))
+    if min_jump is not None:
+        out = out.filter(F.col("jump") >= float(min_jump))
+    return out
 
 
 def snapshot_change_rate(old: DataFrame, new: DataFrame,
@@ -97,7 +102,10 @@ def snapshot_change_rate(old: DataFrame, new: DataFrame,
     tables are latest-per-url by construction — dedup_latest /
     SnapTable upstream). For a key present in both, the NEW side's
     group labels the row (a url that moved hosts counts under its
-    current home).
+    current home). Presence is tracked by SIDE, not hash nullness
+    (r05 review): a fetch-failed row with a NULL hash still counts in
+    its snapshot, and NULL-vs-value compares as changed (null-safe
+    equality), NULL-vs-NULL as same.
 
     Scale shape: union + ONE key-keyed aggregation pairs the two
     sides (instead of a full-outer join's two shuffle legs), then a
@@ -120,19 +128,26 @@ def snapshot_change_rate(old: DataFrame, new: DataFrame,
                    F.max(F.when(F.col("side") == 0,
                                 F.col("h"))).alias("h_old"),
                    F.max(F.when(F.col("side") == 1,
-                                F.col("h"))).alias("h_new")))
-    both = F.col("h_old").isNotNull() & F.col("h_new").isNotNull()
+                                F.col("h"))).alias("h_new"),
+                   F.max(F.when(F.col("side") == 0, 1)
+                         .otherwise(0)).alias("in_old"),
+                   F.max(F.when(F.col("side") == 1, 1)
+                         .otherwise(0)).alias("in_new")))
+    in_old = F.col("in_old") == 1
+    in_new = F.col("in_new") == 1
+    both = in_old & in_new
+    same = F.col("h_old").eqNullSafe(F.col("h_new"))
     agg = (paired.groupBy(F.col("grp").alias(group_col))
-           .agg(F.count("h_old").alias("n_old"),
-                F.count("h_new").alias("n_new"),
-                F.sum(F.when(F.col("h_old").isNull(), 1)
+           .agg(F.sum("in_old").alias("n_old"),
+                F.sum("in_new").alias("n_new"),
+                F.sum(F.when(in_new & ~in_old, 1)
                       .otherwise(0)).alias("n_added"),
-                F.sum(F.when(F.col("h_new").isNull(), 1)
+                F.sum(F.when(in_old & ~in_new, 1)
                       .otherwise(0)).alias("n_removed"),
-                F.sum(F.when(both & (F.col("h_old") != F.col("h_new")),
-                             1).otherwise(0)).alias("n_changed"),
-                F.sum(F.when(both & (F.col("h_old") == F.col("h_new")),
-                             1).otherwise(0)).alias("n_same")))
+                F.sum(F.when(both & ~same, 1)
+                      .otherwise(0)).alias("n_changed"),
+                F.sum(F.when(both & same, 1)
+                      .otherwise(0)).alias("n_same")))
     return agg.withColumn(
         "change_rate",
         F.col("n_changed") /

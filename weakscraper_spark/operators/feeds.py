@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .sitemap import _tag_text
+from .sitemap import _tag_text, decode_predefined_entities
 
 #: one <item>…</item> of an RSS 2.0 channel
 _ITEM_BLOCK_RE = r"(?is)<item[\s>].*?</item\s*>"
@@ -37,13 +37,9 @@ _ENTRY_BLOCK_RE = r"(?is)<entry[\s>].*?</entry\s*>"
 _LINK_TAG_RE = r"(?is)<link\b[^>]*>"
 
 
-def _decode_entities(col: Column) -> Column:
-    """The five predefined XML entities; ``&amp;`` last so
-    double-escapes resolve one level, as an XML parser would."""
-    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-                    ("&apos;", "'"), ("&amp;", "&")):
-        col = F.replace(col, F.lit(ent), F.lit(ch))
-    return col
+#: r05 review: one shared entity decoder (sitemap.py) for all three
+#: markup scanners
+_decode_entities = decode_predefined_entities
 
 
 def _atom_link(block: Column) -> Column:

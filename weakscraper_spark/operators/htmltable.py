@@ -44,13 +44,13 @@ def _cell_text(cell: Column) -> Column:
     """Inner text of a <td>/<th> block: drop the wrapping tag, strip
     inner markup, decode the five predefined entities (``&amp;`` last
     so double-escapes resolve one level), collapse whitespace."""
+    from .sitemap import decode_predefined_entities
+
     inner = F.regexp_extract(
         cell, r"(?is)^<t[dh][^>]*>(.*)</t[dh]\s*>$", 1)
     txt = F.regexp_replace(inner, r"(?s)<[^>]*>", "")
-    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-                    ("&apos;", "'"), ("&amp;", "&")):
-        txt = F.replace(txt, F.lit(ent), F.lit(ch))
-    return F.trim(F.regexp_replace(txt, r"\s+", " "))
+    return F.trim(F.regexp_replace(
+        decode_predefined_entities(txt), r"\s+", " "))
 
 
 def extract_tables(df: DataFrame, html_col: str = "html",

@@ -44,12 +44,18 @@ _REJECT_RE = r"(?i)^(javascript:|mailto:|tel:|data:|#|$)"
 #: one <a ...>anchor</a> element — case-insensitive (crawl HTML mixes
 #: <A HREF>), href double-quoted / single-quoted / bare, DOTALL so
 #: anchors spanning newlines survive
-_A_RE = (r'(?is)<a\s[^>]*href\s*=\s*'
+#: ``href`` must start an ATTRIBUTE (follow the tag name or
+#: whitespace): the earlier greedy ``[^>]*href=`` form also matched
+#: the suffix of data-href/ng-href and, via backtracking, preferred
+#: the LAST such occurrence — lazy-load markup hijacked the real url
+#: (r05 review). The lazy optional prefix picks the FIRST
+#: whitespace-anchored href, as browsers do.
+_A_RE = (r'(?is)<a\s(?:[^>]*?\s)??href\s*=\s*'
          r'("[^"]*"|\'[^\']*\'|[^\s>]+)[^>]*>(.*?)</a>')
 
 #: the page's <base href> (WHATWG: the FIRST base element with an
 #: href wins; applies to every relative reference on the page)
-_BASE_RE = (r'(?is)<base\s[^>]*href\s*=\s*'
+_BASE_RE = (r'(?is)<base\s(?:[^>]*?\s)??href\s*=\s*'
             r'("[^"]*"|\'[^\']*\'|[^\s>]+)')
 
 

@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark import TaskContext
 from pyspark.sql import DataFrame
 
-from ..enginelib.markdown import to_markdown
+from ..enginelib.markdown import to_markdown_blocks
 
 MARKDOWN_SCHEMA = (
     "url string, warc_ts timestamp, status string, markdown string, "
@@ -74,7 +74,8 @@ def html_to_markdown(df: DataFrame,
                     out["n_bytes"][j] = len(raw)
                 t0 = perf_counter()
                 try:
-                    md = to_markdown(html)
+                    blocks = to_markdown_blocks(html)
+                    md = "\n\n".join(blocks)
                 except RecursionError:
                     out["parse_ms"][j] = (perf_counter() - t0) * 1e3
                     out["status"][j] = "error:RecursionError"
@@ -83,7 +84,9 @@ def html_to_markdown(df: DataFrame,
                 out["parse_ms"][j] = (perf_counter() - t0) * 1e3
                 out["status"][j] = "ok" if md else "empty"
                 out["markdown"][j] = md
-                out["n_blocks"][j] = md.count("\n\n") + 1 if md else 0
+                # len(blocks), not a \n\n count: a fenced code
+                # block may itself contain blank lines (r05 review)
+                out["n_blocks"][j] = len(blocks) if md else 0
                 out["n_chars"][j] = len(md)
             yield pd.DataFrame(out)
 

@@ -47,6 +47,10 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
     # join was a full-corpus shuffle per query). dl is functionally
     # dependent on doc, so adding it to the tf grouping key changes
     # nothing about the aggregation.
+    # normalize at the API boundary: document tokens are lowercased,
+    # so a case-carrying query would otherwise match nothing and be
+    # indistinguishable from a true miss (r05 review)
+    query_terms = [t.lower() for t in query_terms]
     hits = (base.select("doc", F.size("_t").alias("dl"),
                         F.explode("_t").alias("term"))
             .filter(F.col("term").isin(query_terms)))
@@ -158,7 +162,9 @@ def build_postings(docs: DataFrame, terms: list[str] | None = None,
             F.split(F.trim(F.lower(F.col(col))), r"\s+"))
          .alias("p0", "term"))
     if terms is not None:
-        base = base.filter(F.col("term").isin(list(terms)))
+        # lowercase at the boundary — tokens are lowercased (r05 review)
+        base = base.filter(F.col("term").isin(
+            [t.lower() for t in terms]))
     return (base
             .groupBy("term", "doc")
             .agg(F.count("*").cast("int").alias("tf"),
@@ -188,6 +194,7 @@ def phrase_search(docs: DataFrame, phrase: list[str],
     expressions."""
     if not phrase:
         raise ValueError("phrase must be non-empty")
+    phrase = [t.lower() for t in phrase]
     p = build_postings(docs, terms=sorted(set(phrase)),
                        id_col=id_col, col=col)
     cur = (p.filter(F.col("term") == phrase[0])

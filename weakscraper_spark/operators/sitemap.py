@@ -31,6 +31,17 @@ _URL_BLOCK_RE = r"(?is)<url[\s>].*?</url\s*>"
 _SM_BLOCK_RE = r"(?is)<sitemap[\s>].*?</sitemap\s*>"
 
 
+def decode_predefined_entities(col: Column) -> Column:
+    """The five predefined XML entities; ``&amp;`` decodes LAST so a
+    double-escape resolves one level, as an XML parser would. The ONE
+    shared implementation for every markup-tier scanner (sitemap,
+    feeds, htmltable — r05 review deduplicated three copies)."""
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "'"), ("&amp;", "&")):
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
+
+
 def _tag_text(block: Column, name: str) -> Column:
     """The trimmed inner text of the first <name> element in the
     block, empty → NULL. CDATA content is literal (XML rule); plain
@@ -41,10 +52,7 @@ def _tag_text(block: Column, name: str) -> Column:
     raw = F.trim(F.regexp_extract(
         block, rf"(?is)<{name}[^>]*>(.*?)</{name}\s*>", 1))
     cdata = F.regexp_extract(raw, r"(?s)^<!\[CDATA\[(.*)\]\]>$", 1)
-    plain = raw
-    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-                    ("&apos;", "'"), ("&amp;", "&")):
-        plain = F.replace(plain, F.lit(ent), F.lit(ch))
+    plain = decode_predefined_entities(raw)
     val = F.when(raw.rlike(r"(?s)^<!\[CDATA\["), cdata).otherwise(plain)
     return F.nullif(val, F.lit(""))
 

@@ -61,6 +61,14 @@ def _merged_spans(base: DataFrame, k: int) -> DataFrame:
                          " ", F.slice(F.col("_t"),
                                       F.col("start") + 1,
                                       k))).alias("h")))
+    # grams feeds TWO consumers (the dup-count agg and the join-back)
+    # whose column pruning differs, so exchange reuse won't serve
+    # both — without a persist the corpus-wide tokenize + explode +
+    # md5 runs twice (r05 review; same discipline as
+    # dedup._overcap_keys: DISK_ONLY, gram rows dwarf executor RAM
+    # at corpus scale)
+    from pyspark import StorageLevel
+    grams = grams.persist(StorageLevel.DISK_ONLY)
     dup_h = (grams.groupBy("h").agg(F.count("*").alias("_c"))
              .filter(F.col("_c") >= 2).select("h"))
     marks = grams.join(dup_h, "h").select("doc", "start")
