@@ -127,6 +127,8 @@ def _run_queries(sf_dir: str, cpus: int,
         "robots_sitemaps", "tfidf_keywords", "host_split",
         "md_convert", "feed_entries", "html_tables", "postings_index",
         "phrase_hits", "drift_hosts", "emb_stats", "emb_outliers",
+        "doc_sentences", "discovered_frontier", "snap_change_rate",
+        "bucketed_join",
     ]
     # raw_extract (archives→extract composition) is deliberately NOT
     # a headline: it chains five Python stages over a synthesized
