@@ -1968,6 +1968,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rows, "doc_id long, a long, b long")
     q["bucketed_join"] = bucketed_join
 
+    # ---- feed autodiscovery (operators/feeds.py): planted
+    # rel=alternate feed links — absolute, origin-relative, and
+    # directory-relative hrefs, with and without <base href>, plus
+    # stylesheet/rel=self distractors — vs the closed-form oracle ---------
+    def feed_discovery(spark, sf):
+        from weakscraper_spark.operators.feeds import discover_feeds
+        d = F.col("doc_id")
+        ds = d.cast("string")
+        fs = (d % 20).cast("string")
+        page = F.concat(F.lit("https://h"), fs,
+                        F.lit(".example.org/p/"), ds)
+        base = F.when(d % 7 == 0, F.concat(
+            F.lit('<base href="https://b'), fs,
+            F.lit('.example.org/x/y.html">'))).otherwise(F.lit(""))
+        feed_link = (
+            F.when(d % 3 == 0, F.concat(
+                F.lit('<link rel="alternate" '
+                      'type="application/rss+xml" title="T &amp; '),
+                ds, F.lit('" href="/feed.xml">')))
+            .when(d % 3 == 1, F.lit(
+                '<link rel="alternate" type="application/atom+xml" '
+                'href="a.xml">'))
+            .otherwise(F.lit("")))
+        distractors = F.concat(
+            F.lit('<link rel="stylesheet" type="text/css" '
+                  'href="/s.css">'),
+            F.when(d % 5 == 0, F.lit(
+                '<link rel="self" type="application/rss+xml" '
+                'href="/self.xml">')).otherwise(F.lit("")))
+        pages = _t(spark, sf, "documents").select(
+            page.alias("url"),
+            F.concat(F.lit("<html><head>"), base, feed_link,
+                     distractors,
+                     F.lit("</head><body>x</body></html>"))
+             .alias("html"))
+        return discover_feeds(pages)
+    q["feed_discovery"] = feed_discovery
+
     # Driver sampling order (VERDICT r03 #2): the driver checks ~50
     # queries per round IN DICT ORDER. Every query has now been
     # driver-sampled at least once (r04 verdict), so r05 priority =
@@ -1978,7 +2016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_entries", "feed_headers", "html_tables", "table_stats",
         "postings_index", "phrase_hits", "drift_hosts", "emb_stats",
         "emb_outliers", "doc_sentences", "discovered_frontier",
-        "snap_change_rate", "bucketed_join", "fields_long",
+        "snap_change_rate", "bucketed_join", "feed_discovery",
+        "fields_long",
         "extract_spans", "induce_roundtrip", "md_convert",
         "trim_substrings", "chunk_docs", "sitemap_entries",
         "robots_sitemaps", "tfidf_keywords", "host_split",
@@ -2358,6 +2397,30 @@ def oracle_sql() -> dict[str, str]:
                        CAST(NULL AS VARCHAR) AS priority
                 FROM d)
             SELECT * FROM urls UNION ALL SELECT * FROM idx
+        """,
+        "feed_discovery": """
+            WITH d AS (
+                SELECT doc_id AS d, (doc_id % 20) AS f,
+                       'https://h' || (doc_id % 20)
+                           || '.example.org/p/' || doc_id AS page,
+                       doc_id % 7 = 0 AS has_base
+                FROM documents)
+            SELECT page AS page_url,
+                   CASE WHEN has_base THEN
+                       'https://b' || f || '.example.org/feed.xml'
+                   ELSE 'https://h' || f || '.example.org/feed.xml'
+                   END AS feed_url,
+                   'rss' AS feed_kind,
+                   'T & ' || d AS feed_title
+            FROM d WHERE d % 3 = 0
+            UNION ALL
+            SELECT page,
+                   CASE WHEN has_base THEN
+                       'https://b' || f || '.example.org/x/a.xml'
+                   ELSE 'https://h' || f || '.example.org/p/a.xml'
+                   END,
+                   'atom', NULL
+            FROM d WHERE d % 3 = 1
         """,
         "bucketed_join": """
             SELECT doc_id, doc_id % 7 AS a, doc_id % 5 AS b

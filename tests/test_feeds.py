@@ -129,3 +129,47 @@ def test_plan_is_narrow_map(feed_df):
     assert "Exchange" not in names, names
     assert "BatchEvalPython" not in names, names
     assert "ArrowEvalPython" not in names, names
+
+
+_PAGE_WITH_FEEDS = """<html><head>
+<base href="https://blog.example.org/posts/page.html">
+<link rel="alternate" type="application/rss+xml"
+      title="Main &amp; More" href="/feed.xml">
+<link rel="alternate" type="application/atom+xml" href="atom.xml">
+<link rel="ALTERNATE" TYPE="application/rss+xml"
+      href="https://other.example.org/r.xml">
+<link rel="stylesheet" type="text/css" href="/style.css">
+<link rel="self" type="application/rss+xml" href="/not-alternate.xml">
+<link rel="alternate" type="application/rss+xml">
+</head><body><a href="x">not a link tag</a></body></html>"""
+
+
+def test_discover_feeds(spark):
+    from weakscraper_spark.operators.feeds import discover_feeds
+    df = spark.createDataFrame(
+        [("https://blog.example.org/", _PAGE_WITH_FEEDS),
+         ("https://plain.example.org/", "<html><p>none</p></html>")],
+        "url string, html string")
+    got = {(r.feed_url): (r.feed_kind, r.feed_title)
+           for r in discover_feeds(df).collect()}
+    # absolute kept; "/feed.xml" joins the page ORIGIN; bare
+    # "atom.xml" resolves against <base href>'s directory
+    assert got == {
+        "https://blog.example.org/feed.xml": ("rss", "Main & More"),
+        "https://blog.example.org/posts/atom.xml": ("atom", None),
+        "https://other.example.org/r.xml": ("rss", None),
+    }
+
+
+def test_discover_feeds_plan_narrow(spark):
+    from weakscraper_spark.operators.feeds import discover_feeds
+    df = spark.createDataFrame(
+        [("u", _PAGE_WITH_FEEDS)], "url string, html string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        discover_feeds(df).explain("formatted")
+    names = [m.group(1) for m in
+             re.finditer(r"^\s*[*+-]*\s*\(\d+\)\s+(\w+)",
+                         buf.getvalue(), re.M)]
+    assert "Exchange" not in names, names
+    assert "ArrowEvalPython" not in names, names

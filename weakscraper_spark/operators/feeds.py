@@ -136,3 +136,57 @@ def feed_meta(df: DataFrame, xml_col: str = "xml",
         F.when(kind == "rss", _tag_text(hdr, "link"))
          .when(kind == "atom", _atom_link(hdr))
          .alias("site_link"))
+
+
+#: any <link …> tag in the page head carrying a feed MIME type
+_FEED_TYPE_RE = (r'(?is)type\s*=\s*["\']application/'
+                 r'(?:rss|atom)\+xml["\']')
+
+
+def discover_feeds(df: DataFrame, html_col: str = "html",
+                   url_col: str = "url") -> DataFrame:
+    """Feed AUTODISCOVERY (RSS Board / WHATWG convention): pages →
+    (page_url, feed_url, feed_kind, feed_title) from
+    ``<link rel="alternate" type="application/rss+xml|atom+xml"
+    href=…>`` in the markup — the hand-off that closes the discovery
+    loop: crawl → discover_feeds → fetch → ``parse_feeds`` →
+    frontier. Relative hrefs are resolved against the page url via
+    the links-family resolver (<base href> honored).
+
+    Narrow map, the house discipline: one corpus-width scan
+    materializes the page's <link> tags as an array, per-tag filters
+    and extracts run on slim tag strings; entity decode on href
+    (pages must escape & in attributes). Tags without an href, or
+    without the feed MIME type, contribute nothing; rel=alternate is
+    required (a rel="self" stylesheet link must not leak through)."""
+    from .links import _BASE_RE, resolve_href
+
+    html = F.col(html_col)
+    if dict(df.dtypes)[html_col] == "binary":
+        html = html.cast("string")
+    tags = F.filter(
+        F.regexp_extract_all(html, F.lit(_LINK_TAG_RE), 0),
+        lambda t: t.rlike(_FEED_TYPE_RE) &
+        t.rlike(r'(?is)rel\s*=\s*["\']alternate["\']'))
+    base = F.nullif(
+        _decode_entities(F.regexp_extract(
+            F.regexp_extract(html, _BASE_RE, 0),
+            r'(?is)href\s*=\s*["\']?([^"\'\s>]*)', 1)),
+        F.lit(""))
+    rows = df.select(
+        F.col(url_col).alias("page_url"),
+        F.coalesce(base, F.col(url_col)).alias("_base"),
+        F.explode(tags).alias("_t"))
+    href = F.nullif(_decode_entities(F.regexp_extract(
+        "_t", r'(?is)href\s*=\s*["\']([^"\']*)["\']', 1)), F.lit(""))
+    kind = F.when(
+        F.col("_t").rlike(r"(?is)application/rss\+xml"), "rss"
+    ).otherwise("atom")
+    title = F.nullif(_decode_entities(F.regexp_extract(
+        "_t", r'(?is)title\s*=\s*["\']([^"\']*)["\']', 1)), F.lit(""))
+    return (rows
+            .select("page_url",
+                    resolve_href(F.col("_base"), href).alias("feed_url"),
+                    kind.alias("feed_kind"),
+                    title.alias("feed_title"))
+            .filter(F.col("feed_url").isNotNull()))
