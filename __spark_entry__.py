@@ -2006,6 +2006,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return discover_feeds(pages)
     q["feed_discovery"] = feed_discovery
 
+    # ---- BPE ENCODE (operators/vocab.py::encode_bpe) — the serving
+    # half of the tokenizer, oracle-checked: with a FIXED trainable
+    # merge list the ordered-replay segmentation is expressible as a
+    # separator-replace chain, which DuckDB mirrors exactly ---------------
+    def bpe_encode(spark, sf):
+        from weakscraper_spark.operators.vocab import encode_bpe
+        return (encode_bpe(_t(spark, sf, "documents"), _BPE_MERGES)
+                .select("doc_id", "n_words", "n_pieces"))
+    q["bpe_encode"] = bpe_encode
+
     # Driver sampling order (VERDICT r03 #2): the driver checks ~50
     # queries per round IN DICT ORDER. Every query has now been
     # driver-sampled at least once (r04 verdict), so r05 priority =
@@ -2017,7 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_index", "phrase_hits", "drift_hosts", "emb_stats",
         "emb_outliers", "doc_sentences", "discovered_frontier",
         "snap_change_rate", "bucketed_join", "feed_discovery",
-        "fields_long",
+        "bpe_encode", "fields_long",
         "extract_spans", "induce_roundtrip", "md_convert",
         "trim_substrings", "chunk_docs", "sitemap_entries",
         "robots_sitemaps", "tfidf_keywords", "host_split",
@@ -2085,7 +2095,45 @@ _DUP_SPANS_CTE = """tk AS (
                 FROM il GROUP BY 1, 2)"""
 
 
-_SHINGLES_CTE = """
+# fixed TRAINABLE merge list for the bpe_encode oracle pair: every
+# merge's operands are chars, </w>, or an earlier merge's output, so
+# ordered-replay == rank-based encode == the oracle's replace chain
+_BPE_MERGES = [("t", "h"), ("th", "e"), ("the", "</w>"),
+               ("d", "a"), ("da", "t"), ("dat", "a"),
+               ("data", "</w>"), ("j", "o"), ("jo", "i"),
+               ("joi", "n")]
+
+
+def _bpe_encode_sql() -> str:
+    """DuckDB twin of encode_bpe with _BPE_MERGES: each word becomes
+    its chars joined by chr(31) + '</w>', each merge (l, r) is one
+    global replace of 'l␟r' → 'lr' in list order (left-to-right
+    non-overlapping — exactly segment_word's scan), and the piece
+    count is the surviving separator count + 1."""
+    expr = "regexp_replace(w, '(.)', '\\1' || chr(31), 'g') || '</w>'"
+    for left, right in _BPE_MERGES:
+        expr = (f"replace({expr}, '{left}' || chr(31) || '{right}', "
+                f"'{left}{right}')")
+    return f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS w
+                FROM documents WHERE trim(text) <> ''),
+            enc AS (SELECT doc_id, {expr} AS s FROM tok),
+            agg AS (
+                SELECT doc_id, count(*) AS n_words,
+                       sum(len(s) - len(replace(s, chr(31), '')) + 1)
+                           AS n_pieces
+                FROM enc GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.n_words, 0)::INT AS n_words,
+                   coalesce(a.n_pieces, 0)::INT AS n_pieces
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """
+
+
+_SHINGLES_CTE ="""
 tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
        FROM documents),
 sh AS (SELECT DISTINCT doc_id AS doc,
@@ -2398,6 +2446,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM d)
             SELECT * FROM urls UNION ALL SELECT * FROM idx
         """,
+        "bpe_encode": _bpe_encode_sql(),
         "feed_discovery": """
             WITH d AS (
                 SELECT doc_id AS d, (doc_id % 20) AS f,

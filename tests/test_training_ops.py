@@ -1335,3 +1335,37 @@ def test_tfidf_smoothing_keeps_universal_terms_positive(spark):
     out = {(r.doc_id, r.rn): r.term
            for r in tfidf_topk(df, k=2).collect()}
     assert out[(1, 1)] == "aa" and out[(3, 1)] == "bb"
+
+
+def test_encode_bpe_matches_segment_word(spark):
+    """The rank-dict encoder must agree with the published
+    ordered-replay rule on a TRAINED merge list (the equivalence
+    holds because each trained merge's operands exist before it)."""
+    from weakscraper_spark.operators.vocab import (
+        encode_bpe, segment_word, train_bpe)
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest newer new wider wide " * 3)
+         for i in range(6)], "doc_id long, text string")
+    merges = train_bpe(docs, 12)
+    assert merges
+    out = {r.doc_id: r for r in encode_bpe(docs, merges).collect()}
+    words = "low lower lowest newer new wider wide".split() * 3
+    want = sum(len(segment_word(w, merges)) for w in words)
+    assert out[0].n_words == 21
+    assert out[0].n_pieces == want
+    # keep_pieces returns the concatenated segmentation
+    rows = encode_bpe(docs, merges, keep_pieces=True).collect()
+    first = {r.doc_id: r.pieces for r in rows}[0]
+    assert first[:len(segment_word("low", merges))] == \
+        segment_word("low", merges)
+
+
+def test_encode_bpe_empty_and_no_merges(spark):
+    from weakscraper_spark.operators.vocab import encode_bpe
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, None)], "doc_id long, text string")
+    got = {r.doc_id: (r.n_words, r.n_pieces)
+           for r in encode_bpe(docs, []).collect()}
+    # no merges: every char + EOW is a piece
+    assert got[1] == (1, 3)
+    assert got[2] == (0, 0) and got[3] == (0, 0)

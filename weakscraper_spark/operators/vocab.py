@@ -250,3 +250,86 @@ def segment_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
                 i += 1
         s = merged
     return s
+
+
+def encode_bpe(df: DataFrame, merges: list[tuple[str, str]],
+               id_col: str = "doc_id", col: str = "text",
+               keep_pieces: bool = False) -> DataFrame:
+    """Apply a trained merge list to the corpus — the SERVING half of
+    the tokenizer (train_bpe learns the artifact, this one uses it):
+
+    (id, n_words, n_pieces[, pieces])
+
+    ``n_pieces`` is the document's subword count — the length the
+    packing/chunking stages budget by. Semantics match
+    :func:`segment_word` (ordered-replay greedy); the encoder here
+    uses the standard rank-dict repeated-min-pair loop, which is
+    equivalent on any TRAINABLE merge list (each merge's operands
+    exist before it — proven equivalent in tests against
+    segment_word on trained lists).
+
+    Scale shape: merges ship once per task via the Arrow closure (a
+    32k list is ~1 MB); the per-batch word cache exploits the Zipf
+    head — each unique word is segmented once per batch, so work is
+    O(unique words), not O(tokens). Pure narrow map; only the
+    (id, counts) rows come back."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def _segment(word: str) -> list[str]:
+        s = list(word) + [EOW]
+        while len(s) > 1:
+            best, bi = None, -1
+            for i in range(len(s) - 1):
+                r = ranks.get((s[i], s[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            # merge ALL occurrences of the best pair, left to right
+            left, right = s[bi], s[bi + 1]
+            merged, i = [], 0
+            while i < len(s):
+                if (i + 1 < len(s) and s[i] == left
+                        and s[i + 1] == right):
+                    merged.append(left + right)
+                    i += 2
+                else:
+                    merged.append(s[i])
+                    i += 1
+            s = merged
+        return s
+
+    out_cols = (f"_id string, n_words int, n_pieces int"
+                + (", pieces array<string>" if keep_pieces else ""))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            ids, nw, npc = [], [], []
+            pieces_col = []
+            for _id, text in zip(pdf["_id"], pdf[col]):
+                words = (text or "").lower().split()
+                total, doc_pieces = 0, []
+                for w in words:
+                    seg = cache.get(w)
+                    if seg is None:
+                        seg = _segment(w)
+                        cache[w] = seg
+                    total += len(seg)
+                    if keep_pieces:
+                        doc_pieces.extend(seg)
+                ids.append(_id)
+                nw.append(len(words))
+                npc.append(total)
+                if keep_pieces:
+                    pieces_col.append(doc_pieces)
+            data = {"_id": ids, "n_words": nw, "n_pieces": npc}
+            if keep_pieces:
+                data["pieces"] = pieces_col
+            yield pd.DataFrame(data)
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = out_cols.replace("_id string", f"_id {id_type}")
+    return (df.select(F.col(id_col).alias("_id"), col)
+            .mapInPandas(run, out_schema)
+            .withColumnRenamed("_id", id_col))
