@@ -261,3 +261,33 @@ def test_stream_host_error_rates(spark, tmp_path):
         spark.read.parquet(out).selectExpr(
             "host", "win_start AS ts", "n_err = 0 AS ok")).collect()}
     assert "a.org" in hosts
+
+
+def test_parsers_stream_natively(spark, tmp_path):
+    """The discovery parsers are stateless narrow maps, so they run
+    UNCHANGED under readStream — no foreachBatch wrapper needed; the
+    streamed result equals the batch twin exactly."""
+    from weakscraper_spark.operators.feeds import parse_feeds
+
+    rss = ('<rss version="2.0"><channel><title>S</title>'
+           '<item><title>A</title><link>https://s.org/a</link></item>'
+           '<item><guid>g2</guid><title>B</title></item>'
+           '</channel></rss>')
+    src = str(tmp_path / "feeds_src")
+    ckpt = str(tmp_path / "feeds_ckpt")
+    batch_df = spark.createDataFrame(
+        [("https://s.org/feed.xml", rss)], "url string, xml string")
+    batch_df.write.parquet(src)
+
+    stream = spark.readStream.schema("url string, xml string") \
+        .parquet(src)
+    q = (parse_feeds(stream).writeStream.outputMode("append")
+         .format("memory").queryName("feed_rows")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(240)
+    got = {(r.entry_id, r.link, r.title) for r in
+           spark.sql("SELECT * FROM feed_rows").collect()}
+    want = {(r.entry_id, r.link, r.title) for r in
+            parse_feeds(batch_df).collect()}
+    assert got == want and len(got) == 2
