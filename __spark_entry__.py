@@ -2016,6 +2016,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "n_words", "n_pieces"))
     q["bpe_encode"] = bpe_encode
 
+    # ---- quantile quality pruning (operators/corpus.py): keep each
+    # source's top 60% by length score; exact interpolated percentile
+    # matches DuckDB quantile_cont bit-for-bit ----------------------------
+    def prune_quantile(spark, sf):
+        from weakscraper_spark.operators.corpus import prune_by_quantile
+        docs = _t(spark, sf, "documents").select(
+            "doc_id", "source",
+            F.length("text").cast("double").alias("s"))
+        out = prune_by_quantile(docs, "s", keep_frac=0.6, by="source")
+        return out.select("doc_id", "source",
+                          _dec(F.col("s"), 1).alias("s"),
+                          _dec(F.col("threshold"), 6).alias("threshold"))
+    q["prune_quantile"] = prune_quantile
+
     # Driver sampling order (VERDICT r03 #2): the driver checks ~50
     # queries per round IN DICT ORDER. Every query has now been
     # driver-sampled at least once (r04 verdict), so r05 priority =
@@ -2027,7 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_index", "phrase_hits", "drift_hosts", "emb_stats",
         "emb_outliers", "doc_sentences", "discovered_frontier",
         "snap_change_rate", "bucketed_join", "feed_discovery",
-        "bpe_encode", "fields_long",
+        "bpe_encode", "prune_quantile", "fields_long",
         "extract_spans", "induce_roundtrip", "md_convert",
         "trim_substrings", "chunk_docs", "sitemap_entries",
         "robots_sitemaps", "tfidf_keywords", "host_split",
@@ -2445,6 +2459,22 @@ def oracle_sql() -> dict[str, str]:
                        CAST(NULL AS VARCHAR) AS priority
                 FROM d)
             SELECT * FROM urls UNION ALL SELECT * FROM idx
+        """,
+        "prune_quantile": """
+            WITH sc AS (
+                SELECT doc_id, source,
+                       length(text)::DOUBLE AS s
+                FROM documents),
+            thr AS (
+                SELECT source, quantile_cont(s, 0.4) AS t
+                FROM sc WHERE s IS NOT NULL GROUP BY source)
+            SELECT sc.doc_id, sc.source,
+                   CAST(CAST(round(sc.s, 1) AS DECIMAL(18,1))
+                        AS VARCHAR) AS s,
+                   CAST(CAST(round(thr.t, 6) AS DECIMAL(18,6))
+                        AS VARCHAR) AS threshold
+            FROM sc JOIN thr USING (source)
+            WHERE sc.s IS NOT NULL AND sc.s >= thr.t
         """,
         "bpe_encode": _bpe_encode_sql(),
         "feed_discovery": """

@@ -129,6 +129,7 @@ def _run_queries(sf_dir: str, cpus: int,
         "phrase_hits", "drift_hosts", "emb_stats", "emb_outliers",
         "doc_sentences", "discovered_frontier", "snap_change_rate",
         "bucketed_join", "feed_discovery", "bpe_encode",
+        "prune_quantile",
     ]
     # raw_extract (archives→extract composition) is deliberately NOT
     # a headline: it chains five Python stages over a synthesized

@@ -262,3 +262,28 @@ def test_split_by_group_validates(spark):
         split_by_group(df, "host", {})
     with pytest.raises(ValueError):
         split_by_group(df, "host", {"train": 0.0})
+
+
+def test_prune_by_quantile(spark):
+    from weakscraper_spark.operators.corpus import prune_by_quantile
+    rows = [("a", i, float(i)) for i in range(10)] + \
+           [("b", 100 + i, float(100 + i)) for i in range(10)] + \
+           [("a", 999, None)]
+    df = spark.createDataFrame(rows, "src string, doc_id long, s double")
+    # global: keep top 50% -> threshold = interpolated median of the
+    # 20 non-null scores; group b dominates
+    top = prune_by_quantile(df, "s", keep_frac=0.5)
+    ids = {r.doc_id for r in top.collect()}
+    assert all(i >= 100 for i in ids) and len(ids) == 10
+    # per-source: each source keeps its own top half
+    per = prune_by_quantile(df, "s", keep_frac=0.5, by="src")
+    got = sorted(r.doc_id for r in per.collect())
+    assert got == [5, 6, 7, 8, 9, 105, 106, 107, 108, 109]
+    # NULL scores never survive
+    assert 999 not in set(got)
+    # threshold column is auditable
+    thr = {r.src: r.threshold for r in per.collect()}
+    assert abs(thr["a"] - 4.5) < 1e-12
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        prune_by_quantile(df, "s", keep_frac=0.0)

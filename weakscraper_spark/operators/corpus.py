@@ -376,3 +376,37 @@ def split_by_group(df: DataFrame, group_col: str,
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def prune_by_quantile(df: DataFrame, score_col: str,
+                      keep_frac: float = 0.5,
+                      by: str | None = None) -> DataFrame:
+    """Quality pruning by score quantile — keep the TOP ``keep_frac``
+    of rows (FineWeb-style corpus refinement): rows with
+    ``score >= threshold`` where threshold is the exact interpolated
+    (1 − keep_frac) quantile, computed per ``by`` group when given
+    (per-source thresholds stop one high-scoring source from crowding
+    out every other's budget) or globally otherwise. Output = input
+    columns + ``threshold`` — the cut is auditable row by row.
+
+    Scale shape: the threshold relation is ONE row per group
+    (|groups| ≪ corpus) and broadcasts back — no sort of the corpus,
+    no window; NULL scores never survive (no evidence ≠ high
+    quality). Exact interpolated percentile matches DuckDB's
+    ``quantile_cont`` bit-for-bit on equal input sets, so the cut is
+    cross-engine checkable."""
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError("keep_frac must be in (0, 1]")
+    q = 1.0 - float(keep_frac)
+    score = F.col(score_col)
+    if by is None:
+        thr = (df.filter(score.isNotNull())
+               .agg(F.percentile(score, q).alias("threshold")))
+        pruned = df.crossJoin(F.broadcast(thr))
+    else:
+        thr = (df.filter(score.isNotNull())
+               .groupBy(by)
+               .agg(F.percentile(score, q).alias("threshold")))
+        pruned = df.join(F.broadcast(thr), by)
+    return pruned.filter(score.isNotNull() &
+                         (score >= F.col("threshold")))
