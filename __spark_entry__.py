@@ -54,10 +54,17 @@ def _dec(col, scale: int):
 # value-pinned rows-only checks into driver-visible hash-green ones.
 # Safe because every harness (driver, tests/test_oracle.py,
 # tools/record_correctness.py) executes the Spark side of a query
-# BEFORE its oracle; paths are overwritten per invocation so the file
-# always matches the current sf. Don't run two correctness harnesses
-# at different sfs concurrently.
-_TRUTH_ROOT = "/tmp/ws_oracle_truth"
+# BEFORE its oracle, in the SAME process that serves oracle_sql() —
+# so a per-process temp dir is visible to both sides. Per-process
+# namespacing (r05 advice) means concurrent harnesses at different
+# sfs, or two users on one host, can no longer silently overwrite
+# each other's staged truth; the dir is removed at interpreter exit.
+import atexit as _atexit
+import shutil as _shutil
+import tempfile as _tempfile
+
+_TRUTH_ROOT = _tempfile.mkdtemp(prefix="ws_oracle_truth_")
+_atexit.register(_shutil.rmtree, _TRUTH_ROOT, ignore_errors=True)
 
 
 def _stage_truth(df: DataFrame, name: str) -> str:
@@ -1630,7 +1637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from weakscraper_spark.sources.synthmd import synth_md_pages
         n = 1500 if "0.01" in sf else (15000 if "0.1" in sf else 400)
         pages = synth_md_pages(spark, n)
-        _stage_truth(pages.select("url", "md"), "md_convert")
+        _stage_truth(pages.select("url", "md", "n_blocks"),
+                     "md_convert")
         return (html_to_markdown(pages)
                 .select("url", "status",
                         F.col("markdown").alias("md"),
@@ -1943,7 +1951,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- bucketed co-located join (plans/bucketing.py): both sides
     # written bucketBy(8, doc_id) then joined with ZERO Exchange
     # (plan contract in tests/test_bucketing.py); eager collect +
-    # table/file cleanup per the snap_versions discipline -----------------
+    # table/file cleanup per the snap_versions discipline. The join
+    # output is AGGREGATED per key range before the collect (r05
+    # advice: collecting the raw join rows scaled linearly with sf —
+    # a driver-memory hotspot; the checksum rollup is ≤5 rows at any
+    # sf and still exercises the exchange-free join underneath; the
+    # full-row join remains asserted in tests/test_bucketing.py) ----------
     def bucketed_join(spark, sf):
         import shutil
         import tempfile
@@ -1958,14 +1971,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             write_bucketed(docs.filter(d % 2 == 0)
                            .select("doc_id", (d % 5).alias("b")),
                            "q_bk_right", "doc_id", 8, root)
-            rows = bjoin(spark, "q_bk_left", "q_bk_right",
-                         key="doc_id").collect()
+            rows = (bjoin(spark, "q_bk_left", "q_bk_right",
+                          key="doc_id")
+                    .groupBy((F.col("doc_id") % 10).alias("bucket"))
+                    .agg(F.count("*").alias("n"),
+                         F.sum("doc_id").alias("sum_id"),
+                         F.sum("a").alias("sum_a"),
+                         F.sum("b").alias("sum_b"))
+                    .collect())
         finally:
             drop_table(spark, "q_bk_left")
             drop_table(spark, "q_bk_right")
             shutil.rmtree(root, ignore_errors=True)
         return spark.createDataFrame(
-            rows, "doc_id long, a long, b long")
+            rows, "bucket long, n long, sum_id long, sum_a long, "
+            "sum_b long")
     q["bucketed_join"] = bucketed_join
 
     # ---- feed autodiscovery (operators/feeds.py): planted
@@ -2502,8 +2522,13 @@ def oracle_sql() -> dict[str, str]:
             FROM d WHERE d % 3 = 1
         """,
         "bucketed_join": """
-            SELECT doc_id, doc_id % 7 AS a, doc_id % 5 AS b
+            SELECT doc_id % 10 AS bucket,
+                   count(*)::BIGINT AS n,
+                   sum(doc_id)::BIGINT AS sum_id,
+                   sum(doc_id % 7)::BIGINT AS sum_a,
+                   sum(doc_id % 5)::BIGINT AS sum_b
             FROM documents WHERE doc_id % 2 = 0
+            GROUP BY 1
         """,
         "snap_change_rate": """
             WITH s AS (
@@ -3940,10 +3965,7 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_TRUTH_ROOT}/extract_spans/*.parquet')
         """,
         "md_convert": f"""
-            SELECT url, 'ok' AS status, md,
-                   CAST((length(md) - length(replace(md,
-                         chr(10) || chr(10), ''))) / 2 + 1 AS INTEGER)
-                       AS n_blocks
+            SELECT url, 'ok' AS status, md, n_blocks
             FROM read_parquet('{_TRUTH_ROOT}/md_convert/*.parquet')
         """,
         "boiler_extract": f"""

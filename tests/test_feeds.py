@@ -161,6 +161,22 @@ def test_discover_feeds(spark):
     }
 
 
+def test_discover_feeds_relative_base(spark):
+    """A RELATIVE <base href> (legal per WHATWG) must first resolve
+    against the page url before it becomes the resolution base —
+    feeding the raw '/x/' into resolve_href as a base produced
+    '://…' garbage feed urls (r05 advice)."""
+    from weakscraper_spark.operators.feeds import discover_feeds
+    page = ('<html><head><base href="/x/">'
+            '<link rel="alternate" type="application/rss+xml" '
+            'href="feed.xml"></head><body></body></html>')
+    df = spark.createDataFrame(
+        [("https://blog.example.org/posts/2024/a.html", page)],
+        "url string, html string")
+    [r] = discover_feeds(df).collect()
+    assert r.feed_url == "https://blog.example.org/x/feed.xml"
+
+
 def test_discover_feeds_plan_narrow(spark):
     from weakscraper_spark.operators.feeds import discover_feeds
     df = spark.createDataFrame(

@@ -85,8 +85,9 @@ def test_never_raises_on_malformed():
 def test_generator_roundtrip_500():
     from weakscraper_spark.sources.synthmd import render_md_page
     for i in range(500):
-        html, md = render_md_page(f"11:{i}")
+        html, md, n_blocks = render_md_page(f"11:{i}")
         assert to_markdown(html) == md, f"page {i}"
+        assert n_blocks >= 1
 
 
 def test_generator_covers_all_block_types():
@@ -95,7 +96,7 @@ def test_generator_covers_all_block_types():
     from weakscraper_spark.sources.synthmd import render_md_page
     seen = set()
     for i in range(200):
-        _, md = render_md_page(f"11:{i}")
+        _, md, _ = render_md_page(f"11:{i}")
         for b in md.split("\n\n"):
             if b.startswith("#"):
                 seen.add("heading")
@@ -129,14 +130,19 @@ def test_operator_roundtrip_and_errors(spark):
 
     pages = synth_md_pages(spark, 60)
     out = html_to_markdown(pages)
-    joined = (out.join(pages.select("url", "md"), "url")
-              .select("status", "markdown", "md", "n_blocks", "n_bytes")
+    joined = (out.join(pages.select(
+                  "url", "md",
+                  F.col("n_blocks").alias("n_blocks_truth")), "url")
+              .select("status", "markdown", "md", "n_blocks",
+                      "n_blocks_truth", "n_bytes")
               .collect())
     assert len(joined) == 60
     for r in joined:
         assert r.status == "ok"
         assert r.markdown == r.md
-        assert r.n_blocks == r.md.count("\n\n") + 1
+        # generator-side truth, not a '\n\n' re-count — fenced blocks
+        # may legally contain blank lines (r05 review / r05 advice)
+        assert r.n_blocks == r.n_blocks_truth
         assert r.n_bytes > 0
 
 

@@ -393,21 +393,31 @@ def test_dup_substring_windows_are_per_doc_only(spark):
     over the hash key (the hottest boilerplate gram would buffer in
     one task)."""
     import io as _io, contextlib as _ctx
-    from weakscraper_spark.operators.substr import dup_substring_stats
+    from weakscraper_spark.operators.substr import (
+        _merged_spans_lazy, _tokenized)
     df = spark.createDataFrame(
         [(1, "a b c d e f g h i"), (2, "a b c d e f g h j")],
         "doc_id long, text string")
-    plan_df = dup_substring_stats(df, k=8)
-    nodes = _plan_nodes(plan_df)
-    names = [n for _, n in nodes]
-    assert "HashAggregate" in names
-    buf = _io.StringIO()
-    with _ctx.redirect_stdout(buf):
-        plan_df.explain(True)
-    txt = buf.getvalue()
-    for line in txt.splitlines():
-        if "windowspecdefinition" in line.lower():
+    # inspect the LAZY span expression: the eager wrapper
+    # localCheckpoints (to drop the gram cache, r05 advice), which
+    # truncates the lineage explain() can see
+    plan_df, grams = _merged_spans_lazy(_tokenized(df, "doc_id",
+                                                   "text"), 8)
+    try:
+        nodes = _plan_nodes(plan_df)
+        names = [n for _, n in nodes]
+        assert "HashAggregate" in names
+        buf = _io.StringIO()
+        with _ctx.redirect_stdout(buf):
+            plan_df.explain(True)
+        txt = buf.getvalue()
+        win_lines = [line for line in txt.splitlines()
+                     if "windowspecdefinition" in line.lower()]
+        assert win_lines, "expected the gaps-and-islands window"
+        for line in win_lines:
             assert "doc" in line.lower()
+    finally:
+        grams.unpersist()
 
 
 def test_epoch_shuffle_no_global_window(spark):

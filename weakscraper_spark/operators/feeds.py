@@ -168,14 +168,21 @@ def discover_feeds(df: DataFrame, html_col: str = "html",
         F.regexp_extract_all(html, F.lit(_LINK_TAG_RE), 0),
         lambda t: t.rlike(_FEED_TYPE_RE) &
         t.rlike(r'(?is)rel\s*=\s*["\']alternate["\']'))
-    base = F.nullif(
+    base_raw = F.nullif(
         _decode_entities(F.regexp_extract(
             F.regexp_extract(html, _BASE_RE, 0),
             r'(?is)href\s*=\s*["\']?([^"\'\s>]*)', 1)),
         F.lit(""))
+    # a <base href> may itself be RELATIVE (legal per WHATWG) — it is
+    # resolved against the page url before it becomes the resolution
+    # base, exactly as links.extract_links does; feeding a bare
+    # "/x/" into resolve_href as the base would strip the scheme and
+    # emit "://…" garbage (r05 advice)
+    base = F.when(base_raw.isNull(), F.col(url_col)) \
+        .otherwise(resolve_href(F.col(url_col), base_raw))
     rows = df.select(
         F.col(url_col).alias("page_url"),
-        F.coalesce(base, F.col(url_col)).alias("_base"),
+        base.alias("_base"),
         F.explode(tags).alias("_t"))
     href = F.nullif(_decode_entities(F.regexp_extract(
         "_t", r'(?is)href\s*=\s*["\']([^"\']*)["\']', 1)), F.lit(""))

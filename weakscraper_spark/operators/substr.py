@@ -48,9 +48,12 @@ def _tokenized(df: DataFrame, id_col: str, col: str) -> DataFrame:
             .withColumn("_n", F.size(F.col("_t"))))
 
 
-def _merged_spans(base: DataFrame, k: int) -> DataFrame:
-    """(doc, span_start, span_end) maximal merged duplicated-k-gram
-    token intervals over the tokenized relation from ``_tokenized``."""
+def _merged_spans_lazy(base: DataFrame, k: int):
+    """The LAZY span expression plus its persisted gram relation —
+    split from ``_merged_spans`` so plan tests can inspect the real
+    window/agg shape (the eager wrapper's localCheckpoint truncates
+    the visible lineage). Callers of this variant own the
+    ``grams.unpersist()``."""
     grams = (base.filter(F.col("_n") >= k)
              .select("doc",
                      F.explode(F.sequence(
@@ -85,10 +88,30 @@ def _merged_spans(base: DataFrame, k: int) -> DataFrame:
                F.lit(1)).otherwise(F.lit(0)))
            .withColumn("_isl", F.sum("_new").over(
                w_doc.rowsBetween(Window.unboundedPreceding, 0))))
-    return (isl.groupBy("doc", "_isl")
-            .agg(F.min("start").alias("span_start"),
-                 F.max(F.col("start") + k).alias("span_end"))
-            .select("doc", "span_start", "span_end"))
+    spans = (isl.groupBy("doc", "_isl")
+             .agg(F.min("start").alias("span_start"),
+                  F.max(F.col("start") + k).alias("span_end"))
+             .select("doc", "span_start", "span_end"))
+    return spans, grams
+
+
+def _merged_spans(base: DataFrame, k: int) -> DataFrame:
+    """(doc, span_start, span_end) maximal merged duplicated-k-gram
+    token intervals over the tokenized relation from ``_tokenized``.
+
+    Materializes the spans EAGERLY so the gram cache can be dropped
+    before returning (r05 advice: every call otherwise leaked a
+    session-lifetime DISK_ONLY relation). Spans are the
+    merge-compressed output — orders of magnitude smaller than the
+    gram relation — and localCheckpoint-ed RDD blocks are reclaimed
+    by the ContextCleaner once the result is unreachable, unlike
+    CacheManager entries which live until an explicit unpersist.
+    (On a real cluster prefer a reliable checkpoint dir if executor
+    loss during the downstream job must be survivable.)"""
+    spans, grams = _merged_spans_lazy(base, k)
+    spans = spans.localCheckpoint(eager=True)
+    grams.unpersist()
+    return spans
 
 
 def dup_substring_spans(df: DataFrame, id_col: str = "doc_id",

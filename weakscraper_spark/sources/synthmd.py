@@ -209,7 +209,12 @@ def render_md_page(key: str, n_min: int = 4,
             "<style>body{}</style></head><body>\n"
             + "\n".join(body) + "\n</body></html>")
     md = "\n\n".join(m for _, m in parts)
-    return html, md
+    # block count staged AT THE SOURCE (len(parts)), not re-derived
+    # from the joined text — a fenced code block containing a blank
+    # line would make any '\n\n'-count reconstruction wrong (r05
+    # review removed exactly that assumption from the converter; the
+    # oracle reads this column back instead of repeating it)
+    return html, md, len(parts)
 
 
 # ---------------------------------------------------------------------------
@@ -217,7 +222,7 @@ def render_md_page(key: str, n_min: int = 4,
 # ---------------------------------------------------------------------------
 
 MD_PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
-                   "md string, lang string")
+                   "md string, n_blocks int, lang string")
 
 _LANGS = ["en", "es", "de", "zh", "fr"]
 
@@ -235,17 +240,19 @@ def synth_md_pages(spark: SparkSession, n_pages: int, seed: int = 11,
             for i in pdf["id"]:
                 i = int(i)
                 key = f"{seed}:{i}"
-                html, md = render_md_page(key)
+                html, md, n_blocks = render_md_page(key)
                 host = f"md{_h(f'{key}:h', 20):02d}.example.org"
                 rows.append((
                     f"https://{host}/a/{i}",
                     _EPOCH + dt.timedelta(seconds=i * 13),
                     html.encode("utf-8"),
                     md,
+                    n_blocks,
                     _LANGS[_h(f"{key}:lang", len(_LANGS))],
                 ))
             yield pd.DataFrame(
-                rows, columns=["url", "warc_ts", "html", "md", "lang"])
+                rows, columns=["url", "warc_ts", "html", "md",
+                               "n_blocks", "lang"])
 
     return (spark.range(0, n_pages, numPartitions=partitions)
             .mapInPandas(gen, MD_PAGES_SCHEMA))
