@@ -417,12 +417,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.count("*").alias("n")))
     q["source_acd"] = source_acd
 
-    # ---- distributed induction stage (rows-only — engine op) --------------
+    # ---- distributed induction stage — ORACLE-VALUE-CHECKED via
+    # staged truth (r06 promotion): synth renders every page from a
+    # KNOWN per-host template, so the expected registry is a closed
+    # form over the page relation alone (groupBy host): induction
+    # succeeds ('ok', template_id = 't_<host>') whenever a host has
+    # ≥2 sample pages and is a deterministic error:TemplateError row
+    # below that (enginelib/induce.py needs two samples to separate
+    # slots from statics). n_samples = min(k, pages). Any regression
+    # — a host failing alignment, wrong sampling, dropped rows —
+    # breaks the hash. Slot-level truth is pinned by
+    # induce_roundtrip; this certifies the DISTRIBUTED stage. --------------
     def induce_hosts(spark, sf):
         from weakscraper_spark.operators.induction import induce_templates
         from weakscraper_spark.plans.pipeline import prepare_pages
         from weakscraper_spark.sources.synth import synth_pages
         pages = prepare_pages(synth_pages(spark, 300))
+        truth = (pages.groupBy("host")
+                 .agg(F.count("*").alias("n"))
+                 .select(
+                     F.col("host").alias("host_pattern"),
+                     F.when(F.col("n") >= 2,
+                            F.concat(F.lit("t_"), "host"))
+                      .alias("template_id"),
+                     F.least("n", F.lit(4)).cast("int")
+                      .alias("n_samples"),
+                     F.when(F.col("n") >= 2, F.lit("ok"))
+                      .otherwise(F.lit("error:TemplateError"))
+                      .alias("status")))
+        _stage_truth(truth, "induce_hosts")
         return (induce_templates(pages, k=4)
                 .select("host_pattern", "template_id", "n_samples",
                         "status"))
@@ -495,11 +518,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["line_freq"] = line_freq
 
     def compression_ratios(spark, sf):
-        # zlib redundancy signal (rows-only: DuckDB has no zlib;
-        # deterministic for the pinned zlib level, and the pytest ring
-        # pins exact values on known strings)
+        # zlib redundancy signal — ORACLE-VALUE-CHECKED via staged
+        # truth (r06 promotion): DuckDB has no zlib, so the truth is
+        # computed in a plain DRIVER-side loop (duckdb parquet read →
+        # python zlib), independent of the Spark/Arrow execution path
+        # under test, then staged for the oracle to SELECT back.
+        # Decimal formatting mirrors _dec(col, 4): Spark's round()
+        # operates on BigDecimal.valueOf(double) — the shortest
+        # decimal repr — so Decimal(repr(x)) + HALF_UP quantize is
+        # the exact twin. Bounded: one pass over the documents table
+        # driver-side (the table is small at test sfs; the OPERATOR
+        # is the distributed path).
+        import os
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import duckdb
+        import zlib
         from weakscraper_spark.operators.textstats import (
             with_compression_ratio)
+        con = duckdb.connect()
+        pdf = con.execute(
+            "SELECT doc_id, text FROM read_parquet(?)",
+            [os.path.join(sf, "documents.parquet")]).df()
+        con.close()
+        rows = []
+        for did, t in zip(pdf["doc_id"], pdf["text"]):
+            if not isinstance(t, str) or not t:
+                rows.append((int(did), 0, 0, None))
+                continue
+            b = t.encode("utf-8")
+            c = len(zlib.compress(b, 6))
+            ratio = round(c / len(b), 6)
+            s = str(Decimal(repr(ratio)).quantize(
+                Decimal("0.0001"), ROUND_HALF_UP))
+            rows.append((int(did), len(b), c, s))
+        _stage_truth(
+            spark.createDataFrame(
+                rows, "doc_id long, n_raw_bytes long, "
+                      "n_compressed_bytes long, ratio string"),
+            "compression_ratios")
         out = with_compression_ratio(_t(spark, sf, "documents"))
         return out.select(
             "doc_id", "n_raw_bytes", "n_compressed_bytes",
@@ -980,10 +1037,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .drop("feat"))
     q["frame_samples"] = frame_samples
 
-    # ---- PDF/layout parse plumbing (rows-only BUT value-pinned: a
-    # row survives only when the parsed page text round-trips the
-    # source chunk exactly; fake %FPDF container exercises the flat-
-    # map plumbing; pdf_real_pages below drives the REAL kernel) ----------
+    # ---- PDF/layout parse plumbing — ORACLE-VALUE-CHECKED via staged
+    # truth (r06 promotion, the r05 recipe): the expected per-page
+    # rows are derived purely from the CHUNKING expressions (never
+    # from pdf_extract), staged to parquet, and the oracle SELECTs
+    # them back. A row survives the Spark side only when the parsed
+    # page text round-trips the source chunk exactly, so any dropped/
+    # reordered page, wrong n_lines, or wrong blob length breaks the
+    # hash. pdf_real_pages below drives the REAL %PDF- kernel --------------
     def pdf_pages(spark, sf):
         from weakscraper_spark.operators.pdf import pdf_extract
         w = 15
@@ -1001,6 +1062,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.lit("%FPDF"),
                 F.to_json(F.struct(F.col("pages").alias("pages")))),
                 "UTF-8").alias("blob"))
+        # staged truth: page_no/n_lines from the chunk list, n_bytes
+        # from the blob column — both generator-side expressions,
+        # independent of the parse path under test. Chunks are
+        # whitespace-token joins, so a non-empty chunk is exactly one
+        # line; the empty-text doc yields one empty chunk (0 lines).
+        truth = (docs.join(blobs, "doc_id")
+                 .select("doc_id",
+                         F.length("blob").alias("n_bytes"),
+                         F.posexplode("pages").alias("page_no", "want"))
+                 .select("doc_id", "page_no",
+                         F.when(F.col("want") == "", 0).otherwise(1)
+                          .cast("int").alias("n_lines"),
+                         "n_bytes"))
+        _stage_truth(truth, "pdf_pages")
         out = pdf_extract(blobs, blob_col="blob")
         expect = docs.select(
             "doc_id", F.posexplode("pages").alias("page_no", "want"))
@@ -3967,6 +4042,19 @@ def oracle_sql() -> dict[str, str]:
         "md_convert": f"""
             SELECT url, 'ok' AS status, md, n_blocks
             FROM read_parquet('{_TRUTH_ROOT}/md_convert/*.parquet')
+        """,
+        "pdf_pages": f"""
+            SELECT doc_id, page_no, n_lines, n_bytes
+            FROM read_parquet('{_TRUTH_ROOT}/pdf_pages/*.parquet')
+        """,
+        "compression_ratios": f"""
+            SELECT doc_id, n_raw_bytes, n_compressed_bytes, ratio
+            FROM read_parquet(
+                '{_TRUTH_ROOT}/compression_ratios/*.parquet')
+        """,
+        "induce_hosts": f"""
+            SELECT host_pattern, template_id, n_samples, status
+            FROM read_parquet('{_TRUTH_ROOT}/induce_hosts/*.parquet')
         """,
         "boiler_extract": f"""
             SELECT url,
