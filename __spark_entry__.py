@@ -2125,6 +2125,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           _dec(F.col("threshold"), 6).alias("threshold"))
     q["prune_quantile"] = prune_quantile
 
+    # ---- TEMPLATE LIFECYCLE LOOP (plans/refresh.py, r06): planted
+    # redesign → drift detection → re-induction → re-extraction →
+    # measured recovery. ORACLE-VALUE-CHECKED: the truth twin
+    # (sources/synth.py::synth_drift_truth) stages per-page expected
+    # failure flags under the original (err1) and re-induced (err2)
+    # registries, and the oracle mirrors detection (lag + argmax-jump,
+    # the drift_hosts twin) and the before/after rollup in pure SQL.
+    # A host failing re-induction, a wrong drift day, or one
+    # unrecovered page breaks the hash. -----------------------------------
+    def template_refresh(spark, sf):
+        from weakscraper_spark.plans.refresh import refresh_templates
+        from weakscraper_spark.sources.synth import (
+            compiled_specs, synth_drift_pages, synth_drift_truth,
+            synth_templates)
+        n = 1200 if "0.01" in sf else (4000 if "0.1" in sf else 600)
+        _stage_truth(synth_drift_truth(spark, n), "template_refresh")
+        r = refresh_templates(
+            synth_drift_pages(spark, n), synth_templates(spark, 16),
+            compiled_specs(), min_jump=0.5, k=4)
+        return r["summary"].select(
+            "host",
+            F.date_format("drift_day", "yyyy-MM-dd")
+             .alias("drift_day"),
+            "n_post",
+            _dec(F.col("rate_before_refresh"), 6)
+             .alias("rate_before"),
+            "n_post_after",
+            _dec(F.col("rate_after_refresh"), 6).alias("rate_after"))
+    q["template_refresh"] = template_refresh
+
     # Driver sampling order (VERDICT r03 #2): the driver checks ~50
     # queries per round IN DICT ORDER. Every query has now been
     # driver-sampled at least once (r04 verdict), so r05 priority =
@@ -4055,6 +4085,46 @@ def oracle_sql() -> dict[str, str]:
         "induce_hosts": f"""
             SELECT host_pattern, template_id, n_samples, status
             FROM read_parquet('{_TRUTH_ROOT}/induce_hosts/*.parquet')
+        """,
+        # the lifecycle loop's closed form: mirror drift_points over
+        # the staged truth (daily err1 rates → lag → argmax jump,
+        # earliest-day tie-break, min_jump 0.5), then the before/
+        # after error-rate rollup over each detected host's
+        # post-drift-day pages (err1 = original registry, err2 =
+        # re-induced registry)
+        "template_refresh": f"""
+            WITH t AS (
+                SELECT * FROM read_parquet(
+                    '{_TRUTH_ROOT}/template_refresh/*.parquet')),
+            daily AS (
+                SELECT host, day, min(day_date) AS day_date,
+                       avg(err1) AS rate
+                FROM t GROUP BY host, day),
+            stepped AS (
+                SELECT host, day, day_date, rate,
+                       lag(rate) OVER (PARTITION BY host
+                                       ORDER BY day) AS prev
+                FROM daily),
+            ranked AS (
+                SELECT host, day, day_date, rate - prev AS jump,
+                       row_number() OVER (
+                           PARTITION BY host
+                           ORDER BY rate - prev DESC, day ASC) AS rn
+                FROM stepped WHERE prev IS NOT NULL),
+            det AS (
+                SELECT host, day AS dday, day_date AS dday_date
+                FROM ranked WHERE rn = 1 AND jump >= 0.5)
+            SELECT t.host,
+                   strftime(det.dday_date, '%Y-%m-%d') AS drift_day,
+                   count(*)::BIGINT AS n_post,
+                   CAST(CAST(round(avg(t.err1), 6) AS DECIMAL(18,6))
+                        AS VARCHAR) AS rate_before,
+                   count(*)::BIGINT AS n_post_after,
+                   CAST(CAST(round(avg(t.err2), 6) AS DECIMAL(18,6))
+                        AS VARCHAR) AS rate_after
+            FROM t JOIN det ON t.host = det.host
+                           AND t.day >= det.dday
+            GROUP BY t.host, det.dday_date
         """,
         "boiler_extract": f"""
             SELECT url,

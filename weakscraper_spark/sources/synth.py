@@ -484,3 +484,155 @@ def compiled_specs() -> dict[str, str]:
     """template_id → spec JSON (the broadcastable matcher payloads)."""
     return {tid: spec_to_json(compile_template(html))
             for tid, html in SITE_TEMPLATES.items()}
+
+
+# ---------------------------------------------------------------------------
+# Template-drift scenario (r06): a planted redesign for the lifecycle
+# loop (plans/refresh.py). Some hosts switch to a V2 layout on a known
+# day; the V2 skeletons below are REGULAR (template-renderable), so
+# induction can re-learn them — but they share no structure with the
+# V1 templates, so the old registry mismatches every V2 page.
+# ---------------------------------------------------------------------------
+
+def render_page_v2(template_id: str, slots: dict) -> tuple[str, str]:
+    """Render (html, ground_truth_text) for one REDESIGNED page. Same
+    slot content as ``render_page`` (the site changed its markup, not
+    its editorial data) — so recovery can be checked against the same
+    generator truth."""
+    if template_id == "t_article":
+        tags = "".join(f"<a>{t}</a>" for t in slots["tags"])
+        html = (
+            f"<html><head><title>{slots['title']}</title></head><body>"
+            f'<article><h1 class="hl">{slots["title"]}</h1>'
+            f'<p class="by">{slots["author"]}</p>'
+            f'<section class="body">{slots["text"]}</section>'
+            f'<div class="taglist">{tags}</div></article>'
+            f"<footer>{slots['junk']}</footer></body></html>"
+        )
+    elif template_id == "t_product":
+        html = (
+            f"<html><body><main><h1>{slots['name']}</h1>"
+            f'<span class="price">{slots["price"]}</span>'
+            f'<p class="about">{slots["text"]}</p></main>'
+            f"<nav>{slots['junk']}</nav></body></html>"
+        )
+    else:  # t_forum
+        posts = "".join(
+            f'<li class="msg"><b>{u}</b><span>{m}</span></li>'
+            for u, m in slots["posts"]
+        )
+        html = (
+            f'<html><body><header><h2>{slots["title"]}</h2></header>'
+            f'<ol class="thread">{posts}</ol>'
+            f'<p class="summary">{slots["text"]}</p>'
+            f"<aside>{slots['junk']}</aside></body></html>"
+        )
+    return html, slots["text"]
+
+
+def _drift_meta(i: int, n_hosts: int, n_days: int, drift_day: int,
+                seed: int, drift_mod: int):
+    """Per-index draws of the drift scenario (shared by the pages view
+    and the truth twin — one source of truth, the synth_fields_truth
+    discipline). Hosts are drawn UNIFORMLY (not the Zipf head) so
+    every host observes most days; ``hidx % drift_mod == 1`` marks the
+    redesigned hosts — with the default drift_mod=4 they cycle through
+    all three template kinds (template is hidx % 3)."""
+    key = f"{seed}:d{i}"
+    hidx = _h(f"{key}:host", n_hosts)
+    host = f"host{hidx:02d}.example.com"
+    template_id = TEMPLATE_IDS[hidx % len(TEMPLATE_IDS)]
+    drifted = (hidx % drift_mod) == 1
+    day = _h(f"{key}:day", n_days)
+    url = f"https://{host}/p/{i}"
+    lang = _LANGS[_pick(_LANG_CDF, _h(f"{key}:lang") / 2**32)]
+    return key, url, host, template_id, drifted, day, lang
+
+
+def drift_rows_for_index(i: int, n_hosts: int, n_days: int,
+                         drift_day: int, seed: int, drift_mod: int,
+                         noise: bool = False):
+    """One page row (plus truth fields) for index i of the drift
+    scenario: (url, warc_ts, html, text, lang, host, day, is_v2).
+    ``noise=True`` additionally plants the standard ~5% alien-skeleton
+    pages on NON-drifted hosts (used by the pytest e2e to exercise
+    robustness; the oracle query runs noise-free so the expected
+    summary stays a closed form)."""
+    key, url, host, template_id, drifted, day, lang = _drift_meta(
+        i, n_hosts, n_days, drift_day, seed, drift_mod)
+    slots = make_slots(template_id, key)
+    is_v2 = drifted and day >= drift_day
+    if is_v2:
+        html, text = render_page_v2(template_id, slots)
+    else:
+        html, text = render_page(template_id, slots)
+    if noise and not drifted and _h(f"{key}:kind", 100) < 5:
+        html = (f"<html><body><table><tr><td>{slots['text']}"
+                f"</td></tr></table></body></html>")
+        text = ""
+    # i < 86400 keeps every page inside its intended calendar day
+    ts = _EPOCH + dt.timedelta(days=day, seconds=i % 86400)
+    return (url, ts, html.encode("utf-8"), text, lang, host, day,
+            is_v2)
+
+
+def synth_drift_pages(spark: SparkSession, n_pages: int,
+                      n_hosts: int = 16, n_days: int = 8,
+                      drift_day: int = 4, seed: int = 77,
+                      drift_mod: int = 4, noise: bool = False,
+                      partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic drift-scenario pages table
+    (PAGES_SCHEMA): hosts with ``hidx % drift_mod == 1`` render the V2
+    layout from ``drift_day`` on; everything else stays V1."""
+    partitions = partitions or max(
+        8, spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [drift_rows_for_index(
+                        int(i), n_hosts, n_days, drift_day, seed,
+                        drift_mod, noise)[:5]
+                    for i in pdf["id"]]
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text",
+                               "lang"])
+
+    return (spark.range(0, n_pages, numPartitions=partitions)
+            .mapInPandas(gen, PAGES_SCHEMA))
+
+
+def synth_drift_truth(spark: SparkSession, n_pages: int,
+                      n_hosts: int = 16, n_days: int = 8,
+                      drift_day: int = 4, seed: int = 77,
+                      drift_mod: int = 4,
+                      partitions: int | None = None) -> DataFrame:
+    """Generator-side truth twin of ``synth_drift_pages`` (same
+    defaults ⇒ same corpus; noise-free form only): per page,
+
+    (url, host, day, day_date, err1, err2)
+
+    ``err1`` = expected extraction failure under the ORIGINAL registry
+    (V2 pages mismatch it), ``err2`` = expected failure under a
+    correctly re-induced registry (0 — the redesign is regular). The
+    lifecycle oracle mirrors detection + recovery over this relation
+    in pure SQL."""
+    partitions = partitions or max(
+        8, spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                url, ts, _html, _text, _lang, host, day, is_v2 = \
+                    drift_rows_for_index(int(i), n_hosts, n_days,
+                                         drift_day, seed, drift_mod)
+                rows.append((url, host, day,
+                             (_EPOCH + dt.timedelta(days=day)).date(),
+                             1 if is_v2 else 0, 0))
+            yield pd.DataFrame(
+                rows, columns=["url", "host", "day", "day_date",
+                               "err1", "err2"])
+
+    return (spark.range(0, n_pages, numPartitions=partitions)
+            .mapInPandas(gen, "url string, host string, day int, "
+                              "day_date date, err1 int, err2 int"))
