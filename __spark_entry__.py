@@ -696,6 +696,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .withColumn("rank", F.col("rank").cast("long")))
     q["lsh_ann_topk"] = lsh_ann_topk
 
+    def semantic_dedup(spark, sf):
+        # SemDeDup (Abbas et al. 2023) with the PRETRAINED-quantizer
+        # form: hash-derived unit centroids are deterministic
+        # constants, so the oracle inlines them as literals and
+        # mirrors assignment (argmax cosine, ties → higher index),
+        # the cluster-size cap (max_cluster=68 drops the two 70-doc
+        # clusters at sf0.01 — cap ACTIVE, mirrored via HAVING), and
+        # the keep-low-centroid-sim pair dominance rule exactly. The
+        # data-trained k-means path is covered by the planted-recall
+        # pytest (iterative quantizer — not SQL-expressible).
+        from weakscraper_spark.operators.similarity import (
+            semantic_dedup as sdd, semdedup_centroids)
+        out = sdd(_t(spark, sf, "embeddings"),
+                  centroids=semdedup_centroids(8, 64),
+                  threshold=0.35, max_cluster=68)
+        return out.select(
+            "vec_id", F.col("cluster_id").cast("int").alias("cluster_id"),
+            _dec(F.col("cent_sim"), 6).alias("cent_sim"), "status")
+    q["semantic_dedup"] = semantic_dedup
+
     # ---- corpus compositions (one-call cleaning + sampling) --------------
     def corpus_clean(spark, sf):
         # composed quality gate -> exact dedup -> near-dup removal,
@@ -2302,6 +2322,21 @@ def _srp_bucket_sql(n_planes: int, dim: int = 64, seed: int = 42,
             f"(CASE WHEN list_inner_product({vec}, [{lits}]::DOUBLE[])"
             f" > 0 THEN {1 << p} ELSE 0 END)")
     return " + ".join(terms)
+
+
+def _semdedup_cents_sql(n_lists: int = 8, dim: int = 64,
+                        seed: int = 9) -> str:
+    """The SemDeDup hash-derived unit centroids as a DuckDB VALUES
+    relation (idx INTEGER, cent DOUBLE[]) — the literal-inlining twin
+    of ``similarity.semdedup_centroids`` (entries ±1/√dim are exact
+    float64 for power-of-two dims, so both engines hold identical
+    centroid values)."""
+    from weakscraper_spark.operators.similarity import (
+        semdedup_centroids)
+    rows = ", ".join(
+        f"({i}, [{', '.join(str(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(semdedup_centroids(n_lists, dim, seed)))
+    return f"(VALUES {rows}) AS c(idx, cent)"
 
 
 def _clean_verdict_sql(src: str, minq: float) -> str:
@@ -4213,6 +4248,47 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings)
             SELECT bucket, count(*) AS n_docs
             FROM sigged GROUP BY bucket HAVING count(*) > 48
+        """,
+        "semantic_dedup": f"""
+            WITH sims AS (
+                SELECT e.vec_id, e.embedding, c.idx,
+                       list_cosine_similarity(e.embedding::DOUBLE[],
+                                              c.cent) AS sim
+                FROM embeddings e CROSS JOIN {_semdedup_cents_sql()}),
+            assign AS (
+                SELECT vec_id, embedding, idx AS cluster_id,
+                       sim AS cent_sim
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY vec_id
+                          ORDER BY sim DESC, idx DESC) AS rn
+                      FROM sims)
+                WHERE rn = 1),
+            overcap AS (SELECT cluster_id FROM assign
+                        GROUP BY cluster_id HAVING count(*) > 68),
+            cap AS (SELECT * FROM assign
+                    WHERE cluster_id NOT IN
+                          (SELECT cluster_id FROM overcap)),
+            dropped AS (
+                SELECT DISTINCT b.vec_id
+                FROM cap a JOIN cap b
+                  ON a.cluster_id = b.cluster_id
+                 AND a.vec_id <> b.vec_id
+                WHERE round(list_cosine_similarity(
+                          a.embedding::DOUBLE[],
+                          b.embedding::DOUBLE[]), 4) >= 0.35
+                  AND (a.cent_sim < b.cent_sim
+                       OR (a.cent_sim = b.cent_sim
+                           AND a.vec_id < b.vec_id)))
+            SELECT s.vec_id, s.cluster_id,
+                   CAST(CAST(round(s.cent_sim, 6) AS DECIMAL(18,6))
+                        AS VARCHAR) AS cent_sim,
+                   CASE WHEN s.cluster_id IN
+                            (SELECT cluster_id FROM overcap)
+                            THEN 'overcap'
+                        WHEN s.vec_id IN (SELECT vec_id FROM dropped)
+                            THEN 'dropped'
+                        ELSE 'kept' END AS status
+            FROM assign s
         """,
         "lsh_ann_topk": f"""
             WITH sigged AS (

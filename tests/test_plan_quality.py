@@ -213,6 +213,33 @@ def test_srp_cap_is_twophase_no_window(spark):
     assert "BroadcastHashJoin" in names, nodes
 
 
+def test_semantic_dedup_plan_capped_no_python(spark):
+    """SemDeDup keeps the house discipline: centroid assignment is a
+    JVM codegen map (no Python stage anywhere), the cluster cap is a
+    two-phase count + broadcast anti-join (never a window), and the
+    within-cluster pair join is an equi-join, never a cross join."""
+    from weakscraper_spark.operators.similarity import (
+        semantic_dedup, semdedup_centroids)
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, -0.5, float(i % 3)])
+         for i in range(30)],
+        "vec_id long, embedding array<float>")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        nodes = _plan_nodes(semantic_dedup(
+            emb, centroids=semdedup_centroids(4, 4), threshold=0.9,
+            max_cluster=8, dim=4))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    names = [n for _, n in nodes]
+    assert "Window" not in names, nodes
+    assert "CartesianProduct" not in names, nodes
+    assert "BroadcastHashJoin" in names, nodes
+    assert "BatchEvalPython" not in names, nodes
+    assert "ArrowEvalPython" not in names, nodes
+
+
 def test_parquet_scan_prunes_ground_truth_column(spark, parquet_pages):
     """The scan must not read the ground-truth ``text`` column
     (column pruning through the whole plan)."""

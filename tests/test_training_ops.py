@@ -399,6 +399,61 @@ def test_ivf_ann_recall(clustered_emb):
     assert len(got1 & exact) / len(exact) >= 0.9   # recall bound
 
 
+def test_semantic_dedup_prunes_planted_clusters(clustered_emb):
+    """SemDeDup on the planted near-dup clusters, data-trained
+    quantizer: recall vs the EXACT cosine baseline — no ε-similar
+    pair survives with both members kept, every dropped doc really
+    has an ε-neighbor, and each tight cluster keeps its lowest-
+    centroid-sim member (the paper's keep rule)."""
+    from weakscraper_spark.operators.similarity import (
+        cosine_near_pairs, semantic_dedup)
+    out = {r.vec_id: r for r in semantic_dedup(
+        clustered_emb, threshold=0.95, n_lists=3, iters=8,
+        max_cluster=None, dim=16).collect()}
+    assert len(out) == 24
+    exact = {(r.id_a, r.id_b) for r in cosine_near_pairs(
+        clustered_emb, threshold=0.95).collect()}
+    kept = {i for i, r in out.items() if r.status == "kept"}
+    dropped = {i for i, r in out.items() if r.status == "dropped"}
+    assert kept | dropped == set(out)          # no overcap here
+    # the dedup guarantee vs the exact baseline: an ε-similar pair
+    # never survives whole
+    for a, b in exact:
+        assert not (a in kept and b in kept), (a, b)
+    # nothing dropped without a real ε-neighbor (no overreach)
+    exact_members = {x for p in exact for x in p}
+    assert dropped <= exact_members
+    # exactly one representative per planted cluster survives, and
+    # it's the min-cent_sim member (keep-the-outlier rule)
+    for c in range(3):
+        members = [out[i] for i in range(c * 8, c * 8 + 8)]
+        keep = [m for m in members if m.status == "kept"]
+        assert len(keep) == 1
+        assert keep[0].cent_sim == min(m.cent_sim for m in members)
+
+
+def test_semantic_dedup_deterministic(clustered_emb):
+    from weakscraper_spark.operators.similarity import semantic_dedup
+    a = sorted((r.vec_id, r.cluster_id, r.status) for r in
+               semantic_dedup(clustered_emb, threshold=0.95,
+                              n_lists=3, dim=16).collect())
+    b = sorted((r.vec_id, r.cluster_id, r.status) for r in
+               semantic_dedup(clustered_emb, threshold=0.95,
+                              n_lists=3, dim=16).collect())
+    assert a == b
+
+
+def test_semantic_dedup_overcap_cluster_audited(clustered_emb):
+    """Clusters over the cap are EXCLUDED from pairwise pruning and
+    surfaced as status='overcap' — the auditable-cap contract every
+    candidate-generation path in this repo follows."""
+    from weakscraper_spark.operators.similarity import semantic_dedup
+    out = semantic_dedup(clustered_emb, threshold=0.95, n_lists=3,
+                         iters=8, max_cluster=6, dim=16).collect()
+    assert {r.status for r in out} == {"overcap"}
+    assert len(out) == 24
+
+
 def test_clean_corpus_verdicts(spark):
     """Every verdict class fires with the documented precedence:
     quality beats dup reasons, exact-dup canonical keeps min id,

@@ -200,7 +200,22 @@ def _ivf_centroids(emb: DataFrame, id_col: str, vec_col: str,
             .orderBy("_h").limit(sample_n).collect())
     x = np.array([r["_v"] for r in rows], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    cents = x[:n_lists].copy()   # deterministic init: first n sampled
+    # deterministic farthest-first init (greedy max-min, the k-means++
+    # shape without RNG): seeding with the first n sampled rows could
+    # place two near-identical seeds inside one tight cluster, which
+    # SPLITS that cluster across lists and never recovers under Lloyd
+    # (r06: a split cluster hides its near-dup pairs from SemDeDup's
+    # within-list pruning)
+    chosen = [0]
+    if len(x) > 1:
+        best_sim = x @ x[0]                      # sim to nearest chosen
+        while len(chosen) < min(n_lists, len(x)):
+            nxt = int(np.argmin(best_sim))
+            chosen.append(nxt)
+            best_sim = np.maximum(best_sim, x @ x[nxt])
+    cents = x[chosen].copy()
+    if len(cents) < n_lists:                     # degenerate tiny input
+        cents = np.vstack([cents] * (n_lists // len(cents) + 1))[:n_lists]
     for _ in range(iters):
         sims = x @ cents.T                       # (n, n_lists)
         assign = sims.argmax(axis=1)
@@ -323,3 +338,122 @@ def lsh_cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(qid_col, "neighbor_id", "rank"))
+
+
+# --------------------------------------------------------------------------
+# SemDeDup — semantic deduplication (Abbas et al. 2023,
+# arXiv:2303.09540): k-means-cluster the embeddings, prune ε-similar
+# pairs within each cluster, keep the LOW-centroid-similarity member
+# (the paper's preferred keep rule — retains the cluster's "outliers",
+# drops its redundant core).
+# --------------------------------------------------------------------------
+
+def semdedup_centroids(n_lists: int = 8, dim: int = 64,
+                       seed: int = 9) -> list[list[float]]:
+    """Deterministic hash-derived UNIT centroids (entries ±1/√dim;
+    exact in float64 for power-of-two dims) — the ``centroids``
+    argument for a pretrained/offline quantizer, and the form an
+    oracle twin can inline as literals (the ``_plane`` discipline).
+    Data-trained spherical k-means (``_ivf_centroids``) is the
+    quality path; hash centroids are the reproducibility path."""
+    s = 1.0 / dim ** 0.5
+    return [
+        [s if blake2b(f"sd:{seed}:{c}:{d}".encode(),
+                      digest_size=4).digest()[0] & 1 else -s
+         for d in range(dim)]
+        for c in range(n_lists)
+    ]
+
+
+def semantic_dedup(emb: DataFrame,
+                   centroids: list[list[float]] | None = None,
+                   threshold: float = 0.9, id_col: str = "vec_id",
+                   vec_col: str = "embedding", n_lists: int = 16,
+                   sample_n: int = 2048, iters: int = 5,
+                   max_cluster: int | None = 256,
+                   dim: int = 64) -> DataFrame:
+    """SemDeDup verdict per document:
+
+    (id, cluster_id, cent_sim, status ∈ {kept, dropped, overcap})
+
+    Semantics (a parallel-friendly, ORDER-FREE relaxation of the
+    paper's greedy sweep, which is sequential within a cluster and
+    depends on iteration order): assign every vector to its highest-
+    cosine centroid (ties → higher index, mirrored in the twin); a
+    doc is ``dropped`` iff some SAME-CLUSTER doc within cosine ≥
+    ``threshold`` has strictly LOWER centroid-similarity (ties →
+    lower id wins) — i.e. each ε-similar pair keeps its
+    low-centroid-sim member, per the paper's keep rule.
+
+    Scale shape (the cap discipline of every candidate path in this
+    repo): assignment is a narrow JVM map over centroid literals
+    (whole-stage codegen, no Python); the within-cluster self-join is
+    bounded by the cluster-size CAP — clusters over ``max_cluster``
+    are excluded from pairwise pruning BEFORE the join (two-phase
+    ``_overcap_keys`` + broadcast anti-join, map-side drop) and their
+    docs surface as ``status='overcap'`` — an auditable side channel,
+    never a silent hole (dense degenerate clusters belong to exact
+    dedup or a finer quantizer, not O(cluster²) pairwise work).
+    ``centroids=None`` trains the spherical-k-means quantizer on a
+    bounded driver-side sample (``_ivf_centroids``)."""
+    if centroids is None:
+        centroids = _ivf_centroids(emb, id_col, vec_col, n_lists,
+                                   sample_n, iters)
+    v = F.col(vec_col)
+    scored = F.array(*[
+        F.struct(
+            (_dot(v, F.array([F.lit(x) for x in centroids[i]])) /
+             (_norm(v) *
+              _norm(F.array([F.lit(x) for x in centroids[i]]))))
+            .alias("sim"),
+            F.lit(i).alias("idx"))
+        for i in range(len(centroids))
+    ])
+    best = F.reverse(F.array_sort(scored))[0]
+    assigned = emb.select(
+        F.col(id_col), v.alias("_v"),
+        best["idx"].alias("cluster_id"),
+        best["sim"].alias("cent_sim"))
+
+    if max_cluster is not None:
+        overcap = _overcap_keys(assigned.select("cluster_id"),
+                                ["cluster_id"], max_cluster)
+        oc = F.broadcast(overcap.select("cluster_id"))
+        in_cap = assigned.join(oc, "cluster_id", "left_anti")
+    else:
+        overcap = None
+        in_cap = assigned
+
+    a = in_cap.select("cluster_id", F.col(id_col).alias("_ida"),
+                      F.col("_v").alias("_va"),
+                      F.col("cent_sim").alias("_csa"))
+    b = in_cap.select("cluster_id", F.col(id_col).alias("_idb"),
+                      F.col("_v").alias("_vb"),
+                      F.col("cent_sim").alias("_csb"))
+    pair_sim = F.round(
+        _dot(F.col("_va"), F.col("_vb")) /
+        (_norm(F.col("_va")) * _norm(F.col("_vb"))), 4)
+    dominated = (a.join(b, "cluster_id")
+                 .filter(F.col("_ida") != F.col("_idb"))
+                 .withColumn("_ps", pair_sim)
+                 .filter(F.col("_ps") >= threshold)
+                 .filter((F.col("_csa") < F.col("_csb")) |
+                         ((F.col("_csa") == F.col("_csb")) &
+                          (F.col("_ida") < F.col("_idb"))))
+                 .select(F.col("_idb").alias(id_col))
+                 .distinct())
+
+    out = assigned.join(
+        dominated.withColumn("_dr", F.lit(True)), id_col, "left")
+    if overcap is not None:
+        out = out.join(
+            F.broadcast(overcap.select(
+                "cluster_id", F.lit(True).alias("_oc"))),
+            "cluster_id", "left")
+    else:
+        out = out.withColumn("_oc", F.lit(None).cast("boolean"))
+    return out.select(
+        id_col, "cluster_id", "cent_sim",
+        F.when(F.col("_oc"), "overcap")
+         .when(F.col("_dr"), "dropped")
+         .otherwise("kept").alias("status"))
