@@ -291,3 +291,80 @@ def test_parsers_stream_natively(spark, tmp_path):
     want = {(r.entry_id, r.link, r.title) for r in
             parse_feeds(batch_df).collect()}
     assert got == want and len(got) == 2
+
+
+def test_streaming_extract_feeds_drift_monitor(spark, tmp_path):
+    """The LIVE pipeline composition (VERDICT r05 #7): streaming
+    extract sink → streaming per-host error-rate monitor →
+    drift_points, spanning a restart of BOTH queries. Closed windows
+    must match the batch twin (host_error_daily over batch extraction
+    of the same pages) exactly, and the monitor sink must let the
+    drift detector name exactly the planted redesigned hosts."""
+    from weakscraper_spark.operators.drift import (
+        drift_points, host_error_daily)
+    from weakscraper_spark.operators.extract import (
+        EXTRACT_SCHEMA, extract_pages)
+    from weakscraper_spark.plans.pipeline import (
+        attach_template, prepare_pages)
+    from weakscraper_spark.sources.synth import synth_drift_pages
+    from weakscraper_spark.streaming.stream import (
+        stream_host_error_rates)
+
+    src = str(tmp_path / "src")
+    ext = str(tmp_path / "ext")
+    mon = str(tmp_path / "mon")
+    ck1 = str(tmp_path / "ck1")
+    ck2 = str(tmp_path / "ck2")
+
+    pages = synth_drift_pages(spark, 400)
+    templates = synth_templates(spark, 16)
+    wave1 = pages.filter(F.col("warc_ts") < "2026-01-07")
+    wave2 = pages.filter(F.col("warc_ts") >= "2026-01-07")
+
+    def run_both():
+        q = stream_extract(spark, src, PAGES_SCHEMA, templates,
+                           compiled_specs(), ext, ck1)
+        q.awaitTermination(240)
+        m = stream_host_error_rates(
+            spark, ext, EXTRACT_SCHEMA, mon, ck2,
+            window="1 day", watermark="1 day", ts_col="warc_ts")
+        m.awaitTermination(240)
+
+    wave1.coalesce(2).write.mode("append").parquet(src)
+    run_both()
+    wave2.coalesce(2).write.mode("append").parquet(src)
+    run_both()  # RESTART of both queries from their checkpoints
+
+    closed = spark.read.parquet(mon)
+    got = {(r.host, str(r.win_start)): (r.n_pages, r.n_err)
+           for r in closed.collect()}
+    assert got, "no windows closed"
+
+    # batch twin over the identical page set
+    batch = extract_pages(
+        attach_template(prepare_pages(pages), templates),
+        compiled_specs())
+    twin = host_error_daily(
+        batch.selectExpr(
+            "try_parse_url(url, 'HOST') AS host",
+            "warc_ts AS ts",
+            "status IN ('ok', 'ok_heuristic') AS ok"))
+    want = {(r.host, f"{r.day} 00:00:00"): (r.n_pages, r.n_err)
+            for r in twin.collect()}
+    for k, v in got.items():
+        assert want[k] == v, (k, v, want[k])
+    # coverage: the final watermark (max event day 7 − 1 day) closes
+    # exactly the day-0..5 windows (2026-01-01 .. 2026-01-06)
+    closed_days = {k[1][:10] for k in got}
+    assert closed_days == {f"2026-01-0{d}" for d in range(1, 7)}
+    want_closed = {k for k in want if k[1][:10] in closed_days}
+    assert set(got) == want_closed
+
+    # the monitor sink drives the drift detector: exactly the four
+    # planted redesigned hosts (drift day 2026-01-05) are named
+    det = {r.host: str(r.drift_day) for r in drift_points(
+        closed.selectExpr("host", "win_start AS ts",
+                          "n_err = 0 AS ok"),
+        min_jump=0.5).collect()}
+    assert det == {f"host{h:02d}.example.com": "2026-01-05"
+                   for h in (1, 5, 9, 13)}

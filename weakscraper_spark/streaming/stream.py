@@ -180,10 +180,23 @@ def stream_host_error_rates(spark: SparkSession, source_dir: str,
     Scale shape: Spark maintains per-(host, window) partial aggregates
     in the state store — map-side combined, keyed state ~|active
     hosts × open windows|, never per-row; the parquet append sink is
-    the dashboard relation."""
+    the dashboard relation.
+
+    Composition (r06): the source may be the STREAMING-EXTRACT sink
+    itself — when ``host_col``/``ok_col`` are absent from the source
+    schema but extraction's ``url``/``status`` columns are present,
+    they are derived here (host from the url, ok from the status
+    taxonomy), so extract → monitor → ``drift_points`` chains with no
+    intermediate job."""
     stream = (spark.readStream.schema(source_schema)
-              .parquet(source_dir)
-              .withWatermark(ts_col, watermark))
+              .parquet(source_dir))
+    if host_col not in stream.columns and "url" in stream.columns:
+        stream = stream.withColumn(
+            host_col, F.try_parse_url("url", F.lit("HOST")))
+    if ok_col not in stream.columns and "status" in stream.columns:
+        stream = stream.withColumn(
+            ok_col, F.col("status").isin("ok", "ok_heuristic"))
+    stream = stream.withWatermark(ts_col, watermark)
     err = (~F.col(ok_col).cast("boolean")).cast("int")
     agg = (stream
            .groupBy(F.col(host_col).alias("host"),
