@@ -2176,27 +2176,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["template_refresh"] = template_refresh
 
     # Driver sampling order (VERDICT r03 #2): the driver checks ~50
-    # queries per round IN DICT ORDER. Every query has now been
-    # driver-sampled at least once (r04 verdict), so r05 priority =
-    # (1) brand-new queries, (2) queries whose semantics or oracle
-    # changed this round (SRP caps/multi-probe, staged-truth
-    # promotions, snap_versions cleanup), (3) rotation of the rest.
+    # queries per round IN DICT ORDER. Every query has been
+    # driver-sampled at least once (r04 verdict), so r06 priority =
+    # (1) brand-new queries (template_refresh, semantic_dedup),
+    # (2) queries whose oracle or semantics changed this round
+    # (r06 staged-truth promotions pdf_pages/compression_ratios/
+    # induce_hosts; md_convert n_blocks staging; bucketed_join
+    # pre-collect aggregate; feed_discovery base-href fix;
+    # dup/trim_substrings localCheckpoint; ivf_ann_topk init change),
+    # (3) rotation of the rest.
     _sample_first = [
+        "template_refresh", "semantic_dedup", "pdf_pages",
+        "compression_ratios", "induce_hosts", "md_convert",
+        "bucketed_join", "feed_discovery", "dup_substrings",
+        "trim_substrings", "ivf_ann_topk",
         "feed_entries", "feed_headers", "html_tables", "table_stats",
         "postings_index", "phrase_hits", "drift_hosts", "emb_stats",
         "emb_outliers", "doc_sentences", "discovered_frontier",
-        "snap_change_rate", "bucketed_join", "feed_discovery",
+        "snap_change_rate",
         "bpe_encode", "prune_quantile", "fields_long",
-        "extract_spans", "induce_roundtrip", "md_convert",
-        "trim_substrings", "chunk_docs", "sitemap_entries",
+        "extract_spans", "induce_roundtrip",
+        "chunk_docs", "sitemap_entries",
         "robots_sitemaps", "tfidf_keywords", "host_split",
-        "dup_substrings", "nb_quality", "url_filter", "epoch_shuffle",
+        "nb_quality", "url_filter", "epoch_shuffle",
         "link_graph", "host_rank", "anchor_topk", "mix_corpus",
         "srp_overcap", "lsh_near_dup", "lsh_ann_topk",
         "extract_pages", "boiler_extract", "raw_extract",
         "web_corpus", "frontier", "corpus_clean", "snap_versions",
-        "extract_rescued", "pdf_pages", "compression_ratios",
-        "induce_hosts", "source_acd", "ivf_ann_topk", "bpe_merges",
+        "extract_rescued", "source_acd", "bpe_merges",
     ]
     return {**{k: q[k] for k in _sample_first},
             **{k: v for k, v in q.items() if k not in _sample_first}}

@@ -129,8 +129,16 @@ def _run_queries(sf_dir: str, cpus: int,
         "phrase_hits", "drift_hosts", "emb_stats", "emb_outliers",
         "doc_sentences", "discovered_frontier", "snap_change_rate",
         "bucketed_join", "feed_discovery", "bpe_encode",
-        "prune_quantile",
+        "prune_quantile", "semantic_dedup",
     ]
+    # template_refresh (the lifecycle loop) is deliberately NOT a
+    # headline: it is an orchestration of individually-timed legs
+    # (extract_pages twice, drift_hosts-shaped detection, induction)
+    # over a synthesized scenario, with two eager driver barriers by
+    # design — its bench wall would time scenario synthesis + loop
+    # orchestration constants, not engine throughput. Correctness
+    # samples it (oracle-hash-green) and tests/test_refresh.py pins
+    # the recovery semantics.
     # raw_extract (archives→extract composition) is deliberately NOT
     # a headline: it chains five Python stages over a synthesized
     # corpus, so at bench scale its wall is worker-fork overhead
@@ -233,6 +241,38 @@ def _run_queries(sf_dir: str, cpus: int,
     _stop_hard(spark)
     times = {name: min(w) for name, w in walls.items()}
     return times, round(sum(times.values()), 3), walls
+
+
+def _tokenizer_phase(cpus: int, workdir: str) -> dict:
+    """The exact=False BPE scale mode as a tracked wall (VERDICT r05
+    #6): train 256 greedy-batched merges on the 30k-type rich corpus
+    + encode the corpus with the learned list. Runs ONCE per bench
+    invocation (the driver-round loop is ~1-2 s of fixed job overhead
+    per round, so a 3× repetition would triple a wall that is already
+    round-count-dominated); the per-BUILD-round trend is the signal.
+    The driver-round count is reported alongside the wall — it is THE
+    scale metric for greedy batching (O(vocab/batch_m) rounds)."""
+    from weakscraper_spark.operators.vocab import encode_bpe, train_bpe
+    from weakscraper_spark.plans.session import get_spark
+    from weakscraper_spark.sources.synth import synth_rich_text
+
+    spark = get_spark("bench_bpe", master=f"local[{cpus}]")
+    path = os.path.join(workdir, "bpe_corpus")
+    synth_rich_text(spark, 500).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    _wait_for_quiet(120)
+    stats: dict = {}
+    t0 = time.perf_counter()
+    merges = train_bpe(df, 256, exact=False, batch_m=256, stats=stats)
+    t1 = time.perf_counter()
+    encode_bpe(df, merges).write.format("noop") \
+        .mode("overwrite").save()
+    t2 = time.perf_counter()
+    _stop_hard(spark)
+    return {"merges": len(merges),
+            "driver_rounds": stats.get("rounds"),
+            "train_wall_s": round(t1 - t0, 2),
+            "encode_wall_s": round(t2 - t1, 2)}
 
 
 def _synth_bench_pages(n_pages: int, cpus: int, out: str) -> None:
@@ -390,6 +430,7 @@ def main() -> None:
     scaling = _scaling(n_pages, n_lo, n_hi, workdir)
 
     times, total, query_walls = _run_queries(sf_dir, cpus, workdir)
+    tokenizer = _tokenizer_phase(cpus, workdir)
     shutil.rmtree(workdir, ignore_errors=True)
 
     # The driver captures only the TAIL of stdout: r03's single fat
@@ -414,6 +455,7 @@ def main() -> None:
         "queries": times,
         "sf": float(sf),
         "extraction": scaling,
+        "tokenizer": tokenizer,
     }))
 
 
