@@ -2145,6 +2145,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           _dec(F.col("threshold"), 6).alias("threshold"))
     q["prune_quantile"] = prune_quantile
 
+    # ---- CDX index family (operators/cdx.py, r06): SURT canonical
+    # keys + CDXJ line parsing + per-urlkey digest dedup. Planted
+    # line corpus from doc_id arithmetic (frame-broken and
+    # JSON-broken lines included); each oracle states the CLOSED FORM
+    # of what must parse back out. ----------------------------------------
+    def surt_keys(spark, sf):
+        from weakscraper_spark.operators.cdx import surt_key
+        d = F.col("doc_id")
+        ds = d.cast("string")
+        url = F.concat(
+            F.when(d % 2 == 0, F.lit("HTTP://"))
+             .otherwise(F.lit("https://")),
+            F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+            F.lit("Sub"), (d % 5).cast("string"),
+            F.lit(".Example.ORG"),
+            F.when(d % 2 == 0, F.lit(":80"))
+             .when(d % 9 == 0, F.lit(":8080")).otherwise(F.lit("")),
+            F.lit("/Path/"), ds,
+            F.when(d % 4 == 0, F.lit("///")).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.lit("?B=2&UTM_source=x&a=1"))
+             .when(d % 5 == 1, F.lit("?jsessionid=ABC&z=9"))
+             .otherwise(F.lit("")),
+            F.when(d % 6 == 0, F.lit("#Frag")).otherwise(F.lit("")))
+        urls = _t(spark, sf, "documents").select(url.alias("url"))
+        return urls.select("url", surt_key("url").alias("urlkey"))
+    q["surt_keys"] = surt_keys
+
+    def _cdx_lines(spark, sf):
+        d = F.col("doc_id")
+        key = d % 211
+        ks = key.cast("string")
+        hs = (key % 20).cast("string")
+        urlkey = F.concat(F.lit("org,example,h"), hs,
+                          F.lit(")/p/"), ks)
+        # 2026-01-01T00:00:00Z = epoch 1767225600; 37-second stride
+        ts14 = F.date_format(
+            F.timestamp_seconds(F.lit(1767225600).cast("long")
+                                + d * 37), "yyyyMMddHHmmss")
+        digest = F.when(key % 3 == 0,
+                        F.concat(F.lit("sha1:K"), ks)) \
+            .otherwise(F.concat(F.lit("sha1:D"), d.cast("string")))
+        blob = F.concat(
+            F.lit('{"url": "https://h'), hs, F.lit(".example.org/p/"),
+            ks, F.lit('", "mime": "text/html", "status": "'),
+            F.when(d % 9 == 0, F.lit("404")).otherwise(F.lit("200")),
+            F.lit('", "digest": "'), digest,
+            F.lit('", "length": "'), ((d * 7) % 9973).cast("string"),
+            F.lit('", "offset": "'), ((d * 13) % 65536).cast("string"),
+            F.lit('", "filename": "crawl-'), (d % 4).cast("string"),
+            F.lit('.warc.gz"}'))
+        line = (F.when(d % 23 == 0, F.lit("not a cdxj line"))
+                .when(d % 29 == 0,
+                      F.concat(urlkey, F.lit(" "), ts14,
+                               F.lit(' {"url": broken}')))
+                .otherwise(F.concat(urlkey, F.lit(" "), ts14,
+                                    F.lit(" "), blob)))
+        return _t(spark, sf, "documents").select(line.alias("line"))
+
+    def cdx_records(spark, sf):
+        from weakscraper_spark.operators.cdx import parse_cdxj
+        out = parse_cdxj(_cdx_lines(spark, sf))
+        return out.select(
+            "urlkey",
+            F.date_format("ts", "yyyyMMddHHmmss").alias("ts14"),
+            "url", "mime", "status_code", "digest", "length",
+            "offset", "filename", "status")
+    q["cdx_records"] = cdx_records
+
+    def cdx_dedup(spark, sf):
+        from weakscraper_spark.operators.cdx import (
+            cdx_digest_dedup, parse_cdxj)
+        recs = parse_cdxj(_cdx_lines(spark, sf)) \
+            .filter("status = 'ok'")
+        out = cdx_digest_dedup(recs)
+        return out.select(
+            "urlkey", "n_records", "n_distinct_digests",
+            F.date_format("latest_ts", "yyyyMMddHHmmss")
+             .alias("latest_ts14"),
+            "latest_digest", "all_same")
+    q["cdx_dedup"] = cdx_dedup
+
     # ---- TEMPLATE LIFECYCLE LOOP (plans/refresh.py, r06): planted
     # redesign → drift detection → re-induction → re-extraction →
     # measured recovery. ORACLE-VALUE-CHECKED: the truth twin
@@ -2186,7 +2267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dup/trim_substrings localCheckpoint; ivf_ann_topk init change),
     # (3) rotation of the rest.
     _sample_first = [
-        "template_refresh", "semantic_dedup", "pdf_pages",
+        "template_refresh", "semantic_dedup", "surt_keys",
+        "cdx_records", "cdx_dedup", "pdf_pages",
         "compression_ratios", "induce_hosts", "md_convert",
         "bucketed_join", "feed_discovery", "dup_substrings",
         "trim_substrings", "ivf_ann_topk",
@@ -4127,6 +4209,95 @@ def oracle_sql() -> dict[str, str]:
         "induce_hosts": f"""
             SELECT host_pattern, template_id, n_samples, status
             FROM read_parquet('{_TRUTH_ROOT}/induce_hosts/*.parquet')
+        """,
+        # CDX family closed forms: the SURT transform's expected output
+        # and the CDXJ parse/dedup results are all stated directly
+        # from the planting arithmetic
+        "surt_keys": """
+            WITH u AS (
+                SELECT doc_id AS d,
+                       (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://'
+                             ELSE 'https://' END) ||
+                       (CASE WHEN doc_id % 3 = 0 THEN 'WWW.'
+                             ELSE '' END) ||
+                       'Sub' || (doc_id % 5) || '.Example.ORG' ||
+                       (CASE WHEN doc_id % 2 = 0 THEN ':80'
+                             WHEN doc_id % 9 = 0 THEN ':8080'
+                             ELSE '' END) ||
+                       '/Path/' || doc_id ||
+                       (CASE WHEN doc_id % 4 = 0 THEN '///'
+                             ELSE '' END) ||
+                       (CASE WHEN doc_id % 5 = 0
+                                  THEN '?B=2&UTM_source=x&a=1'
+                             WHEN doc_id % 5 = 1
+                                  THEN '?jsessionid=ABC&z=9'
+                             ELSE '' END) ||
+                       (CASE WHEN doc_id % 6 = 0 THEN '#Frag'
+                             ELSE '' END) AS url
+                FROM documents)
+            SELECT url,
+                   'org,example,sub' || (d % 5) ||
+                   (CASE WHEN d % 2 <> 0 AND d % 9 = 0 THEN ':8080'
+                         ELSE '' END) ||
+                   ')/path/' || d ||
+                   (CASE WHEN d % 5 = 0 THEN '?a=1&b=2'
+                         WHEN d % 5 = 1 THEN '?z=9'
+                         ELSE '' END) AS urlkey
+            FROM u
+        """,
+        "cdx_records": """
+            WITH t AS (SELECT doc_id AS d, doc_id % 211 AS k
+                       FROM documents)
+            SELECT
+                CASE WHEN d % 23 = 0 THEN NULL
+                     ELSE 'org,example,h' || (k % 20) || ')/p/' || k
+                     END AS urlkey,
+                CASE WHEN d % 23 = 0 THEN NULL
+                     ELSE strftime(TIMESTAMP '2026-01-01 00:00:00'
+                                   + to_seconds((d * 37)::BIGINT),
+                                   '%Y%m%d%H%M%S') END AS ts14,
+                CASE WHEN d % 23 = 0 OR d % 29 = 0 THEN NULL
+                     ELSE 'https://h' || (k % 20) ||
+                          '.example.org/p/' || k END AS url,
+                CASE WHEN d % 23 = 0 OR d % 29 = 0 THEN NULL
+                     ELSE 'text/html' END AS mime,
+                CASE WHEN d % 23 = 0 OR d % 29 = 0 THEN NULL
+                     WHEN d % 9 = 0 THEN 404 ELSE 200
+                     END::INT AS status_code,
+                CASE WHEN d % 23 = 0 OR d % 29 = 0 THEN NULL
+                     WHEN k % 3 = 0 THEN 'sha1:K' || k
+                     ELSE 'sha1:D' || d END AS digest,
+                CASE WHEN d % 23 = 0 OR d % 29 = 0 THEN NULL
+                     ELSE (d * 7) % 9973 END::BIGINT AS length,
+                CASE WHEN d % 23 = 0 OR d % 29 = 0 THEN NULL
+                     ELSE (d * 13) % 65536 END::BIGINT AS "offset",
+                CASE WHEN d % 23 = 0 OR d % 29 = 0 THEN NULL
+                     ELSE 'crawl-' || (d % 4) || '.warc.gz'
+                     END AS filename,
+                CASE WHEN d % 23 = 0 THEN 'error:BadLine'
+                     WHEN d % 29 = 0 THEN 'error:BadJson'
+                     ELSE 'ok' END AS status
+            FROM t
+        """,
+        "cdx_dedup": """
+            WITH r AS (
+                SELECT doc_id % 211 AS k, doc_id AS d,
+                       'org,example,h' || ((doc_id % 211) % 20) ||
+                       ')/p/' || (doc_id % 211) AS urlkey,
+                       CASE WHEN (doc_id % 211) % 3 = 0
+                                THEN 'sha1:K' || (doc_id % 211)
+                            ELSE 'sha1:D' || doc_id END AS digest
+                FROM documents
+                WHERE doc_id % 23 <> 0 AND doc_id % 29 <> 0)
+            SELECT urlkey, count(*)::BIGINT AS n_records,
+                   count(DISTINCT digest)::BIGINT
+                       AS n_distinct_digests,
+                   strftime(TIMESTAMP '2026-01-01 00:00:00'
+                            + to_seconds((max(d) * 37)::BIGINT),
+                            '%Y%m%d%H%M%S') AS latest_ts14,
+                   arg_max(digest, d) AS latest_digest,
+                   (count(DISTINCT digest) <= 1) AS all_same
+            FROM r GROUP BY urlkey
         """,
         # the lifecycle loop's closed form: mirror drift_points over
         # the staged truth (daily err1 rates → lag → argmax jump,

@@ -129,7 +129,8 @@ def _run_queries(sf_dir: str, cpus: int,
         "phrase_hits", "drift_hosts", "emb_stats", "emb_outliers",
         "doc_sentences", "discovered_frontier", "snap_change_rate",
         "bucketed_join", "feed_discovery", "bpe_encode",
-        "prune_quantile", "semantic_dedup",
+        "prune_quantile", "semantic_dedup", "surt_keys",
+        "cdx_records", "cdx_dedup",
     ]
     # template_refresh (the lifecycle loop) is deliberately NOT a
     # headline: it is an orchestration of individually-timed legs

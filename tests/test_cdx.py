@@ -1,0 +1,139 @@
+"""CDX(J) index family: SURT key transform, CDXJ line parsing (incl.
+the A13 error taxonomy), per-urlkey digest dedup, and plan
+narrowness."""
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import functions as F
+
+from weakscraper_spark.operators.cdx import (
+    cdx_digest_dedup, parse_cdxj, surt_key)
+
+
+def _surt(spark, url):
+    return spark.range(1).select(
+        surt_key(F.lit(url)).alias("k")).first().k
+
+
+def test_surt_key_cases(spark):
+    cases = {
+        # scheme dropped, host lowered + reversed, empty path -> /
+        "https://Example.COM": "com,example)/",
+        # www stripped, default port stripped, path lowercased
+        "HTTP://WWW.Sub.Example.org:80/A/B": "org,example,sub)/a/b",
+        # https default port stripped
+        "https://example.com:443/x": "com,example)/x",
+        # non-default port survives in SURT position
+        "https://example.com:8080/x": "com,example:8080)/x",
+        # fragment dropped; trailing slashes collapsed
+        "https://example.com/a///#frag": "com,example)/a",
+        # query: lowered, session+tracking params dropped, sorted
+        "https://example.com/p?B=2&utm_source=x&a=1":
+            "com,example)/p?a=1&b=2",
+        "https://example.com/p?JSESSIONID=deadbeef&z=9":
+            "com,example)/p?z=9",
+        # all params dropped -> no '?'
+        "https://example.com/p?gclid=1": "com,example)/p",
+    }
+    for url, want in cases.items():
+        assert _surt(spark, url) == want, url
+
+
+LINES = [
+    # well-formed
+    ('org,example)/a 20260102030405 {"url": "https://example.org/a", '
+     '"mime": "text/html", "status": "200", "digest": "sha1:AAA", '
+     '"length": "123", "offset": "456", "filename": "c-0.warc.gz"}'),
+    # frame broken (no 14-digit timestamp)
+    "org,example)/b not-a-timestamp {}",
+    # frame ok, JSON broken
+    'org,example)/c 20260102030405 {"url": broken}',
+    # valid JSON missing optional fields -> ok with NULLs
+    "org,example)/d 20260102030406 {}",
+    # junk numeric fields must NULL, not raise (ANSI try_ casts)
+    ('org,example)/e 20260102030407 {"url": "u", "status": "teapot", '
+     '"length": "many", "offset": "-"}'),
+]
+
+
+def test_parse_cdxj_taxonomy(spark):
+    df = spark.createDataFrame([(ln,) for ln in LINES], "line string")
+    rows = {r.urlkey: r for r in parse_cdxj(df).collect()}
+    ok = rows["org,example)/a"]
+    assert ok.status == "ok"
+    assert str(ok.ts) == "2026-01-02 03:04:05"
+    assert ok.url == "https://example.org/a"
+    assert ok.status_code == 200
+    assert (ok.length, ok.offset) == (123, 456)
+    assert ok.filename == "c-0.warc.gz"
+
+    # frame-broken: one visible row, everything NULL
+    bad = [r for r in parse_cdxj(df).collect() if r.urlkey is None]
+    assert len(bad) == 1 and bad[0].status == "error:BadLine"
+
+    bj = rows["org,example)/c"]
+    assert bj.status == "error:BadJson"
+    assert str(bj.ts) == "2026-01-02 03:04:05"  # frame still parsed
+    assert bj.url is None
+
+    empty = rows["org,example)/d"]
+    assert empty.status == "ok" and empty.url is None
+
+    junk = rows["org,example)/e"]
+    assert junk.status == "ok"
+    assert junk.status_code is None
+    assert junk.length is None and junk.offset is None
+
+
+def test_parse_cdxj_never_raises_on_garbage(spark):
+    garbage = ["", " ", "{}", "a b c", "k 2026 {}", "\x00\x01",
+               "k 20260101000000", "k 20260101000000 []"]
+    df = spark.createDataFrame([(g,) for g in garbage], "line string")
+    out = parse_cdxj(df).collect()
+    assert len(out) == len(garbage)
+    assert all(r.status.startswith("error:") for r in out)
+
+
+def test_cdx_digest_dedup(spark):
+    rows = [
+        ("k1", "2026-01-01 00:00:00", "sha1:A"),
+        ("k1", "2026-01-02 00:00:00", "sha1:B"),   # changed
+        ("k2", "2026-01-01 00:00:00", "sha1:C"),
+        ("k2", "2026-01-03 00:00:00", "sha1:C"),   # revisit, same
+        ("k3", "2026-01-01 00:00:00", "sha1:D"),
+    ]
+    df = spark.createDataFrame(rows, "urlkey string, ts_s string, "
+                                     "digest string") \
+        .select("urlkey", F.col("ts_s").cast("timestamp").alias("ts"),
+                "digest")
+    got = {r.urlkey: r for r in cdx_digest_dedup(df).collect()}
+    assert got["k1"].n_records == 2
+    assert got["k1"].n_distinct_digests == 2
+    assert got["k1"].latest_digest == "sha1:B"
+    assert not got["k1"].all_same
+    assert got["k2"].all_same
+    assert got["k2"].latest_digest == "sha1:C"
+    assert str(got["k2"].latest_ts) == "2026-01-03 00:00:00"
+    assert got["k3"].all_same and got["k3"].n_records == 1
+
+
+def test_cdx_plans_are_narrow(spark):
+    """Parse is a pure narrow map; the dedup rollup carries the two
+    exchanges of an exact distinct-count (partial on (urlkey, digest),
+    final on urlkey — the textbook shape, both on the index's native
+    key); no Python stage anywhere."""
+    df = spark.createDataFrame([(ln,) for ln in LINES], "line string")
+    for plan_df, max_exchanges in ((parse_cdxj(df), 0),
+                                   (cdx_digest_dedup(
+                                       parse_cdxj(df)), 2)):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            plan_df.explain("formatted")
+        names = [m.group(1) for m in
+                 re.finditer(r"^\s*[*+-]*\s*\(\d+\)\s+(\w+)",
+                             buf.getvalue(), re.M)]
+        assert names.count("Exchange") <= max_exchanges, names
+        assert "BatchEvalPython" not in names
+        assert "ArrowEvalPython" not in names

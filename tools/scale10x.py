@@ -120,6 +120,12 @@ def _minhash_phase(base_docs: int, rounds: int) -> dict:
     for _ in range(rounds):
         bench._wait_for_quiet(120)
         for tag in sizes:
+            # the operator persists its signature relation; Spark's
+            # CacheManager matches by LOGICAL PLAN, so without this a
+            # later round silently reuses the earlier round's cache
+            # and times a warm read instead of the job (caught r06:
+            # 50k docs "ran" in 1.3 s)
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             minhash_lsh_pairs(dfs[tag]).write.format("noop") \
                 .mode("overwrite").save()
@@ -141,7 +147,17 @@ def main() -> None:
     base_pages = int(os.environ.get("SCALE10X_BASE_PAGES", "12000"))
     rounds = int(os.environ.get("SCALE10X_ROUNDS", "2"))
 
-    ext = _extract_phase(base_pages, rounds)
+    # a cached extract-phase result lets the (cheap) minhash phase be
+    # re-measured without repeating the ~15-min extraction ladder
+    cache = os.environ.get("SCALE10X_EXT_CACHE", "")
+    if cache and os.path.exists(cache):
+        with open(cache) as fh:
+            ext = json.load(fh)
+    else:
+        ext = _extract_phase(base_pages, rounds)
+        if cache:
+            with open(cache, "w") as fh:
+                json.dump(ext, fh)
     mh = _minhash_phase(5000, rounds)
 
     md = os.path.join(REPO, "BENCH", "scale10x.md")
