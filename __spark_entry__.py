@@ -58,18 +58,40 @@ def _dec(col, scale: int):
 # so a per-process temp dir is visible to both sides. Per-process
 # namespacing (r05 advice) means concurrent harnesses at different
 # sfs, or two users on one host, can no longer silently overwrite
-# each other's staged truth; the dir is removed at interpreter exit.
+# each other's staged truth. The dir is created LAZILY (importing
+# this module must not litter /tmp), removed at interpreter exit,
+# and first use sweeps stale siblings left by crashed harnesses
+# (SIGKILL/OOM skips atexit — r06 review) so the leak is bounded.
 import atexit as _atexit
+import glob as _glob
 import shutil as _shutil
 import tempfile as _tempfile
+import time as _time
 
-_TRUTH_ROOT = _tempfile.mkdtemp(prefix="ws_oracle_truth_")
-_atexit.register(_shutil.rmtree, _TRUTH_ROOT, ignore_errors=True)
+_TRUTH_ROOT: str | None = None
+
+
+def _truth_root() -> str:
+    global _TRUTH_ROOT
+    if _TRUTH_ROOT is None:
+        import os
+        now = _time.time()
+        for d in _glob.glob(os.path.join(_tempfile.gettempdir(),
+                                         "ws_oracle_truth_*")):
+            try:
+                if now - os.path.getmtime(d) > 86400:
+                    _shutil.rmtree(d, ignore_errors=True)
+            except OSError:
+                pass
+        _TRUTH_ROOT = _tempfile.mkdtemp(prefix="ws_oracle_truth_")
+        _atexit.register(_shutil.rmtree, _TRUTH_ROOT,
+                         ignore_errors=True)
+    return _TRUTH_ROOT
 
 
 def _stage_truth(df: DataFrame, name: str) -> str:
     import os
-    path = os.path.join(_TRUTH_ROOT, name)
+    path = os.path.join(_truth_root(), name)
     df.write.mode("overwrite").parquet(path)
     return path
 
@@ -2588,6 +2610,9 @@ sims AS (SELECT d.doc_id AS doc, coalesce(s.simhash, 0) AS simhash
 
 def oracle_sql() -> dict[str, str]:
     from weakscraper_spark.operators.links import pagerank_sql
+
+    # staged-truth root, created lazily per process (see _truth_root)
+    _TRUTH_ROOT = _truth_root()
 
     # host-edge derivation from the link-graph family's staged truth
     # (generator-emitted resolved outlinks) — shared by link_graph

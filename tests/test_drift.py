@@ -154,3 +154,44 @@ def test_change_rate_null_hashes(spark):
     r = snapshot_change_rate(old, new).collect()[0]
     assert (r.n_old, r.n_new, r.n_added, r.n_removed) == (3, 3, 0, 0)
     assert (r.n_changed, r.n_same) == (1, 2)
+
+
+def test_drift_points_daily_weights_exactly(spark):
+    """The aggregate-consuming detector must weight by page counts —
+    the r06 review scenario: a host with a 5% baseline error rate
+    that redesigns to 100% must be detected with its TRUE jump
+    (binarizing each window row to one ok flag pins every day at
+    rate 1.0 and the jump vanishes), and sub-daily window rows must
+    roll up into the day before rates are compared."""
+    from weakscraper_spark.operators.drift import drift_points_daily
+    rows = [
+        # baseline days: 20 pages, 1 error each (rate 0.05)
+        ("h.org", "2026-03-01", 20, 1),
+        ("h.org", "2026-03-02", 20, 1),
+        # redesign day: everything fails
+        ("h.org", "2026-03-03", 20, 20),
+        # a healthy host with one stray error is NOT a 0->1 jump
+        ("ok.org", "2026-03-01", 50, 0),
+        ("ok.org", "2026-03-02", 50, 1),
+        # sub-daily windows for one (host, day) must re-aggregate:
+        # two 12h windows of 10 pages / 1 err -> day rate 0.1
+        ("w.org", "2026-03-01", 10, 1),
+        ("w.org", "2026-03-01", 10, 1),
+        ("w.org", "2026-03-02", 20, 2),
+    ]
+    daily = spark.createDataFrame(
+        rows, "host string, day_s string, n_pages long, n_err long"
+    ).selectExpr("host", "day_s::date AS day", "n_pages", "n_err")
+    got = {r.host: r for r in drift_points_daily(daily).collect()}
+    h = got["h.org"]
+    assert str(h.drift_day) == "2026-03-03"
+    assert h.rate_before == pytest.approx(0.05)
+    assert h.rate_after == pytest.approx(1.0)
+    assert h.jump == pytest.approx(0.95)
+    assert got["ok.org"].jump == pytest.approx(0.02)
+    # rolled-up w.org: 0.1 -> 0.1, jump exactly 0
+    assert got["w.org"].jump == pytest.approx(0.0)
+    # thresholded: only the redesign survives
+    det = {r.host for r in
+           drift_points_daily(daily, min_jump=0.5).collect()}
+    assert det == {"h.org"}

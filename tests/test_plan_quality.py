@@ -229,7 +229,7 @@ def test_semantic_dedup_plan_capped_no_python(spark):
     try:
         nodes = _plan_nodes(semantic_dedup(
             emb, centroids=semdedup_centroids(4, 4), threshold=0.9,
-            max_cluster=8, dim=4))
+            max_cluster=8))
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     names = [n for _, n in nodes]

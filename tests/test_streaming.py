@@ -4,6 +4,7 @@ parquet sink (batch_id-keyed idempotent partitions), restart-safe via
 checkpoint. availableNow trigger so the test is bounded."""
 
 import datetime as dt
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -254,13 +255,17 @@ def test_stream_host_error_rates(spark, tmp_path):
     # the sentinel's own window never closed -> not emitted
     assert ("z.org", "2025-03-20 00:00:00") not in got
 
-    # the sink feeds the batch drift detector directly (coarse ok
-    # flag per window row is enough to exercise the composition)
-    from weakscraper_spark.operators.drift import drift_points
-    hosts = {r.host for r in drift_points(
+    # the sink feeds the batch drift detector directly — through the
+    # AGGREGATE-consuming API (exact sum(n_err)/sum(n_pages)
+    # weighting; the r06 review showed binarizing window rows into
+    # the row-level API loses real jumps on hosts with baseline
+    # errors)
+    from weakscraper_spark.operators.drift import drift_points_daily
+    det = {r.host: r for r in drift_points_daily(
         spark.read.parquet(out).selectExpr(
-            "host", "win_start AS ts", "n_err = 0 AS ok")).collect()}
-    assert "a.org" in hosts
+            "host", "win_start::date AS day", "n_pages",
+            "n_err")).collect()}
+    assert det["a.org"].jump == pytest.approx(0.5)  # 1/2 -> 2/2
 
 
 def test_parsers_stream_natively(spark, tmp_path):
@@ -300,8 +305,7 @@ def test_streaming_extract_feeds_drift_monitor(spark, tmp_path):
     must match the batch twin (host_error_daily over batch extraction
     of the same pages) exactly, and the monitor sink must let the
     drift detector name exactly the planted redesigned hosts."""
-    from weakscraper_spark.operators.drift import (
-        drift_points, host_error_daily)
+    from weakscraper_spark.operators.drift import host_error_daily
     from weakscraper_spark.operators.extract import (
         EXTRACT_SCHEMA, extract_pages)
     from weakscraper_spark.plans.pipeline import (
@@ -360,11 +364,13 @@ def test_streaming_extract_feeds_drift_monitor(spark, tmp_path):
     want_closed = {k for k in want if k[1][:10] in closed_days}
     assert set(got) == want_closed
 
-    # the monitor sink drives the drift detector: exactly the four
-    # planted redesigned hosts (drift day 2026-01-05) are named
-    det = {r.host: str(r.drift_day) for r in drift_points(
-        closed.selectExpr("host", "win_start AS ts",
-                          "n_err = 0 AS ok"),
+    # the monitor sink drives the drift detector through the
+    # aggregate-consuming API (exact error-rate weighting): exactly
+    # the four planted redesigned hosts (drift day 2026-01-05)
+    from weakscraper_spark.operators.drift import drift_points_daily
+    det = {r.host: str(r.drift_day) for r in drift_points_daily(
+        closed.selectExpr("host", "win_start::date AS day",
+                          "n_pages", "n_err"),
         min_jump=0.5).collect()}
     assert det == {f"host{h:02d}.example.com": "2026-01-05"
                    for h in (1, 5, 9, 13)}

@@ -409,7 +409,7 @@ def test_semantic_dedup_prunes_planted_clusters(clustered_emb):
         cosine_near_pairs, semantic_dedup)
     out = {r.vec_id: r for r in semantic_dedup(
         clustered_emb, threshold=0.95, n_lists=3, iters=8,
-        max_cluster=None, dim=16).collect()}
+        max_cluster=None).collect()}
     assert len(out) == 24
     exact = {(r.id_a, r.id_b) for r in cosine_near_pairs(
         clustered_emb, threshold=0.95).collect()}
@@ -436,10 +436,10 @@ def test_semantic_dedup_deterministic(clustered_emb):
     from weakscraper_spark.operators.similarity import semantic_dedup
     a = sorted((r.vec_id, r.cluster_id, r.status) for r in
                semantic_dedup(clustered_emb, threshold=0.95,
-                              n_lists=3, dim=16).collect())
+                              n_lists=3).collect())
     b = sorted((r.vec_id, r.cluster_id, r.status) for r in
                semantic_dedup(clustered_emb, threshold=0.95,
-                              n_lists=3, dim=16).collect())
+                              n_lists=3).collect())
     assert a == b
 
 
@@ -449,7 +449,7 @@ def test_semantic_dedup_overcap_cluster_audited(clustered_emb):
     candidate-generation path in this repo follows."""
     from weakscraper_spark.operators.similarity import semantic_dedup
     out = semantic_dedup(clustered_emb, threshold=0.95, n_lists=3,
-                         iters=8, max_cluster=6, dim=16).collect()
+                         iters=8, max_cluster=6).collect()
     assert {r.status for r in out} == {"overcap"}
     assert len(out) == 24
 

@@ -69,9 +69,17 @@ def _extract_phase(base_pages: int, rounds: int) -> dict:
                      "weakscraper_spark.plans.bench_job",
                      f"local[{m}]", paths[tag]],
                     capture_output=True, text=True, cwd=REPO)
-                line = [ln for ln in proc.stdout.splitlines()
-                        if ln.startswith("{")][-1]
-                walls[(tag, m)].append(json.loads(line)["wall_s"])
+                lines = [ln for ln in proc.stdout.splitlines()
+                         if ln.startswith("{")]
+                if proc.returncode or not lines:
+                    # surface the child's failure instead of a bare
+                    # IndexError that throws away 15 min of ladder
+                    # work and its diagnosis (r06 review)
+                    raise RuntimeError(
+                        f"bench_job local[{m}] {tag} failed "
+                        f"(rc={proc.returncode}): "
+                        f"{proc.stderr[-2000:]}")
+                walls[(tag, m)].append(json.loads(lines[-1])["wall_s"])
 
     out = {"noise_probe_per_round": probes}
     for tag, n in sizes.items():

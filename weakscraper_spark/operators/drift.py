@@ -59,7 +59,36 @@ def drift_points(df: DataFrame, host_col: str = "host",
     ``>= 0.0`` default silently dropped them from the monitoring
     relation); a numeric threshold keeps only hosts whose max jump
     reaches it. Ties on jump pick the earliest day."""
-    daily = host_error_daily(df, host_col, ts_col, ok_col)
+    return _jump_points(host_error_daily(df, host_col, ts_col, ok_col),
+                        min_jump)
+
+
+def drift_points_daily(daily: DataFrame,
+                       min_jump: float | None = None) -> DataFrame:
+    """``drift_points`` over a PRE-AGGREGATED daily relation
+    ``(host, day, n_pages, n_err)`` — the form the streaming
+    monitor's parquet sink and any dashboard table already hold.
+
+    Feeding aggregates through the row-level API would binarize the
+    weighting (one coarse ok flag per window row: a host with ANY
+    baseline errors pins at rate 1.0 and its real redesign jump
+    vanishes — r06 review); here err_rate stays the exact
+    sum(n_err)/sum(n_pages) per (host, day). Duplicate (host, day)
+    rows (e.g. sub-daily windows, or one row per restart era)
+    re-aggregate first, so any window granularity ≤ the day rolls up
+    correctly."""
+    rolled = (daily.groupBy("host", "day")
+              .agg(F.sum("n_pages").alias("n_pages"),
+                   F.sum("n_err").alias("n_err"))
+              .withColumn("err_rate",
+                          F.col("n_err") / F.col("n_pages")))
+    return _jump_points(rolled, min_jump)
+
+
+def _jump_points(daily: DataFrame,
+                 min_jump: float | None) -> DataFrame:
+    """Shared lag + argmax-jump core over a (host, day, err_rate)
+    relation (semantics documented on ``drift_points``)."""
     w = Window.partitionBy("host").orderBy("day")
     stepped = (daily
                .withColumn("rate_before", F.lag("err_rate").over(w))

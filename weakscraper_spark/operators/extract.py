@@ -38,6 +38,12 @@ from ..enginelib.boiler import main_text as _main_text
 from ..enginelib.match import extract as _extract_doc
 from ..enginelib.spec import Spec, spec_from_json
 
+#: statuses that count as an extraction SUCCESS — the one place the
+#: taxonomy's ok-side is defined (refresh loop, streaming monitor,
+#: and any future consumer import this rather than restating the
+#: literals; a new success status added here propagates everywhere)
+OK_STATUSES = ("ok", "ok_heuristic")
+
 EXTRACT_SCHEMA = (
     "url string, warc_ts timestamp, template_id string, status string, "
     "error string, text string, fields_json string, n_nodes int, "

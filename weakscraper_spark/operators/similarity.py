@@ -370,8 +370,7 @@ def semantic_dedup(emb: DataFrame,
                    threshold: float = 0.9, id_col: str = "vec_id",
                    vec_col: str = "embedding", n_lists: int = 16,
                    sample_n: int = 2048, iters: int = 5,
-                   max_cluster: int | None = 256,
-                   dim: int = 64) -> DataFrame:
+                   max_cluster: int | None = 256) -> DataFrame:
     """SemDeDup verdict per document:
 
     (id, cluster_id, cent_sim, status ∈ {kept, dropped, overcap})
@@ -433,14 +432,18 @@ def semantic_dedup(emb: DataFrame,
     pair_sim = F.round(
         _dot(F.col("_va"), F.col("_vb")) /
         (_norm(F.col("_va")) * _norm(F.col("_vb"))), 4)
+    # each unordered pair once (_ida < _idb — the srp_cosine_near_
+    # pairs halving discipline; r06 review: the != form computed
+    # every 64-dim cosine twice), then the pair's HIGHER-cent_sim
+    # member is the dominated one (ties → the higher id, preserving
+    # the keep-low rule's id tie-break)
     dominated = (a.join(b, "cluster_id")
-                 .filter(F.col("_ida") != F.col("_idb"))
+                 .filter(F.col("_ida") < F.col("_idb"))
                  .withColumn("_ps", pair_sim)
                  .filter(F.col("_ps") >= threshold)
-                 .filter((F.col("_csa") < F.col("_csb")) |
-                         ((F.col("_csa") == F.col("_csb")) &
-                          (F.col("_ida") < F.col("_idb"))))
-                 .select(F.col("_idb").alias(id_col))
+                 .select(F.when(F.col("_csa") > F.col("_csb"),
+                                F.col("_ida"))
+                         .otherwise(F.col("_idb")).alias(id_col))
                  .distinct())
 
     out = assigned.join(

@@ -43,12 +43,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..operators.drift import drift_points
-from ..operators.extract import extract_pages
+from ..operators.extract import OK_STATUSES, extract_pages
 from ..operators.induction import induce_templates
 from .pipeline import build_extract_plan, dedup_latest, prepare_pages
-
-#: statuses that count as an extraction success for drift purposes
-_OK_STATUSES = ("ok", "ok_heuristic")
 
 _REGISTRY_SCHEMA = ("host_pattern string, template_id string, "
                     "template_json string")
@@ -60,7 +57,7 @@ def _narrow_status(out: DataFrame) -> DataFrame:
     return out.select(
         "url", "warc_ts", "status",
         F.try_parse_url("url", F.lit("HOST")).alias("host"),
-        F.col("status").isin(*_OK_STATUSES).alias("ok"))
+        F.col("status").isin(*OK_STATUSES).alias("ok"))
 
 
 def refresh_templates(pages: DataFrame, templates: DataFrame,

@@ -30,7 +30,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.extract import extract_pages
+from ..operators.extract import OK_STATUSES, extract_pages
 from ..plans.pipeline import attach_template, prepare_pages
 
 
@@ -174,8 +174,12 @@ def stream_host_error_rates(spark: SparkSession, source_dir: str,
     for the window is already evicted and the row is emitted nowhere;
     monitoring tolerates that, dedup would not). Append mode means a
     window is emitted exactly once, when the watermark passes its
-    end — the drift detector (``drift_points``) can then run as a
-    plain batch query over the sink, no reprocessing.
+    end — the drift detector then runs as a plain batch query over
+    the sink via ``drift_points_daily`` (operators/drift.py), which
+    consumes the sink's (host, window, n_pages, n_err) AGGREGATES
+    with exact error-rate weighting; do not binarize window rows
+    into the row-level ``drift_points`` API (r06 review: a host with
+    any baseline errors pins at rate 1.0 and real jumps vanish).
 
     Scale shape: Spark maintains per-(host, window) partial aggregates
     in the state store — map-side combined, keyed state ~|active
@@ -195,7 +199,7 @@ def stream_host_error_rates(spark: SparkSession, source_dir: str,
             host_col, F.try_parse_url("url", F.lit("HOST")))
     if ok_col not in stream.columns and "status" in stream.columns:
         stream = stream.withColumn(
-            ok_col, F.col("status").isin("ok", "ok_heuristic"))
+            ok_col, F.col("status").isin(*OK_STATUSES))
     stream = stream.withWatermark(ts_col, watermark)
     err = (~F.col(ok_col).cast("boolean")).cast("int")
     agg = (stream
