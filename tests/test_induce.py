@@ -160,3 +160,34 @@ def test_disjoint_samples_fail_honestly():
                                    '<table><tr><td>z</td></tr></table>'])
     from weakscraper_spark.enginelib.match import extract
     assert extract(spec, '<div><h1>C</h1><p>w</p></div>')["status"] == "ok"
+
+
+def test_robust_validation_rejects_overfit_fixed_count_list():
+    """The r06 correctness-sweep bug at kernel level: induction
+    samples whose list happens to be near-uniform ({2,2,2,3} items)
+    must still learn the wp-list — slot count alone preferred the
+    leave-one-out {2,2,2} fixed-count skeleton (more slots) which
+    fails every unseen count. A held-out validation set with varied
+    counts must reject the overfit candidate."""
+    from weakscraper_spark.enginelib.induce import induce_template_robust
+    from weakscraper_spark.enginelib.match import extract
+
+    def page(n_items, j):
+        lis = "".join(f'<li class="m"><b>u{j}{i}</b>'
+                      f"<span>m{j}{i}</span></li>"
+                      for i in range(n_items))
+        return (f"<html><body><h2>t{j}</h2><ol>{lis}</ol>"
+                f"<p>s{j}</p></body></html>")
+
+    samples = [page(2, 0), page(2, 1), page(2, 2), page(3, 3)]
+    validate = [page(n, 10 + j) for j, n in
+                enumerate((1, 2, 3, 4, 2, 4, 1, 3))]
+    spec = induce_template_robust(samples, validate_htmls=validate)
+    for n in (1, 2, 3, 4, 5):   # incl. counts beyond any sample
+        r = extract(spec, page(n, 99))
+        assert r["status"] == "ok", (n, r["status"], r["error"])
+    # and the captures still come through on an unseen page
+    fields = extract(spec, page(2, 42))["fields"] or {}
+    blob = str(fields)
+    for want in ("t42", "u420", "m421", "s42"):
+        assert want in blob, (want, fields)

@@ -229,28 +229,53 @@ def _n_slots(spec: Spec) -> int:
 
 
 def induce_template_robust(sample_htmls: list[str],
-                           slot_prefix: str = "slot") -> Spec:
+                           slot_prefix: str = "slot",
+                           validate_htmls: list[str] | None = None
+                           ) -> Spec:
     """Outlier-tolerant induction: real crawl samples include the odd
     off-template page (error page, redirect stub), and ONE such sample
     degrades alignment silently — diverged subtrees fall back to
     ``wp-ignore-content``, so the failure mode is fewer capture slots,
     not an exception. Induce on the full set AND on every leave-one-out
-    subset, return the spec with the MOST capture slots (ties prefer
-    the full set). k is small, so k+1 inductions are cheap."""
-    best = None
-    best_key = (-1, -1)
+    subset; k is small, so k+1 inductions are cheap.
+
+    Candidate selection VALIDATES each induced spec by extracting the
+    ``validate_htmls`` (falling back to the samples themselves):
+    candidates matching markedly fewer validation pages than the best
+    (more than ``max(1, n_val // 8)`` behind) are eliminated, then
+    the survivor with the MOST capture slots wins (ties → more
+    matched pages, then the larger induction set). The two failure
+    modes this balances (r06, found by the correctness sweep):
+    slot-count alone prefers an OVERFIT spec — samples {2,2,2,3
+    list items} leave-one-out to {2,2,2}, induce a fixed-count
+    skeleton with more slots than the true wp-list, and fail every
+    unseen count — while match-count alone prefers the OVER-GENERAL
+    collapsed spec (ignore_content matches even the outlier page and
+    captures nothing). Validation coverage with a slot tie-break
+    rejects the overfit spec outright and keeps the outlier-tolerant
+    one inside the tolerance band. Pass a held-out page set (the
+    distributed stage does) to make the coverage signal sharp; the
+    same-set fallback is no weaker than the pre-r06 behavior."""
+    from .match import extract
+
+    val = validate_htmls if validate_htmls else sample_htmls
     candidates = [sample_htmls]
     if len(sample_htmls) > 2:
         candidates += [sample_htmls[:i] + sample_htmls[i + 1:]
                        for i in range(len(sample_htmls))]
+    scored = []
     for cand in candidates:
         try:
             spec = induce_template(cand, slot_prefix)
         except TemplateError:
             continue
-        key = (_n_slots(spec), len(cand))
-        if key > best_key:
-            best, best_key = spec, key
-    if best is None:
+        n_match = sum(1 for h in val
+                      if extract(spec, h)["status"] == "ok")
+        scored.append((spec, n_match, _n_slots(spec), len(cand)))
+    if not scored:
         raise TemplateError("no alignable sample subset")
-    return best
+    best_match = max(s[1] for s in scored)
+    tol = max(1, len(val) // 8)
+    eligible = [s for s in scored if s[1] >= best_match - tol]
+    spec, _, _, _ = max(eligible, key=lambda s: (s[2], s[1], s[3]))
+    return spec
