@@ -2167,6 +2167,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           _dec(F.col("threshold"), 6).alias("threshold"))
     q["prune_quantile"] = prune_quantile
 
+    # ---- DSIR importance resampling (operators/dsir.py, r06 —
+    # Xie et al. 2023): hashed unigram+bigram models on a target
+    # slice vs the full corpus, per-doc log importance weights,
+    # quantile-threshold selection. Fully mirrored in SQL (mirrored
+    # tokenization, md5 buckets, ln-ratio sums rounded 6dp,
+    # quantile_cont threshold). --------------------------------------------
+    def dsir_select(spark, sf):
+        from weakscraper_spark.operators.dsir import (
+            dsir_select as dsel)
+        docs = _t(spark, sf, "documents")
+        target = docs.filter((F.col("lang") == "en") &
+                             (F.col("doc_id") % 10 == 0))
+        out = dsel(docs, target, keep_frac=0.5, n_buckets=256)
+        return out.select(
+            "doc_id", "n_grams",
+            _dec(F.col("logw"), 4).alias("logw"),
+            _dec(F.col("threshold"), 4).alias("threshold"), "keep")
+    q["dsir_select"] = dsir_select
+
     # ---- CDX index family (operators/cdx.py, r06): SURT canonical
     # keys + CDXJ line parsing + per-urlkey digest dedup. Planted
     # line corpus from doc_id arithmetic (frame-broken and
@@ -2289,8 +2308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dup/trim_substrings localCheckpoint; ivf_ann_topk init change),
     # (3) rotation of the rest.
     _sample_first = [
-        "template_refresh", "semantic_dedup", "surt_keys",
-        "cdx_records", "cdx_dedup", "pdf_pages",
+        "template_refresh", "semantic_dedup", "dsir_select",
+        "surt_keys", "cdx_records", "cdx_dedup", "pdf_pages",
         "compression_ratios", "induce_hosts", "md_convert",
         "bucketed_join", "feed_discovery", "dup_substrings",
         "trim_substrings", "ivf_ann_topk",
@@ -4234,6 +4253,61 @@ def oracle_sql() -> dict[str, str]:
         "induce_hosts": f"""
             SELECT host_pattern, template_id, n_samples, status
             FROM read_parquet('{_TRUTH_ROOT}/induce_hosts/*.parquet')
+        """,
+        # DSIR twin: mirrored tokenization → unigram+bigram instances
+        # → md5 buckets → add-1-smoothed ln ratios → per-doc sums
+        # (6dp) → quantile_cont threshold
+        "dsir_select": """
+            WITH tk AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+')
+                           AS t
+                FROM documents),
+            grams AS (
+                SELECT doc_id, unnest(t) AS g FROM tk
+                UNION ALL
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                              i -> t[i] || ' ' || t[i + 1])) AS g
+                FROM tk WHERE len(t) >= 2),
+            inst AS (
+                SELECT doc_id,
+                       (('0x' || substr(md5('42:g:' || g), 1, 15))
+                        ::UBIGINT % 256)::BIGINT AS b
+                FROM grams),
+            tgt AS (SELECT doc_id FROM documents
+                    WHERE lang = 'en' AND doc_id % 10 = 0),
+            cr AS (SELECT b, count(*) AS c FROM inst GROUP BY b),
+            ct AS (SELECT i.b, count(*) AS c
+                   FROM inst i JOIN tgt USING (doc_id) GROUP BY i.b),
+            tot AS (SELECT (SELECT sum(c) FROM cr) AS big_r,
+                           (SELECT coalesce(sum(c), 0) FROM ct)
+                               AS big_t),
+            ratios AS (
+                SELECT coalesce(cr.b, ct.b) AS b,
+                       ln(coalesce(ct.c, 0) + 1.0)
+                       - ln(big_t + 256.0)
+                       - ln(coalesce(cr.c, 0) + 1.0)
+                       + ln(big_r + 256.0) AS ratio
+                FROM cr FULL JOIN ct ON cr.b = ct.b CROSS JOIN tot),
+            per_doc AS (
+                SELECT i.doc_id, count(*) AS n_grams,
+                       round(sum(r.ratio), 6) AS logw
+                FROM inst i JOIN ratios r ON i.b = r.b
+                GROUP BY i.doc_id),
+            w AS (
+                SELECT d.doc_id,
+                       coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+                       coalesce(p.logw, 0.0) AS logw
+                FROM documents d LEFT JOIN per_doc p USING (doc_id)),
+            thr AS (SELECT quantile_cont(logw, 0.5) AS t FROM w)
+            SELECT doc_id, n_grams,
+                   CAST(CAST(round(logw, 4) AS DECIMAL(18,4))
+                        AS VARCHAR) AS logw,
+                   CAST(CAST(round(t, 4) AS DECIMAL(18,4))
+                        AS VARCHAR) AS threshold,
+                   (logw >= t) AS keep
+            FROM w CROSS JOIN thr
         """,
         # CDX family closed forms: the SURT transform's expected output
         # and the CDXJ parse/dedup results are all stated directly

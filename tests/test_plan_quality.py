@@ -513,3 +513,24 @@ def test_tfidf_topk_windows_over_aggregate(spark):
     exch = [i for i, n in nodes if n == "Exchange"]
     assert wgl and exch and min(wgl) < max(exch), nodes
     assert not [n for _, n in nodes if "Python" in n], nodes
+
+
+def test_dsir_plan_broadcast_ratios_no_python(spark):
+    """DSIR's per-bucket log-ratio table (O(n_buckets)) must come back
+    to the corpus-width instance stream as a BROADCAST join; the
+    threshold is a broadcast scalar; no Python stage, no window, no
+    cartesian product beyond the 1-row stats sides."""
+    from weakscraper_spark.operators.dsir import dsir_select
+
+    docs = _docs_df(spark, 8)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        nodes = _plan_nodes(dsir_select(docs, docs.limit(2),
+                                        n_buckets=64))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    names = [n for _, n in nodes]
+    assert "BroadcastHashJoin" in names, nodes
+    assert "Window" not in names, nodes
+    assert "BatchEvalPython" not in names, nodes
+    assert "ArrowEvalPython" not in names, nodes

@@ -1424,3 +1424,56 @@ def test_encode_bpe_empty_and_no_merges(spark):
     # no merges: every char + EOW is a piece
     assert got[1] == (1, 3)
     assert got[2] == (0, 0) and got[3] == (0, 0)
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """The importance weights must rank target-distribution docs above
+    off-distribution ones (the paper's whole point): with a target of
+    cooking text, cooking-ish raw docs outscore code-ish ones; empty
+    docs stay visible at logw 0."""
+    from weakscraper_spark.operators.dsir import dsir_select, dsir_weights
+    cook = "stir the sauce add salt and pepper then simmer the sauce"
+    code = "def main args return int x plus y lambda map filter"
+    # doc 2 reuses the target's BIGRAM support (a reshuffled-words
+    # variant scores negative under a 2-doc target — its novel
+    # bigrams are all unseen, which is faithful DSIR behavior, not a
+    # fixture-worthy near-target doc)
+    raw = spark.createDataFrame(
+        [(1, cook), (2, "add salt and pepper then simmer the sauce"),
+         (3, code), (4, "lambda filter map args return def"),
+         (5, "")],
+        "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(100, cook), (101, "simmer the sauce with salt")],
+        "doc_id long, text string")
+    # alpha sized for the tiny fixture (operator docstring): the
+    # smoothing mass α·B must stay small against the gram totals or
+    # every ratio is pulled toward the corpus-size constant
+    kw = dict(n_buckets=64, alpha=0.01)
+    w = {r.doc_id: r for r in
+         dsir_weights(raw, target, **kw).collect()}
+    assert len(w) == 5
+    assert w[5].n_grams == 1  # '' tokenizes to [''] — one bucket
+    assert w[1].logw > w[3].logw
+    assert w[2].logw > w[4].logw
+    assert min(w[1].logw, w[2].logw) > max(w[3].logw, w[4].logw)
+
+    sel = {r.doc_id: r for r in
+           dsir_select(raw, target, keep_frac=0.4, **kw).collect()}
+    kept = {i for i, r in sel.items() if r.keep}
+    assert kept == {1, 2}
+    thr = {r.threshold for r in sel.values()}
+    assert len(thr) == 1  # one global threshold, broadcast back
+
+
+def test_dsir_deterministic_across_runs(spark):
+    from weakscraper_spark.operators.dsir import dsir_weights
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common words here tail {i % 3}")
+         for i in range(6)], "doc_id long, text string")
+    tgt = docs.filter("doc_id < 2")
+    a = sorted((r.doc_id, r.n_grams, r.logw)
+               for r in dsir_weights(docs, tgt).collect())
+    b = sorted((r.doc_id, r.n_grams, r.logw)
+               for r in dsir_weights(docs, tgt).collect())
+    assert a == b
