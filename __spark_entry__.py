@@ -2167,6 +2167,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           _dec(F.col("threshold"), 6).alias("threshold"))
     q["prune_quantile"] = prune_quantile
 
+    # ---- Page-policy directives (operators/metadata.py, r06):
+    # robots-meta noindex/nofollow gating + canonical-variant
+    # collapse — planted tag corpora from doc_id arithmetic (attr
+    # order swaps, casing, 'none' shorthand, entity-escaped and
+    # relative hrefs, <base href> interplay, look-alike
+    # distractors); closed-form oracles. -----------------------------------
+    def robots_noindex(spark, sf):
+        from weakscraper_spark.operators.metadata import (
+            robots_meta_flags)
+        d = F.col("doc_id")
+        ds = d.cast("string")
+        meta = (
+            F.when(d % 5 == 0, F.lit(
+                '<meta name="robots" content="noindex, follow">'))
+            .when(d % 5 == 1, F.lit(
+                '<META CONTENT="NOFOLLOW" NAME="robots">'))
+            .when(d % 5 == 2, F.lit(
+                '<meta name="robots" content="none">'))
+            .when(d % 5 == 3, F.lit(
+                '<meta name="robots" content="index, follow">'))
+            .otherwise(F.lit("")))
+        distract = F.lit(
+            '<meta name="description" content="noindex mention">')
+        pages = _t(spark, sf, "documents").select(
+            F.concat(F.lit("https://h"), (d % 10).cast("string"),
+                     F.lit(".example.org/p/a/"), ds).alias("url"),
+            F.concat(F.lit("<html><head>"), meta, distract,
+                     F.lit("</head><body>x</body></html>"))
+             .alias("html"))
+        return robots_meta_flags(pages).select(
+            "url", "noindex", "nofollow")
+    q["robots_noindex"] = robots_noindex
+
+    def canonical_groups(spark, sf):
+        from weakscraper_spark.operators.metadata import (
+            canonical_dedup)
+        d = F.col("doc_id")
+        ds = d.cast("string")
+        gs = (d - d % 4).cast("string")
+        href = (
+            F.when(d % 4 == 1, F.concat(
+                F.lit('<link rel="canonical" '
+                      'href="https://c.example.org/canon/'), gs,
+                F.lit('?a=1&amp;b=2">')))
+            .when(d % 4 == 2, F.concat(
+                F.lit('<link href="/canon/'), gs,
+                F.lit('" rel="canonical">')))
+            .when(d % 4 == 3, F.concat(
+                F.lit('<link rel="canonical" href="x/'), gs,
+                F.lit('">')))
+            .otherwise(F.lit("")))
+        base = F.when(d % 9 == 0, F.lit(
+            '<base href="https://b.example.org/dir/">')) \
+            .otherwise(F.lit(""))
+        distract = F.lit('<link rel="alternate" href="/alt.xml">')
+        pages = _t(spark, sf, "documents").select(
+            F.concat(F.lit("https://h"), (d % 10).cast("string"),
+                     F.lit(".example.org/p/a/"), ds).alias("url"),
+            F.concat(F.lit("<html><head>"), base, href, distract,
+                     F.lit("</head><body>x</body></html>"))
+             .alias("html"))
+        return canonical_dedup(pages)
+    q["canonical_groups"] = canonical_groups
+
     # ---- DSIR importance resampling (operators/dsir.py, r06 —
     # Xie et al. 2023): hashed unigram+bigram models on a target
     # slice vs the full corpus, per-doc log importance weights,
@@ -2309,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (3) rotation of the rest.
     _sample_first = [
         "template_refresh", "semantic_dedup", "dsir_select",
+        "robots_noindex", "canonical_groups",
         "surt_keys", "cdx_records", "cdx_dedup", "pdf_pages",
         "compression_ratios", "induce_hosts", "md_convert",
         "bucketed_join", "feed_discovery", "dup_substrings",
@@ -4253,6 +4318,54 @@ def oracle_sql() -> dict[str, str]:
         "induce_hosts": f"""
             SELECT host_pattern, template_id, n_samples, status
             FROM read_parquet('{_TRUTH_ROOT}/induce_hosts/*.parquet')
+        """,
+        # page-policy closed forms
+        "robots_noindex": """
+            SELECT 'https://h' || (doc_id % 10) ||
+                       '.example.org/p/a/' || doc_id AS url,
+                   (doc_id % 5 IN (0, 2)) AS noindex,
+                   (doc_id % 5 IN (1, 2)) AS nofollow
+            FROM documents
+        """,
+        "canonical_groups": """
+            WITH c AS (
+                SELECT doc_id AS d,
+                       'https://h' || (doc_id % 10) ||
+                           '.example.org/p/a/' || doc_id AS url,
+                       CASE
+                         WHEN doc_id % 4 = 1 THEN
+                           'https://c.example.org/canon/' ||
+                           (doc_id - doc_id % 4) || '?a=1&b=2'
+                         WHEN doc_id % 4 = 2 THEN
+                           -- a <base href> re-bases ROOT-relative
+                           -- hrefs too (WHATWG): origin comes from
+                           -- the base when one is declared
+                           CASE WHEN doc_id % 9 = 0 THEN
+                             'https://b.example.org/canon/' ||
+                             (doc_id - doc_id % 4)
+                           ELSE
+                             'https://h' || (doc_id % 10) ||
+                             '.example.org/canon/' ||
+                             (doc_id - doc_id % 4)
+                           END
+                         WHEN doc_id % 4 = 3 THEN
+                           CASE WHEN doc_id % 9 = 0 THEN
+                             'https://b.example.org/dir/x/' ||
+                             (doc_id - doc_id % 4)
+                           ELSE
+                             'https://h' || (doc_id % 10) ||
+                             '.example.org/p/a/x/' ||
+                             (doc_id - doc_id % 4)
+                           END
+                         ELSE 'https://h' || (doc_id % 10) ||
+                              '.example.org/p/a/' || doc_id
+                       END AS canonical_url
+                FROM documents)
+            SELECT canonical_url, count(*)::BIGINT AS n_pages,
+                   min(url) AS first_url,
+                   sum(CASE WHEN canonical_url = url THEN 1
+                            ELSE 0 END)::BIGINT AS n_self
+            FROM c GROUP BY canonical_url
         """,
         # DSIR twin: mirrored tokenization → unigram+bigram instances
         # → md5 buckets → add-1-smoothed ln ratios → per-doc sums

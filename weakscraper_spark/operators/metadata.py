@@ -23,7 +23,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from ..enginelib.dom import is_tag, is_text, parse_html
 
@@ -121,3 +121,94 @@ def page_metadata(df: DataFrame, url_col: str = "url",
             yield pd.DataFrame(out)
 
     return df.select(url_col, html_col).mapInPandas(run, META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Scan-tier page-policy directives (r06): robots meta + canonical
+# dedup as pure JVM column expressions — the corpus-POLICY half of
+# head metadata. `page_metadata` above is the full Python parser for
+# metadata COLUMNS; these run at scan speed over the whole crawl
+# (zero Python) because they gate which rows even enter a corpus:
+# noindex pages must be excluded (the publisher opted out of
+# indexing — the corpus-hygiene convention), and canonical variants
+# must collapse to one document before any content dedup runs.
+# ---------------------------------------------------------------------------
+
+#: first <meta ... name="robots" ...> tag, attribute order free
+_ROBOTS_META_RE = (r'(?is)<meta\s(?:[^>]*?\s)??name\s*=\s*'
+                   r'["\']robots["\'][^>]*>')
+
+#: first <link ... rel="canonical" ...> tag, attribute order free
+_CANONICAL_RE = (r'(?is)<link\s(?:[^>]*?\s)??rel\s*=\s*'
+                 r'["\']canonical["\'][^>]*>')
+
+
+def robots_meta_flags(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Append ``noindex`` / ``nofollow`` booleans from the page's
+    FIRST ``<meta name="robots">`` tag (the robots-meta convention:
+    directives are comma-separated tokens; ``none`` ≡
+    ``noindex, nofollow``; a missing tag or empty content means
+    indexable). Attribute order inside the tag is free —
+    ``<meta content=... name="robots">`` is legal and common."""
+    html = F.col(html_col)
+    if dict(df.dtypes)[html_col] == "binary":
+        html = html.cast("string")
+    tag = F.regexp_extract(html, _ROBOTS_META_RE, 0)
+    content = F.lower(F.regexp_extract(
+        tag, r'(?is)content\s*=\s*["\']([^"\']*)', 1))
+    tok = r'(?:^|,)\s*{}\s*(?:,|$)'
+    return (df.withColumn(
+                "noindex",
+                content.rlike(tok.format("noindex")) |
+                content.rlike(tok.format("none")))
+            .withColumn(
+                "nofollow",
+                content.rlike(tok.format("nofollow")) |
+                content.rlike(tok.format("none"))))
+
+
+def canonical_target(df: DataFrame, html_col: str = "html",
+                     url_col: str = "url") -> DataFrame:
+    """Append ``canonical_url``: the page's declared canonical
+    location — the FIRST ``<link rel="canonical">`` href, entity-
+    decoded and resolved against the page (honoring a ``<base
+    href>``, itself resolved first — the links/feeds discipline);
+    the page's own url when no canonical is declared. Scan-tier
+    narrow map."""
+    from .links import _BASE_RE, resolve_href
+    from .sitemap import decode_predefined_entities
+
+    html = F.col(html_col)
+    if dict(df.dtypes)[html_col] == "binary":
+        html = html.cast("string")
+    base_raw = F.regexp_extract(html, _BASE_RE, 1)
+    base_raw = F.trim(F.regexp_replace(base_raw, r"^['\"]|['\"]$", ""))
+    base = F.when(base_raw == "", F.col(url_col)) \
+        .otherwise(resolve_href(F.col(url_col), base_raw))
+    tag = F.regexp_extract(html, _CANONICAL_RE, 0)
+    href = F.nullif(decode_predefined_entities(F.regexp_extract(
+        tag, r'(?is)href\s*=\s*["\']([^"\']*)["\']', 1)), F.lit(""))
+    return df.withColumn(
+        "canonical_url",
+        F.when(href.isNull(), F.col(url_col))
+         .otherwise(resolve_href(base, href)))
+
+
+def canonical_dedup(df: DataFrame, html_col: str = "html",
+                    url_col: str = "url") -> DataFrame:
+    """Collapse canonical variants BEFORE content dedup: one row per
+    declared canonical target,
+
+    (canonical_url, n_pages, first_url, n_self)
+
+    ``n_self`` counts pages that ARE their canonical (self-canonical
+    or undeclared); a group with n_self = 0 is a canonical target the
+    crawl never fetched directly — frontier material. One map-side-
+    combinable groupBy on the canonical key."""
+    with_c = canonical_target(df, html_col, url_col)
+    return (with_c.groupBy("canonical_url")
+            .agg(F.count("*").alias("n_pages"),
+                 F.min(url_col).alias("first_url"),
+                 F.sum(F.when(F.col("canonical_url") ==
+                              F.col(url_col), 1).otherwise(0))
+                 .cast("long").alias("n_self")))
