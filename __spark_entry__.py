@@ -1506,6 +1506,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              .alias("rank")).orderBy("node"))
     q["host_rank"] = host_rank
 
+    # ---- ADAPTIVE RECRAWL PLANNER (plans/recrawl.py, r06): the
+    # crawl-side operational loop — host-graph PageRank (importance)
+    # × snapshot churn → quantile-banded recrawl intervals. Planted
+    # churn over the SAME linked-host universe; the oracle composes
+    # the pagerank CTE twin with the churn closed form and mirrors
+    # score/thresholds/banding exactly. -------------------------------------
+    def recrawl_plan(spark, sf):
+        from weakscraper_spark.operators.drift import (
+            snapshot_change_rate)
+        from weakscraper_spark.operators.links import (
+            extract_links, host_graph, pagerank)
+        from weakscraper_spark.plans.recrawl import plan_recrawl
+        pages = _linked(spark, sf)
+        _stage_truth(pages.select("url", "links"), "recrawl_plan")
+        ranks = pagerank(host_graph(extract_links(pages)), iters=10)
+        i = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+        host = F.lower(F.regexp_extract(
+            "url", r"^[^:/?#]+://([^/?#:]*)", 1))
+        base = pages.select("url", i.alias("i"), host.alias("host"))
+        ii = F.col("i")
+        old = base.select(
+            "host", "url",
+            F.concat(F.lit("c"), ii.cast("string"))
+             .alias("content_hash"))
+        kept = base.filter(ii % 10 != 0).select(
+            "host", "url",
+            F.concat(F.when(ii % 7 == 0, F.lit("x"))
+                      .otherwise(F.lit("c")), ii.cast("string"))
+             .alias("content_hash"))
+        added = base.filter(ii % 11 == 0).select(
+            "host",
+            F.concat(F.col("url"), F.lit("?v=2")).alias("url"),
+            F.concat(F.lit("a"), ii.cast("string"))
+             .alias("content_hash"))
+        churn = snapshot_change_rate(old, kept.unionByName(added))
+        plan = plan_recrawl(ranks, churn)
+        return plan.select(
+            "host", _dec(F.col("rank"), 8).alias("rank"),
+            _dec(F.col("change_rate"), 6).alias("change_rate"),
+            _dec(F.col("score"), 8).alias("score"), "interval_days")
+    q["recrawl_plan"] = recrawl_plan
+
     def anchor_topk(spark, sf):
         from weakscraper_spark.operators.links import (
             anchor_topk as _atk, extract_links)
@@ -2373,7 +2415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (3) rotation of the rest.
     _sample_first = [
         "template_refresh", "semantic_dedup", "dsir_select",
-        "robots_noindex", "canonical_groups",
+        "robots_noindex", "canonical_groups", "recrawl_plan",
         "surt_keys", "cdx_records", "cdx_dedup", "pdf_pages",
         "compression_ratios", "induce_hosts", "md_convert",
         "bucketed_join", "feed_discovery", "dup_substrings",
@@ -3356,6 +3398,57 @@ def oracle_sql() -> dict[str, str]:
             FROM ({pagerank_sql(_host_edges('host_rank'),
                                 damping=0.85, iters=10)})
             ORDER BY node
+        """,
+        "recrawl_plan": f"""
+            WITH pr AS (
+                SELECT node, rank FROM
+                ({pagerank_sql(_host_edges('recrawl_plan'),
+                               damping=0.85, iters=10)})),
+            u AS (
+                SELECT url,
+                       lower(regexp_extract(url,
+                           '^[^:/?#]+://([^/?#:]*)', 1)) AS host,
+                       regexp_extract(url, '/p/(\\d+)$', 1)::BIGINT
+                           AS i
+                FROM (SELECT DISTINCT url FROM read_parquet(
+                          '{_TRUTH_ROOT}/recrawl_plan/*.parquet'))),
+            ch AS (
+                SELECT host,
+                       sum(CASE WHEN i % 10 <> 0 AND i % 7 = 0
+                                THEN 1 ELSE 0 END) AS n_changed,
+                       sum(CASE WHEN i % 10 <> 0 AND i % 7 <> 0
+                                THEN 1 ELSE 0 END) AS n_same
+                FROM u GROUP BY host),
+            cr AS (
+                SELECT host,
+                       n_changed::DOUBLE /
+                           nullif(n_changed + n_same, 0)
+                           AS change_rate
+                FROM ch),
+            j AS (
+                SELECT coalesce(pr.node, cr.host) AS host,
+                       pr.rank, cr.change_rate
+                FROM pr FULL JOIN cr ON pr.node = cr.host),
+            sc AS (
+                SELECT host, rank, change_rate,
+                       round(coalesce(rank, 0.0) *
+                             (0.1 + coalesce(change_rate, 0.5)), 8)
+                           AS score
+                FROM j),
+            thr AS (SELECT quantile_cont(score, 0.8) AS hot,
+                           quantile_cont(score, 0.5) AS warm
+                    FROM sc)
+            SELECT host,
+                   CAST(CAST(round(rank, 8) AS DECIMAL(18,8))
+                        AS VARCHAR) AS rank,
+                   CAST(CAST(round(change_rate, 6) AS DECIMAL(18,6))
+                        AS VARCHAR) AS change_rate,
+                   CAST(CAST(round(score, 8) AS DECIMAL(18,8))
+                        AS VARCHAR) AS score,
+                   (CASE WHEN score >= hot THEN 1
+                         WHEN score >= warm THEN 7
+                         ELSE 30 END)::INT AS interval_days
+            FROM sc CROSS JOIN thr
         """,
         "anchor_topk": f"""
             WITH t AS (
