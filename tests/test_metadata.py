@@ -24,6 +24,16 @@ def test_robots_meta_flags(spark):
          False, False),
         ("g", '<meta name="robots" content="max-snippet:-1,noindex">',
          True, False),
+        # MULTIPLE robots metas combine, most restrictive wins (a CMS
+        # tag + an SEO-plugin tag is the common real-world pair)
+        ("h", '<meta name="robots" content="max-image-preview:large">'
+              '<meta name="robots" content="noindex">', True, False),
+        # attr-shadowing attempts (r06 review): x-content- prefixed
+        # attr and a quoted value containing content= must not count
+        ("i", '<meta name="robots" x-content="noindex">',
+         False, False),
+        ("j", '<meta data-x="content=\'none\'" name="robots" '
+              'content="index">', False, False),
     ]
     df = spark.createDataFrame(
         [(u, f"<html><head>{m}</head><body></body></html>")
@@ -49,6 +59,16 @@ def test_canonical_target_resolution(spark):
         ("none", "", page),
         # alternate link must not leak through
         ("alt", '<link rel="alternate" href="/alt">', page),
+        # data-href must not shadow the real href (r06 review), and
+        # stray attribute whitespace is trimmed
+        ("shadow", '<link rel="canonical" data-href="https://evil/x"'
+                   ' href="https://good/y">', "https://good/y"),
+        ("ws", '<link rel="canonical" href=" /c/1 ">',
+         "https://site.example.org/c/1"),
+        # entity-escaped BASE href decodes before resolution
+        ("entbase", '<base href="/x/?a=1&amp;b=2">'
+                    '<link rel="canonical" href="c9">',
+         "https://site.example.org/x/c9"),
     ]
     df = spark.createDataFrame(
         [(k, page, f"<html><head>{m}</head></html>")

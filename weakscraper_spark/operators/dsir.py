@@ -73,8 +73,11 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
     """(id, n_grams, logw) for every RAW document. ``logw`` is the
     summed per-instance log probability ratio, rounded to 6dp so the
     value (and any threshold derived from it) hashes identically
-    across engines; docs with no grams (empty text) get n_grams 0 /
-    logw 0.0 — visible, not dropped.
+    across engines. Docs with NULL text produce no gram rows and get
+    n_grams 0 / logw 0.0 — visible, not dropped; note the mirrored
+    tokenization maps '' to [''] (one empty-string unigram), so an
+    empty-TEXT doc scores that one bucket like every other engine
+    surface in this repo does.
 
     Weights are LENGTH-PROPORTIONAL sums (the paper's form — longer
     docs accumulate more evidence either way). Sizing note: pick
@@ -88,8 +91,12 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
     inst_t = _gram_instances(target, id_col, col, n_buckets, seed)
     cr = _bucket_counts(inst_r)
     ct = _bucket_counts(inst_t)
-    tot_r = cr.agg(F.sum("c").alias("Cr"))
-    tot_t = ct.agg(F.sum("c").alias("Ct"))
+    # coalesce: an EMPTY side sums to NULL, which would null every
+    # ratio and silently zero every weight (r06 review: an empty
+    # target then made dsir_select keep 100% of the corpus); with 0
+    # the smoothed model degrades gracefully to uniform
+    tot_r = cr.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("Cr"))
+    tot_t = ct.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("Ct"))
     a = float(alpha)
     ab = a * n_buckets
     ratios = (cr.withColumnRenamed("c", "c_r")
@@ -126,6 +133,9 @@ def dsir_select(raw: DataFrame, target: DataFrame,
     percentile of the (6dp-rounded) weights — F.percentile matches
     DuckDB quantile_cont bit-for-bit (r05) — computed once and
     broadcast back; no corpus sort, no window."""
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got "
+                         f"{keep_frac}")  # prune_by_quantile contract
     w = dsir_weights(raw, target, id_col, col, n_buckets, alpha,
                      seed)
     thr = w.agg(F.percentile("logw",

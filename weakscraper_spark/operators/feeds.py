@@ -159,7 +159,7 @@ def discover_feeds(df: DataFrame, html_col: str = "html",
     (pages must escape & in attributes). Tags without an href, or
     without the feed MIME type, contribute nothing; rel=alternate is
     required (a rel="self" stylesheet link must not leak through)."""
-    from .links import _BASE_RE, resolve_href
+    from .links import attr_value, page_base, resolve_href
 
     html = F.col(html_col)
     if dict(df.dtypes)[html_col] == "binary":
@@ -168,29 +168,23 @@ def discover_feeds(df: DataFrame, html_col: str = "html",
         F.regexp_extract_all(html, F.lit(_LINK_TAG_RE), 0),
         lambda t: t.rlike(_FEED_TYPE_RE) &
         t.rlike(r'(?is)rel\s*=\s*["\']alternate["\']'))
-    base_raw = F.nullif(
-        _decode_entities(F.regexp_extract(
-            F.regexp_extract(html, _BASE_RE, 0),
-            r'(?is)href\s*=\s*["\']?([^"\'\s>]*)', 1)),
-        F.lit(""))
-    # a <base href> may itself be RELATIVE (legal per WHATWG) — it is
-    # resolved against the page url before it becomes the resolution
-    # base, exactly as links.extract_links does; feeding a bare
-    # "/x/" into resolve_href as the base would strip the scheme and
-    # emit "://…" garbage (r05 advice)
-    base = F.when(base_raw.isNull(), F.col(url_col)) \
-        .otherwise(resolve_href(F.col(url_col), base_raw))
+    # resolution base via the shared helper (r05 advice: a relative
+    # <base href> resolves against the page url first; r06 review:
+    # one implementation, not three drifting copies)
     rows = df.select(
         F.col(url_col).alias("page_url"),
-        base.alias("_base"),
+        page_base(html, F.col(url_col)).alias("_base"),
         F.explode(tags).alias("_t"))
-    href = F.nullif(_decode_entities(F.regexp_extract(
-        "_t", r'(?is)href\s*=\s*["\']([^"\']*)["\']', 1)), F.lit(""))
+    # whitespace-anchored attribute extraction (r06 review: a bare
+    # 'href=' substring match let data-href shadow the real one)
+    href = F.nullif(_decode_entities(attr_value(F.col("_t"), "href")),
+                    F.lit(""))
     kind = F.when(
         F.col("_t").rlike(r"(?is)application/rss\+xml"), "rss"
     ).otherwise("atom")
-    title = F.nullif(_decode_entities(F.regexp_extract(
-        "_t", r'(?is)title\s*=\s*["\']([^"\']*)["\']', 1)), F.lit(""))
+    title = F.nullif(
+        _decode_entities(attr_value(F.col("_t"), "title")),
+        F.lit(""))
     return (rows
             .select("page_url",
                     resolve_href(F.col("_base"), href).alias("feed_url"),

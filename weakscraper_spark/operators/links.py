@@ -67,6 +67,35 @@ def _scheme(url: Column) -> Column:
     return F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
 
 
+def attr_value(tag: Column, name: str) -> Column:
+    """The value of attribute ``name`` within ONE tag string —
+    whitespace-anchored exactly like the tag-level regexes (r06
+    review: a bare ``name=`` substring match let ``data-href=`` /
+    ``x-content=`` shadow the real attribute, and a quoted value
+    containing ``name='...'`` fabricate one), trimmed, quoted or
+    bare. Empty/missing → ''."""
+    pat = (r'(?is)^<\w+\s(?:[^>]*?\s)??' + name +
+           r'\s*=\s*("[^"]*"|\'[^\']*\'|[^\s>]+)')
+    raw = F.regexp_extract(tag, pat, 1)
+    return F.trim(F.regexp_replace(raw, r"^['\"]|['\"]$", ""))
+
+
+def page_base(html: Column, url: Column) -> Column:
+    """The page's resolution base: the first ``<base href>`` —
+    entity-decoded (attributes must escape ``&``), itself resolved
+    against the page url (a relative base href is legal per WHATWG)
+    — else the page url. The ONE implementation all href-resolving
+    operators share (r06 review: links/feeds/metadata each carried a
+    drifting copy)."""
+    from .sitemap import decode_predefined_entities
+
+    base_raw = F.regexp_extract(html, _BASE_RE, 1)
+    base_raw = decode_predefined_entities(
+        F.trim(F.regexp_replace(base_raw, r"^['\"]|['\"]$", "")))
+    return F.when(base_raw == "", url) \
+        .otherwise(resolve_href(url, base_raw))
+
+
 def resolve_href(base_url: Column, href: Column) -> Column:
     """RFC 3986-style reference resolution as a pure column
     expression (the subset real crawl corpora need): absolute kept,
@@ -101,14 +130,9 @@ def extract_links(df: DataFrame, html_col: str = "html",
     html = F.col(html_col)
     if dict(df.dtypes)[html_col] == "binary":
         html = html.cast("string")
-    # the page-level resolution base: the first <base href> if the
-    # page declares one (itself resolved against the url — relative
-    # base hrefs are legal), else the page url. Computed ONCE per
-    # page, before the explode fans out to per-link rows.
-    base_raw = F.regexp_extract(html, _BASE_RE, 1)
-    base_raw = F.trim(F.regexp_replace(base_raw, r"^['\"]|['\"]$", ""))
-    base = F.when(base_raw == "", F.col(url_col)) \
-        .otherwise(resolve_href(F.col(url_col), base_raw))
+    # the page-level resolution base (shared helper): computed ONCE
+    # per page, before the explode fans out to per-link rows
+    base = page_base(html, F.col(url_col))
     # materialize the <a> snippets as a column BEFORE the per-snippet
     # lambdas: Catalyst does not CSE inside transform() lambdas, so
     # extracting href and anchor from the raw page inside the lambda

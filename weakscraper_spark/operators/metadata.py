@@ -144,54 +144,60 @@ _CANONICAL_RE = (r'(?is)<link\s(?:[^>]*?\s)??rel\s*=\s*'
 
 
 def robots_meta_flags(df: DataFrame, html_col: str = "html") -> DataFrame:
-    """Append ``noindex`` / ``nofollow`` booleans from the page's
-    FIRST ``<meta name="robots">`` tag (the robots-meta convention:
-    directives are comma-separated tokens; ``none`` ≡
-    ``noindex, nofollow``; a missing tag or empty content means
-    indexable). Attribute order inside the tag is free —
-    ``<meta content=... name="robots">`` is legal and common."""
+    """Append ``noindex`` / ``nofollow`` booleans combined across
+    EVERY ``<meta name="robots">`` tag on the page — the robots-meta
+    convention: directives are comma-separated tokens, multiple tags
+    combine with the most restrictive winning (r06 review: a CMS
+    emits one robots meta and an SEO plugin appends another — taking
+    only the first violated the publisher's opt-out); ``none`` ≡
+    ``noindex, nofollow``; no tags / empty content means indexable.
+    Attribute order inside a tag is free, and attribute values are
+    extracted whitespace-anchored (a ``x-content=`` attribute or a
+    quoted value containing ``content=`` cannot shadow the real
+    one)."""
+    from .links import attr_value
+
     html = F.col(html_col)
     if dict(df.dtypes)[html_col] == "binary":
         html = html.cast("string")
-    tag = F.regexp_extract(html, _ROBOTS_META_RE, 0)
-    content = F.lower(F.regexp_extract(
-        tag, r'(?is)content\s*=\s*["\']([^"\']*)', 1))
+    tags = F.regexp_extract_all(html, F.lit(_ROBOTS_META_RE), 0)
+    contents = F.transform(
+        tags, lambda t: F.lower(attr_value(t, "content")))
     tok = r'(?:^|,)\s*{}\s*(?:,|$)'
-    return (df.withColumn(
-                "noindex",
-                content.rlike(tok.format("noindex")) |
-                content.rlike(tok.format("none")))
-            .withColumn(
-                "nofollow",
-                content.rlike(tok.format("nofollow")) |
-                content.rlike(tok.format("none"))))
+    noindex = F.exists(
+        contents, lambda c: c.rlike(tok.format("noindex")) |
+        c.rlike(tok.format("none")))
+    nofollow = F.exists(
+        contents, lambda c: c.rlike(tok.format("nofollow")) |
+        c.rlike(tok.format("none")))
+    return (df.withColumn("noindex", noindex)
+            .withColumn("nofollow", nofollow))
 
 
 def canonical_target(df: DataFrame, html_col: str = "html",
                      url_col: str = "url") -> DataFrame:
     """Append ``canonical_url``: the page's declared canonical
-    location — the FIRST ``<link rel="canonical">`` href, entity-
-    decoded and resolved against the page (honoring a ``<base
-    href>``, itself resolved first — the links/feeds discipline);
-    the page's own url when no canonical is declared. Scan-tier
-    narrow map."""
-    from .links import _BASE_RE, resolve_href
+    location — the FIRST ``<link rel="canonical">`` href,
+    whitespace-anchored attribute extraction (a ``data-href`` cannot
+    shadow the real href), trimmed, entity-decoded, and resolved
+    against the shared page base (``links.page_base``: <base href>
+    honored, itself decoded/trimmed/resolved first); the page's own
+    url when no canonical is declared. Scan-tier narrow map."""
+    from .links import attr_value, page_base, resolve_href
     from .sitemap import decode_predefined_entities
 
     html = F.col(html_col)
     if dict(df.dtypes)[html_col] == "binary":
         html = html.cast("string")
-    base_raw = F.regexp_extract(html, _BASE_RE, 1)
-    base_raw = F.trim(F.regexp_replace(base_raw, r"^['\"]|['\"]$", ""))
-    base = F.when(base_raw == "", F.col(url_col)) \
-        .otherwise(resolve_href(F.col(url_col), base_raw))
     tag = F.regexp_extract(html, _CANONICAL_RE, 0)
-    href = F.nullif(decode_predefined_entities(F.regexp_extract(
-        tag, r'(?is)href\s*=\s*["\']([^"\']*)["\']', 1)), F.lit(""))
+    href = F.nullif(
+        decode_predefined_entities(attr_value(tag, "href")),
+        F.lit(""))
     return df.withColumn(
         "canonical_url",
         F.when(href.isNull(), F.col(url_col))
-         .otherwise(resolve_href(base, href)))
+         .otherwise(resolve_href(page_base(html, F.col(url_col)),
+                                 href)))
 
 
 def canonical_dedup(df: DataFrame, html_col: str = "html",
