@@ -132,6 +132,7 @@ def _run_queries(sf_dir: str, cpus: int,
         "prune_quantile", "semantic_dedup", "surt_keys",
         "cdx_records", "cdx_dedup", "dsir_select",
         "robots_noindex", "canonical_groups", "recrawl_plan",
+        "unicode_scrub", "script_mix",
     ]
     # template_refresh (the lifecycle loop) is deliberately NOT a
     # headline: it is an orchestration of individually-timed legs
