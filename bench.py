@@ -131,9 +131,13 @@ def _run_queries(sf_dir: str, cpus: int,
         "bucketed_join", "feed_discovery", "bpe_encode",
         "prune_quantile", "semantic_dedup", "surt_keys",
         "cdx_records", "cdx_dedup", "dsir_select",
-        "robots_noindex", "canonical_groups", "recrawl_plan",
+        "robots_noindex", "canonical_groups",
         "unicode_scrub", "script_mix",
     ]
+    # recrawl_plan is deliberately NOT a headline: its wall is
+    # dominated by the 10-iteration PageRank loop that host_rank
+    # already times, plus scenario synthesis/staging — a second
+    # 16 s copy of a tracked number. Correctness samples it.
     # template_refresh (the lifecycle loop) is deliberately NOT a
     # headline: it is an orchestration of individually-timed legs
     # (extract_pages twice, drift_hosts-shaped detection, induction)
