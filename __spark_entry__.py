@@ -850,14 +850,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "lang", "source"))
     q["sample_strata"] = sample_strata
 
-    def ivf_ann_topk(spark, sf):  # rows-only (recall-bounded ANN;
-        # quantizer is iterative — not SQL-expressible; recall +
-        # determinism pytest-ringed)
-        from weakscraper_spark.operators.similarity import ivf_topk
+    def ivf_ann_topk(spark, sf):
+        # ORACLE-VALUE-CHECKED via staged truth (r06 promotion, the
+        # compression_ratios recipe): the quantizer is iterative (not
+        # SQL-expressible), but the DISTRIBUTED part under test —
+        # assignment, probe join, exact re-rank — has an independent
+        # driver-side twin: duckdb reads the embeddings, the sample /
+        # Lloyd / assignment / probe / rank semantics are replayed in
+        # plain Python with SEQUENTIAL left-to-right float folds
+        # (matching F.aggregate exactly — numpy's pairwise reduce
+        # would diverge at 1e-16 and flip near-tie ranks), and the
+        # expected (query, neighbor, rank) rows are staged for the
+        # oracle to SELECT back.
+        import os
+
+        import duckdb
+        import numpy as np
+        from weakscraper_spark.operators.similarity import (
+            _ivf_centroids, ivf_topk)
         emb = _t(spark, sf, "embeddings")
         queries_df = emb.filter(F.col("vec_id") < 8).select(
             F.col("vec_id").alias("query_id"), "embedding")
-        return (ivf_topk(emb, queries_df, k=5, n_lists=16, n_probe=4)
+
+        n_lists, n_probe, k = 16, 4, 5
+        cents = np.array(
+            _ivf_centroids(emb, "vec_id", "embedding", n_lists,
+                           2048, 5), dtype=np.float64)
+        con = duckdb.connect()
+        pdf = con.execute(
+            "SELECT vec_id, embedding FROM read_parquet(?) "
+            "ORDER BY vec_id",
+            [os.path.join(sf, "embeddings.parquet")]).df()
+        con.close()
+        ids = [int(x) for x in pdf["vec_id"]]
+        vecs = [[float(v) for v in e] for e in pdf["embedding"]]
+
+        def dot_seq(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + x * y
+            return acc
+
+        def norm_seq(a):
+            acc = 0.0
+            for x in a:
+                acc = acc + x * x
+            return acc ** 0.5
+
+        def ranked_lists(v, n):
+            # mirror _best_lists: sort (sim, idx) desc — ties → idx
+            sims = [(dot_seq(v, list(c)) / (norm_seq(v) *
+                                            norm_seq(list(c))), i)
+                    for i, c in enumerate(cents)]
+            sims.sort(reverse=True)
+            return [i for _, i in sims[:n]]
+
+        assign = {vid: ranked_lists(v, 1)[0]
+                  for vid, v in zip(ids, vecs)}
+        rows = []
+        for qid, qv in zip(ids, vecs):
+            if qid >= 8:
+                continue
+            probes = set(ranked_lists(qv, n_probe))
+            scored = []
+            for nid, nv in zip(ids, vecs):
+                if nid == qid or assign[nid] not in probes:
+                    continue
+                sim = dot_seq(qv, nv) / (norm_seq(qv) * norm_seq(nv))
+                scored.append((-sim, nid))
+            scored.sort()
+            for r, (_, nid) in enumerate(scored[:k], start=1):
+                rows.append((qid, nid, r))
+        _stage_truth(
+            spark.createDataFrame(
+                rows, "query_id long, neighbor_id long, rank long"),
+            "ivf_ann_topk")
+        return (ivf_topk(emb, queries_df, k=k, n_lists=n_lists,
+                         n_probe=n_probe)
                 .withColumn("rank", F.col("rank").cast("long")))
     q["ivf_ann_topk"] = ivf_ann_topk
 
@@ -4448,6 +4517,10 @@ def oracle_sql() -> dict[str, str]:
         "induce_hosts": f"""
             SELECT host_pattern, template_id, n_samples, status
             FROM read_parquet('{_TRUTH_ROOT}/induce_hosts/*.parquet')
+        """,
+        "ivf_ann_topk": f"""
+            SELECT query_id, neighbor_id, rank
+            FROM read_parquet('{_TRUTH_ROOT}/ivf_ann_topk/*.parquet')
         """,
         # page-policy closed forms
         "robots_noindex": """
