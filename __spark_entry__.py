@@ -93,6 +93,11 @@ def _stage_truth(df: DataFrame, name: str) -> str:
     import os
     path = os.path.join(_truth_root(), name)
     df.write.mode("overwrite").parquet(path)
+    # Keep the root's mtime fresh: the stale sweep above keys on the
+    # ROOT dir's mtime, but writes only touch subdirectories — a
+    # soak run past 24h would otherwise have its live truth deleted
+    # by a newly started sibling process (r06 advice).
+    os.utime(_truth_root())
     return path
 
 
@@ -898,9 +903,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return acc ** 0.5
 
         def ranked_lists(v, n):
-            # mirror _best_lists: sort (sim, idx) desc — ties → idx
-            sims = [(dot_seq(v, list(c)) / (norm_seq(v) *
-                                            norm_seq(list(c))), i)
+            # mirror _best_lists EXACTLY: rank by RAW sequential dot
+            # (centroids are Lloyd-normalized to 1 ± ~1e-16, so
+            # dividing by norm(c) here would make the twin a
+            # not-quite-bit-exact mirror that can flip a near-tie
+            # between two centroids — r06 advice); sort (sim, idx)
+            # desc — ties → higher idx, matching reverse(array_sort)
+            sims = [(dot_seq(v, list(c)), i)
                     for i, c in enumerate(cents)]
             sims.sort(reverse=True)
             return [i for _, i in sims[:n]]
@@ -2477,6 +2486,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              .alias("latest_ts14"),
             "latest_digest", "all_same")
     q["cdx_dedup"] = cdx_dedup
+
+    def warc_cdx(spark, sf):
+        # CDX WRITE side (r06 VERDICT "missing" #2), ORACLE-VALUE-
+        # CHECKED against the archive BUILDER's independent byte
+        # accounting: docs are packed 8-per-archive driver-side via
+        # build_warc(index=...), whose offsets/lengths/digests come
+        # from its own writes as it serializes; Spark re-derives all
+        # three from the BYTES alone (gzip member walk → frame →
+        # payload sha-1), renders the CDXJ lines, and re-parses them
+        # — so the staged truth checks the whole write→ship→read
+        # loop, urlkey included (closed-form SURT, not a mirror).
+        import os
+
+        import duckdb
+        from weakscraper_spark.operators.cdx import (format_cdxj,
+                                                     parse_cdxj)
+        from weakscraper_spark.sources.warc import (build_warc,
+                                                    warc_record_index)
+        con = duckdb.connect()
+        pdf = con.execute(
+            "SELECT doc_id, text FROM read_parquet(?) "
+            "ORDER BY doc_id",
+            [os.path.join(sf, "documents.parquet")]).df()
+        con.close()
+        archives: dict[int, list[dict]] = {}
+        for did, text in zip(pdf["doc_id"], pdf["text"]):
+            did = int(did)
+            archives.setdefault(did // 8, []).append({
+                "type": "response",
+                "url": f"https://w{did % 20}.example.com/d/{did}",
+                "date": f"2024-05-01T00:00:{did % 60:02d}Z",
+                "body": f"<html><body>{text}</body></html>",
+                "http_status": 200, "mime": "text/html"})
+        files_rows, truth_rows = [], []
+        for aid in sorted(archives):
+            idx: list[dict] = []
+            fname = f"crawl-{aid:05d}.warc.gz"
+            files_rows.append((fname, build_warc(archives[aid],
+                                                 index=idx)))
+            for t in idx:
+                did = int(t["url"].rsplit("/", 1)[1])
+                truth_rows.append(
+                    (f"com,example,w{did % 20})/d/{did}",
+                     f"202405010000{did % 60:02d}", t["url"], 200,
+                     t["digest"], t["offset"], t["length"], fname))
+        _stage_truth(
+            spark.createDataFrame(
+                truth_rows,
+                "urlkey string, ts14 string, url string, "
+                "status_code int, digest string, offset long, "
+                "length long, filename string"),
+            "warc_cdx")
+        files = spark.createDataFrame(
+            files_rows, "path string, content binary")
+        ok = warc_record_index(files).filter(
+            (F.col("status") == "ok") &
+            (F.col("record_type") == "response"))
+        return (parse_cdxj(format_cdxj(ok))
+                .select("urlkey",
+                        F.date_format("ts", "yyyyMMddHHmmss")
+                         .alias("ts14"),
+                        "url", "status_code", "digest", "offset",
+                        "length", "filename"))
+    q["warc_cdx"] = warc_cdx
 
     # ---- TEMPLATE LIFECYCLE LOOP (plans/refresh.py, r06): planted
     # redesign → drift detection → re-induction → re-extraction →
@@ -4814,6 +4887,11 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'ok' END AS status
             FROM t
         """,
+        "warc_cdx": f"""
+            SELECT urlkey, ts14, url, status_code, digest,
+                   "offset", length, filename
+            FROM read_parquet('{_TRUTH_ROOT}/warc_cdx/*.parquet')
+        """,
         "cdx_dedup": """
             WITH r AS (
                 SELECT doc_id % 211 AS k, doc_id AS d,
@@ -4830,6 +4908,11 @@ def oracle_sql() -> dict[str, str]:
                    strftime(TIMESTAMP '2026-01-01 00:00:00'
                             + to_seconds((max(d) * 37)::BIGINT),
                             '%Y%m%d%H%M%S') AS latest_ts14,
+                   -- Spark side tie-breaks max_by on struct(ts,
+                   -- digest); DuckDB arg_max rejects struct keys,
+                   -- but d (hence ts = f(d)) is UNIQUE in this
+                   -- planted corpus so the tie-break never fires and
+                   -- arg_max(digest, d) is an exact mirror
                    arg_max(digest, d) AS latest_digest,
                    (count(DISTINCT digest) <= 1) AS all_same
             FROM r GROUP BY urlkey

@@ -132,12 +132,8 @@ def _run_queries(sf_dir: str, cpus: int,
         "prune_quantile", "semantic_dedup", "surt_keys",
         "cdx_records", "cdx_dedup", "dsir_select",
         "robots_noindex", "canonical_groups",
-        "unicode_scrub", "script_mix",
+        "unicode_scrub", "script_mix", "recrawl_plan",
     ]
-    # recrawl_plan is deliberately NOT a headline: its wall is
-    # dominated by the 10-iteration PageRank loop that host_rank
-    # already times, plus scenario synthesis/staging — a second
-    # 16 s copy of a tracked number. Correctness samples it.
     # template_refresh (the lifecycle loop) is deliberately NOT a
     # headline: it is an orchestration of individually-timed legs
     # (extract_pages twice, drift_hosts-shaped detection, induction)
@@ -216,6 +212,58 @@ def _run_queries(sf_dir: str, cpus: int,
             html_to_markdown)
         return html_to_markdown(spark.read.parquet(md_path))
 
+    def ivf_headline(spark, sfd):
+        # stage-free engine path (VERDICT r06 #2): the correctness
+        # query's oracle twin runs the quantizer a second time plus an
+        # O(queries × N × dim) pure-Python replay and a truth-parquet
+        # write INSIDE the query callable, which inflated the r06 wall
+        # 2.58 → 3.78 s with the engine unchanged. The headline times
+        # only the distributed call: quantizer sample + assignment +
+        # probe join + exact re-rank.
+        from pyspark.sql import functions as SF
+        from weakscraper_spark.operators.similarity import ivf_topk
+        emb = spark.read.parquet(os.path.join(sfd, "embeddings.parquet"))
+        queries_df = emb.filter(SF.col("vec_id") < 8).select(
+            SF.col("vec_id").alias("query_id"), "embedding")
+        return ivf_topk(emb, queries_df, k=5, n_lists=16, n_probe=4)
+
+    def recrawl_headline(spark, _sf):
+        # re-admitted (VERDICT r06 #2): same planner composition as
+        # the correctness query, minus corpus synthesis and truth
+        # staging — reads the pre-synthesized linked corpus above.
+        # PageRank is part of the planner's own engine path, so its
+        # loop is timed here by design (host_rank tracks the isolated
+        # loop; this tracks the composition a fetch fleet consumes).
+        from pyspark.sql import functions as SF
+        from weakscraper_spark.operators.drift import (
+            snapshot_change_rate)
+        from weakscraper_spark.operators.links import (
+            extract_links, host_graph, pagerank)
+        from weakscraper_spark.plans.recrawl import plan_recrawl
+        pages = spark.read.parquet(linked_path)
+        ranks = pagerank(host_graph(extract_links(pages)), iters=10)
+        i = SF.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+        host = SF.lower(SF.regexp_extract(
+            "url", r"^[^:/?#]+://([^/?#:]*)", 1))
+        base = pages.select("url", i.alias("i"), host.alias("host"))
+        ii = SF.col("i")
+        old = base.select(
+            "host", "url",
+            SF.concat(SF.lit("c"), ii.cast("string"))
+              .alias("content_hash"))
+        kept = base.filter(ii % 10 != 0).select(
+            "host", "url",
+            SF.concat(SF.when(ii % 7 == 0, SF.lit("x"))
+                        .otherwise(SF.lit("c")), ii.cast("string"))
+              .alias("content_hash"))
+        added = base.filter(ii % 11 == 0).select(
+            "host",
+            SF.concat(SF.col("url"), SF.lit("?v=2")).alias("url"),
+            SF.concat(SF.lit("a"), ii.cast("string"))
+              .alias("content_hash"))
+        churn = snapshot_change_rate(old, kept.unionByName(added))
+        return plan_recrawl(ranks, churn)
+
     runners = dict.fromkeys(headline)
     runners.update({name: qs[name] for name in headline})
     runners["extract_pages"] = extract_headline
@@ -224,6 +272,8 @@ def _run_queries(sf_dir: str, cpus: int,
     runners["host_rank"] = host_rank_headline
     runners["anchor_topk"] = anchor_topk_headline
     runners["md_convert"] = md_convert_headline
+    runners["ivf_ann_topk"] = ivf_headline
+    runners["recrawl_plan"] = recrawl_headline
 
     # untimed warmup: JVM JIT, python daemon fork, pandas import,
     # broadcast send — per-session constants the first timed query
@@ -250,7 +300,8 @@ def _run_queries(sf_dir: str, cpus: int,
     return times, round(sum(times.values()), 3), walls
 
 
-def _tokenizer_phase(cpus: int, workdir: str) -> dict:
+def _tokenizer_phase(cpus: int, workdir: str, merges: int = 256,
+                     batch_m: int = 256) -> dict:
     """The exact=False BPE scale mode as a tracked wall (VERDICT r05
     #6): train 256 greedy-batched merges on the 30k-type rich corpus
     + encode the corpus with the learned list. Runs ONCE per bench
@@ -270,13 +321,14 @@ def _tokenizer_phase(cpus: int, workdir: str) -> dict:
     _wait_for_quiet(120)
     stats: dict = {}
     t0 = time.perf_counter()
-    merges = train_bpe(df, 256, exact=False, batch_m=256, stats=stats)
+    learned = train_bpe(df, merges, exact=False, batch_m=batch_m,
+                        stats=stats)
     t1 = time.perf_counter()
-    encode_bpe(df, merges).write.format("noop") \
+    encode_bpe(df, learned).write.format("noop") \
         .mode("overwrite").save()
     t2 = time.perf_counter()
     _stop_hard(spark)
-    return {"merges": len(merges),
+    return {"merges": len(learned),
             "driver_rounds": stats.get("rounds"),
             "train_wall_s": round(t1 - t0, 2),
             "encode_wall_s": round(t2 - t1, 2)}
@@ -438,6 +490,10 @@ def main() -> None:
 
     times, total, query_walls = _run_queries(sf_dir, cpus, workdir)
     tokenizer = _tokenizer_phase(cpus, workdir)
+    # 4k-merge headline (VERDICT r05 #6 / r06 #3): ~16 driver rounds
+    # at batch_m=256 — the regime where greedy batching actually
+    # amortizes; the 256 smoke above stays for r03-comparability
+    tokenizer4k = _tokenizer_phase(cpus, workdir, merges=4096)
     shutil.rmtree(workdir, ignore_errors=True)
 
     # The driver captures only the TAIL of stdout: r03's single fat
@@ -450,19 +506,27 @@ def main() -> None:
     sidecar = os.path.join(repo, "BENCH", "walls_latest.json")
     os.makedirs(os.path.dirname(sidecar), exist_ok=True)
     with open(sidecar, "w") as fh:
-        json.dump({"query_walls_per_round": query_walls,
+        json.dump({"query_mins": times,
+                   "query_walls_per_round": query_walls,
                    "extraction_all_walls": scaling.pop("all_walls"),
                    "noise_probe_per_round":
                        scaling.pop("noise_probe_per_round")}, fh)
     print(f"raw walls -> {sidecar}")
+    # FINAL line stays O(1)-sized as the query list grows: r03 AND
+    # r06 both lost the driver's BENCH record (parsed:null) because
+    # the per-query walls dict outgrew the driver's stdout tail
+    # capture (VERDICT r06 #1). Per-query mins live in the sidecar
+    # (query_mins) and in BENCH/BASELINE.md; the headline carries
+    # only the scalar total + the scaling/tokenizer summaries.
     print(json.dumps({
         "metric": "headline query wall-clock + extraction scaling",
         "value": total,
         "unit": "sec",
-        "queries": times,
+        "n_queries": len(times),
         "sf": float(sf),
         "extraction": scaling,
         "tokenizer": tokenizer,
+        "tokenizer4k": tokenizer4k,
     }))
 
 

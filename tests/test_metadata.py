@@ -93,3 +93,57 @@ def test_canonical_dedup_groups(spark):
     assert g.n_pages == 3 and g.n_self == 1
     assert g.first_url == "https://a.org/1"
     assert got["https://c.org/solo"].n_self == 1
+
+
+def test_robots_canonical_unquoted_and_attacks_probe_ring(spark):
+    """r07 adversarial probe ring, pinned. Bug found: quoted-only
+    attribute matching dropped the opt-out of valid-HTML unquoted
+    forms (<meta name=robots content=noindex>). Attacks stay
+    rejected; spec-exact pin: '/' is part of an HTML5 bare attribute
+    value, so content=noindex/> is the value 'noindex/' (no match),
+    while a quoted "noindex"/> still matches."""
+    from weakscraper_spark.operators.metadata import (
+        canonical_target, robots_meta_flags)
+    pages = [
+        ("u1", '<meta name=robots content=noindex>', True, False),
+        ("u2", '<META NAME=ROBOTS CONTENT="NOINDEX, NOFOLLOW">',
+         True, True),
+        ("u3", '<meta name=robots content="none">', True, True),
+        ("a1", '<meta name=robotsx content=noindex>', False, False),
+        ("a2", '<meta x-name="robots" content="noindex">',
+         False, False),
+        ("a3", '<meta content="name=robots noindex">', False, False),
+        ("a5", '<meta name="robots2" content="noindex">',
+         False, False),
+        # exact-value pin: metadata names compare whole-string, a
+        # space-padded " robots " is a different name
+        ("w1", '<meta name=" robots " content="noindex">',
+         False, False),
+        ("s1", '<meta name=robots content=noindex/>', False, False),
+        ("s2", '<meta name=robots content="noindex"/>', True, False),
+    ]
+    df = spark.createDataFrame(
+        [(i, f"https://h.example/{i}", h) for i, h, _, _ in pages],
+        "id string, url string, html string")
+    got = {r["id"]: (r["noindex"], r["nofollow"])
+           for r in robots_meta_flags(df).collect()}
+    for i, _, noindex, nofollow in pages:
+        assert got[i] == (noindex, nofollow), i
+
+    links = [
+        ("c1", '<link rel=canonical href="https://good.example/c1">',
+         "https://good.example/c1"),
+        ("c2", '<link data-rel="canonical" href="https://e.example/">',
+         "https://h.example/c2"),
+        ("c3", '<link rel=canonicalx href="https://e.example/">',
+         "https://h.example/c3"),
+        ("c4", '<link title="rel=canonical" href="https://e.example/">',
+         "https://h.example/c4"),
+    ]
+    df2 = spark.createDataFrame(
+        [(i, f"https://h.example/{i}", h) for i, h, _ in links],
+        "id string, url string, html string")
+    got2 = {r["id"]: r["canonical_url"]
+            for r in canonical_target(df2).collect()}
+    for i, _, want in links:
+        assert got2[i] == want, i

@@ -1,0 +1,126 @@
+"""CDX WRITE side: archive bytes → index rows → CDXJ lines →
+(parse back) — value-checked against the archive BUILDER's
+independent byte accounting, plus the property the index exists for:
+slicing the archive at (offset, length) and inflating yields exactly
+the indexed record (the byte-range fetch a 100 TB crawl reader
+performs)."""
+
+import zlib
+
+import pytest
+
+from weakscraper_spark.operators.cdx import (cdx_digest_dedup,
+                                             format_cdxj, parse_cdxj)
+from weakscraper_spark.sources.warc import (build_warc,
+                                            iter_warc_index,
+                                            iter_warc_records,
+                                            payload_digest,
+                                            warc_record_index)
+
+
+def _records(n=6, host="example.com"):
+    return [{"type": "response",
+             "url": f"https://{host}/p/{i}",
+             "date": f"2024-05-01T00:00:{i:02d}Z",
+             "body": f"<html><body>doc {i} " + "w " * (10 + 7 * i)
+                     + "</body></html>",
+             "http_status": 200,
+             "mime": "text/html; charset=utf-8"}
+            for i in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# pure-python kernel: builder accounting == parser-derived index
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_builder_index_matches_parser(gz):
+    truth: list = []
+    raw = build_warc(_records(), gzip_members=gz, index=truth)
+    got = list(iter_warc_index(raw))
+    assert [r["status"] for r in got] == ["ok"] * 6
+    assert [(r["url"], r["offset"], r["length"]) for r in got] == \
+        [(t["url"], t["offset"], t["length"]) for t in truth]
+    assert [payload_digest(r["body"]) for r in got] == \
+        [t["digest"] for t in truth]
+
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_byte_range_fetch_roundtrip(gz):
+    """The point of the index: archive[offset : offset+length] alone
+    reconstructs the record."""
+    truth: list = []
+    raw = build_warc(_records(), gzip_members=gz, index=truth)
+    for t in truth:
+        span = raw[t["offset"]:t["offset"] + t["length"]]
+        member = (zlib.decompress(span, 31) if gz
+                  else span + b"\r\n\r\n")
+        (rec,) = list(iter_warc_records(member))
+        assert rec["status"] == "ok"
+        assert rec["url"] == t["url"]
+        assert payload_digest(rec["body"]) == t["digest"]
+
+
+def test_index_offsets_cover_gzip_archive_exactly():
+    truth: list = []
+    raw = build_warc(_records(), gzip_members=True, index=truth)
+    pos = 0
+    for t in truth:
+        assert t["offset"] == pos
+        pos += t["length"]
+    assert pos == len(raw)
+
+
+def test_index_error_taxonomy():
+    # garbage yields one visible FrameSync row, never a raise
+    got = list(iter_warc_index(b"not a warc at all"))
+    assert len(got) == 1 and got[0]["status"] == "error:FrameSync"
+    # truncated gzip tail: decoded members survive, tail is dropped
+    truth: list = []
+    raw = build_warc(_records(3), gzip_members=True, index=truth)
+    got = list(iter_warc_index(raw[:truth[2]["offset"] + 5]))
+    assert [r["status"] for r in got] == ["ok", "ok"]
+
+
+# ---------------------------------------------------------------------------
+# spark surface: write → ship → parse round-trip
+# ---------------------------------------------------------------------------
+
+def test_warc_to_cdx_roundtrip_spark(spark):
+    recs = _records(8, host="a.example.com") + [
+        {"type": "warcinfo", "body": b"software: test\r\n"}]
+    truth: list = []
+    raw = build_warc(recs, gzip_members=True, index=truth)
+    files = spark.createDataFrame([("crawl-00.warc.gz", raw)],
+                                  "path string, content binary")
+    from pyspark.sql import functions as F
+    idx = warc_record_index(files)
+    ok = idx.filter((F.col("status") == "ok") &
+                    (F.col("record_type") == "response"))
+    lines = format_cdxj(ok)
+    back = parse_cdxj(lines).orderBy("urlkey")
+    rows = back.collect()
+    assert len(rows) == 8
+    assert all(r["status"] == "ok" for r in rows)
+    by_url = {t["url"]: t for t in truth if t["url"]}
+    for r in rows:
+        t = by_url[r["url"]]
+        assert (r["offset"], r["length"], r["digest"]) == \
+            (t["offset"], t["length"], t["digest"])
+        assert r["urlkey"].startswith("com,example,a)/p/")
+        assert r["filename"] == "crawl-00.warc.gz"
+        assert r["status_code"] == 200
+        assert r["ts"] is not None
+    # and the dedup rollup consumes the round-tripped records directly
+    roll = cdx_digest_dedup(back).collect()
+    assert len(roll) == 8
+    assert all(row["all_same"] for row in roll)
+
+
+def test_warc_record_index_no_payload_column(spark):
+    """Index rows must stay ~200 B — the html payload never leaves
+    the task."""
+    files = spark.createDataFrame(
+        [("a.warc.gz", build_warc(_records(2)))],
+        "path string, content binary")
+    assert "html" not in warc_record_index(files).columns

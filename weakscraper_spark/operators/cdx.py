@@ -30,8 +30,9 @@ _SURT_DROP_RE = (r"^(utm_[^=]*|gclid|fbclid|ref|jsessionid|phpsessid|"
 def surt_key(col: str | Column = "url") -> Column:
     """The SURT canonical key of a URL as a column expression:
     ``com,example)/path?a=1`` — scheme dropped, host lowercased with
-    leading ``www.`` stripped and dot-segments REVERSED (comma-
-    joined), default ports stripped, path lowercased with trailing
+    userinfo, trailing root-dots and leading ``www.`` stripped and
+    dot-segments REVERSED (comma-joined), default ports stripped,
+    path lowercased with trailing
     slashes collapsed (empty → ``/``), fragment dropped, query
     lowercased with session/tracking params removed and the rest
     bytewise-sorted. A documented subset of the public SURT spec
@@ -42,6 +43,13 @@ def surt_key(col: str | Column = "url") -> Column:
     scheme = F.lower(
         F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     host = F.lower(F.regexp_extract(url, r"^[^:/?#]+://([^/?#]*)", 1))
+    # strip userinfo (r07 probe: 'https://user:pass@h/x' keyed as
+    # 'com,user:pass@h)/...' — wrong segments AND credentials leaked
+    # into the index); the last '@' ends the userinfo per RFC 3986
+    host = F.regexp_replace(host, r"^.*@", "")
+    # strip trailing FQDN root dots ('example.com.' → a LEADING empty
+    # reversed segment ',com,example' — r07 probe)
+    host = F.regexp_replace(host, r"\.+(?=$|:)", "")
     host = F.regexp_replace(host, r"^www\.", "")
     host = F.when(scheme == "http",
                   F.regexp_replace(host, r":80$", "")) \
@@ -122,6 +130,32 @@ def parse_cdxj(df: DataFrame, col: str = "line") -> DataFrame:
         status.alias("status"))
 
 
+def format_cdxj(index: DataFrame, url_col: str = "url",
+                ts_col: str = "warc_ts",
+                filename_col: str = "src") -> DataFrame:
+    """The index WRITE side: typed index rows (the
+    ``sources.warc.warc_record_index`` schema) → CDXJ ``line``
+    strings ``<surt-urlkey> <ts14> <json>`` — the file a crawl tier
+    ships next to its WARCs so readers can navigate 100 TB of
+    archives by byte range without scanning payloads. Blob values are
+    rendered as STRINGS (the public CDXJ convention ``parse_cdxj``
+    decodes with try_cast). Pure JVM (surt_key + to_json) narrow map;
+    round-trips through ``parse_cdxj``/``cdx_digest_dedup`` — the
+    write→read pair is value-checked against the archive BUILDER's
+    independent byte accounting (tests/test_warc_cdx.py)."""
+    blob = F.to_json(F.struct(
+        F.col(url_col).alias("url"),
+        F.col("mime").alias("mime"),
+        F.col("http_status").cast("string").alias("status"),
+        F.col("digest").alias("digest"),
+        F.col("length").cast("string").alias("length"),
+        F.col("offset").cast("string").alias("offset"),
+        F.col(filename_col).alias("filename")))
+    return index.select(F.concat_ws(
+        " ", surt_key(url_col),
+        F.date_format(ts_col, "yyyyMMddHHmmss"), blob).alias("line"))
+
+
 def cdx_digest_dedup(records: DataFrame) -> DataFrame:
     """Per urlkey, the revisit/churn rollup a fetch planner consumes:
 
@@ -138,6 +172,12 @@ def cdx_digest_dedup(records: DataFrame) -> DataFrame:
             .agg(F.count("*").alias("n_records"),
                  F.countDistinct("digest").alias("n_distinct_digests"),
                  F.max("ts").alias("latest_ts"),
-                 F.max_by("digest", "ts").alias("latest_digest"))
+                 # tie-break on digest: 14-digit CDX timestamps have
+                 # 1-second resolution, so two captures of one urlkey
+                 # in the same second are possible — max_by on ts
+                 # alone would make latest_digest nondeterministic
+                 # across runs (a silent hash flap; r06 advice)
+                 F.max_by("digest", F.struct("ts", "digest"))
+                  .alias("latest_digest"))
             .withColumn("all_same",
                         F.col("n_distinct_digests") <= 1))

@@ -135,12 +135,23 @@ def page_metadata(df: DataFrame, url_col: str = "url",
 # ---------------------------------------------------------------------------
 
 #: first <meta ... name="robots" ...> tag, attribute order free
-_ROBOTS_META_RE = (r'(?is)<meta\s(?:[^>]*?\s)??name\s*=\s*'
-                   r'["\']robots["\'][^>]*>')
+# quoted OR bare attribute value equal to the token (r07 probe:
+# <meta name=robots ...> — unquoted values are valid HTML and common
+# in the wild; requiring quotes silently dropped the publisher's
+# opt-out). Bare values end at whitespace/'>' per the HTML5 unquoted-
+# attribute-value state — note '/' is PART of a bare value under that
+# state, so name=robots/> does NOT match (spec-exact, pinned).
+def _attr_eq(name: str, value: str) -> str:
+    return (name + r'\s*=\s*(?:"' + value + r'"|\'' + value +
+            r'\'|' + value + r'(?=[\s>]))')
+
+
+_ROBOTS_META_RE = (r'(?is)<meta\s(?:[^>]*?\s)??' +
+                   _attr_eq("name", "robots") + r'[^>]*>')
 
 #: first <link ... rel="canonical" ...> tag, attribute order free
-_CANONICAL_RE = (r'(?is)<link\s(?:[^>]*?\s)??rel\s*=\s*'
-                 r'["\']canonical["\'][^>]*>')
+_CANONICAL_RE = (r'(?is)<link\s(?:[^>]*?\s)??' +
+                 _attr_eq("rel", "canonical") + r'[^>]*>')
 
 
 def robots_meta_flags(df: DataFrame, html_col: str = "html") -> DataFrame:

@@ -209,10 +209,17 @@ def _ivf_centroids(emb: DataFrame, id_col: str, vec_col: str,
     chosen = [0]
     if len(x) > 1:
         best_sim = x @ x[0]                      # sim to nearest chosen
+        # mask chosen seeds to +inf: with a (near-)identical sample,
+        # best_sim is all-equal and argmin would return index 0 every
+        # iteration, silently accumulating DUPLICATE indices in
+        # `chosen` (r06 advice) — masking keeps indices unique even
+        # when the sample is degenerate
+        best_sim[0] = np.inf
         while len(chosen) < min(n_lists, len(x)):
             nxt = int(np.argmin(best_sim))
             chosen.append(nxt)
             best_sim = np.maximum(best_sim, x @ x[nxt])
+            best_sim[nxt] = np.inf
     cents = x[chosen].copy()
     if len(cents) < n_lists:                     # degenerate tiny input
         cents = np.vstack([cents] * (n_lists // len(cents) + 1))[:n_lists]

@@ -99,6 +99,39 @@ def _iter_member_chunks(raw: bytes, chunk_size: int = 1 << 20):
             pos += len(piece)
 
 
+def _iter_member_spans(raw: bytes, chunk_size: int = 1 << 20):
+    """Like ``_iter_member_chunks`` but per MEMBER: yields
+    (member_start, member_compressed_len, inflated_bytes). This is
+    the CDX write path's unit — Common Crawl writes one record per
+    gzip member precisely so an index entry's (offset, length) names
+    one member and a reader can byte-range-fetch + inflate it alone.
+    Peak memory is one member's inflated record (bounded for the CC
+    layout), not the archive. A corrupt/truncated tail stops after
+    the members already decoded, same contract as the chunk walker."""
+    mv = memoryview(raw)
+    n = len(raw)
+    pos = 0
+    while pos < n and raw[pos:pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(31)
+        start = pos
+        parts: list[bytes] = []
+        while True:
+            piece = mv[pos:pos + chunk_size]
+            if len(piece) == 0:
+                return  # input exhausted mid-member: truncated
+            try:
+                out = d.decompress(piece)
+            except zlib.error:
+                return
+            if out:
+                parts.append(out)
+            if d.eof:
+                pos += len(piece) - len(d.unused_data)
+                break
+            pos += len(piece)
+        yield start, pos - start, b"".join(parts)
+
+
 def _parse_headers(block: bytes) -> dict[str, str]:
     """Lenient header block → lowercase-keyed dict (folded lines and
     malformed entries skipped, not fatal)."""
@@ -304,12 +337,135 @@ def warc_pages(files: DataFrame, path_col: str = "path",
             .select("url", "warc_ts", "html", "src", "n_bytes"))
 
 
-def build_warc(records: list[dict], gzip_members: bool = True) -> bytes:
+def payload_digest(body: bytes) -> str:
+    """CDX digest convention (WARC-Payload-Digest shape): sha-1 of
+    the unwrapped payload body, Base32-encoded — ``sha1:<BASE32>``."""
+    import base64
+    import hashlib
+    return "sha1:" + base64.b32encode(
+        hashlib.sha1(body).digest()).decode("ascii")
+
+
+def iter_warc_index(raw: bytes) -> Iterator[dict]:
+    """Index view of one archive's bytes: record dicts PLUS the
+    (offset, length) byte span a reader needs to fetch the record
+    without scanning the file.
+
+    - gzip archives: spans are COMPRESSED MEMBER spans (the CC
+      convention — one record per member, so offset/length support
+      range requests). If a member holds several records they share
+      its span (degraded but honest; the member is still the fetch
+      unit).
+    - plain archives: spans are raw byte spans of the record frame.
+
+    Same taxonomy as ``iter_warc_records``: malformed regions become
+    one error record (offset = where sync was lost) and stop."""
+    if raw[:2] == b"\x1f\x8b":
+        for start, comp_len, inflated in _iter_member_spans(raw):
+            pos = 0
+            while True:
+                rec, pos = _next_frame(inflated, pos, final=True)
+                if rec is None:
+                    break
+                rec["offset"], rec["length"] = start, comp_len
+                yield rec
+                if rec["status"].startswith("error:"):
+                    return
+        return
+    pos = 0
+    while True:
+        while raw[pos:pos + 2] == b"\r\n":  # skip padding OUTSIDE the
+            pos += 2                        # frame so spans are tight
+        rec, new_pos = _next_frame(raw, pos, final=True)
+        if rec is None:
+            return
+        rec["offset"], rec["length"] = pos, new_pos - pos
+        yield rec
+        if rec["status"].startswith("error:"):
+            return
+        pos = new_pos
+
+
+WARC_INDEX_SCHEMA = (
+    "src string, record_no int, status string, record_type string, "
+    "url string, warc_ts timestamp, http_status int, mime string, "
+    "digest string, offset long, length long, n_bytes int"
+)
+
+
+def warc_record_index(files: DataFrame, path_col: str = "path",
+                      content_col: str = "content",
+                      max_archive_bytes: int =
+                      DEFAULT_MAX_ARCHIVE_BYTES) -> DataFrame:
+    """The CDX WRITE side: (path, content-bytes) archives → ~200-byte
+    index rows (no payload column — the html bytes never leave the
+    task), one per record, carrying the payload sha-1 digest and the
+    member/frame byte span. Feed the ok/response subset to
+    ``operators.cdx.format_cdxj`` to render the CDXJ lines a crawl
+    tier ships next to its WARCs; round-trips through ``parse_cdxj``
+    / ``cdx_digest_dedup``. Narrow flat map, one task per archive —
+    the same scale shape as ``warc_records``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("src", "record_no", "status", "record_type", "url",
+                "warc_ts", "http_status", "mime", "digest", "offset",
+                "length", "n_bytes")
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+
+            def status_row(path, status, n_bytes):
+                out["src"].append(path)
+                out["record_no"].append(-1)
+                out["status"].append(status)
+                for k in ("record_type", "url", "warc_ts",
+                          "http_status", "mime", "digest", "offset",
+                          "length"):
+                    out[k].append(None)
+                out["n_bytes"].append(n_bytes)
+
+            for path, raw in zip(pdf[path_col], pdf[content_col]):
+                raw = bytes(raw) if raw is not None else b""
+                if len(raw) > max_archive_bytes:
+                    status_row(path, "error:Oversize", len(raw))
+                    continue
+                n = 0
+                for rec in iter_warc_index(raw):
+                    body = rec["body"]
+                    out["src"].append(path)
+                    out["record_no"].append(n)
+                    out["status"].append(rec["status"])
+                    out["record_type"].append(rec["record_type"])
+                    out["url"].append(rec["url"])
+                    out["warc_ts"].append(_warc_date(rec["date"]))
+                    out["http_status"].append(rec["http_status"])
+                    out["mime"].append(rec["mime"])
+                    out["digest"].append(
+                        payload_digest(body) if body else None)
+                    out["offset"].append(rec["offset"])
+                    out["length"].append(rec["length"])
+                    out["n_bytes"].append(len(body))
+                    n += 1
+                if n == 0:
+                    status_row(path, "error:Empty", 0)
+            yield pd.DataFrame(out)
+
+    return (files.select(path_col, content_col)
+            .mapInPandas(run, WARC_INDEX_SCHEMA))
+
+
+def build_warc(records: list[dict], gzip_members: bool = True,
+               index: list[dict] | None = None) -> bytes:
     """Fixture construction path (disjoint from the parser): each
     record dict carries {type, url, date, body, http_status, mime};
     response bodies are wrapped in an HTTP/1.1 message. One gzip
-    member per record when ``gzip_members`` (the CC layout)."""
+    member per record when ``gzip_members`` (the CC layout).
+
+    When ``index`` is a list, the builder appends one
+    {url, offset, length, digest} dict per record from its OWN byte
+    accounting as it writes — the independent truth the CDX write
+    side (``warc_record_index``) is value-checked against."""
     out = []
+    written = 0
     for r in records:
         body = r.get("body", b"")
         if isinstance(body, str):
@@ -334,5 +490,15 @@ def build_warc(records: list[dict], gzip_members: bool = True) -> bytes:
         if gzip_members:
             co = zlib.compressobj(6, zlib.DEFLATED, 31)
             rec = co.compress(rec) + co.flush()
+        if index is not None:
+            # gzip layout: span = the compressed member; plain
+            # layout: the frame MINUS the trailing \r\n\r\n padding
+            # (the parser treats padding as inter-record, outside
+            # the span)
+            length = len(rec) if gzip_members else len(rec) - 4
+            index.append({"url": r.get("url"), "offset": written,
+                          "length": length,
+                          "digest": payload_digest(body)})
+        written += len(rec)
         out.append(rec)
     return b"".join(out)
