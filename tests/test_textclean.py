@@ -74,3 +74,37 @@ def test_textclean_plans_are_narrow(spark):
         assert "Exchange" not in names
         assert "BatchEvalPython" not in names
         assert "ArrowEvalPython" not in names
+
+
+def test_script_profile_astral_probe_ring(spark):
+    """r07 adversarial probes, pinned (documented limitation made
+    contractual): SCRIPT_RANGES are 9 BMP ranges, so astral-plane
+    text (emoji, math alphanumerics, CJK extension B) counts as
+    'other' and an all-astral doc gets dominant='none' — never a
+    crash, and n_chars/n_other stay codepoint-consistent (Spark
+    length() counts code points, matching DuckDB). clean_unicode
+    passes astral chars through untouched (they are not in the strip
+    classes). Lone surrogates are unrepresentable in Spark's UTF-8
+    strings, so no case exists for them by construction."""
+    from weakscraper_spark.operators.textclean import (clean_unicode,
+                                                       script_profile)
+    rows = [
+        (1, "\U0001D518\U0001D52B\U0001D526 math bold"),
+        (2, "\U0001F600\U0001F680 emoji only"),
+        (3, "\U00020000\U0002A6D6"),        # CJK ext B: astral han
+        (4, "\U0001D7D8\U0001D7D9"),        # astral digits
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    prof = {r.doc_id: r for r in script_profile(df).collect()}
+    assert (prof[1].n_chars, prof[1].n_other,
+            prof[1].dominant) == (13, 5, "latin")
+    assert (prof[2].n_chars, prof[2].n_other,
+            prof[2].dominant) == (13, 4, "latin")
+    assert (prof[3].n_chars, prof[3].n_other,
+            prof[3].dominant) == (2, 2, "none")
+    assert (prof[4].n_chars, prof[4].n_other,
+            prof[4].dominant) == (2, 2, "none")
+    clean = {r.doc_id: r for r in clean_unicode(df).collect()}
+    for i, text in rows:
+        assert clean[i].text_clean == text, i
+        assert clean[i].n_stripped == 0

@@ -1477,3 +1477,107 @@ def test_dsir_deterministic_across_runs(spark):
     b = sorted((r.doc_id, r.n_grams, r.logw)
                for r in dsir_weights(docs, tgt).collect())
     assert a == b
+
+
+def test_dsir_probe_ring_r07(spark):
+    """r07 adversarial probes, pinned (no bug found — documented
+    behaviors made contractual): single-token corpora rank by
+    content; under alpha*B dominance (alpha=1, B=1024, ~10-gram
+    corpora) ratios compress toward the smoothing constant but
+    ORDER is preserved on equal-length docs; a zero-gram (NULL-text)
+    doc scores a NEUTRAL logw of 0.0 and is kept when the threshold
+    is negative — visible via n_grams=0, callers filter; ''/'   '
+    tokenize to one empty-string unigram (the repo-wide convention);
+    keep_frac=1.0 keeps everything even with tied weights."""
+    from weakscraper_spark.operators.dsir import (dsir_select,
+                                                  dsir_weights)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    raw = mk([(i, "x") for i in range(5)] +
+             [(i, "y") for i in range(5, 10)])
+    tgt = mk([(100, "x x x x")])
+    for alpha in (0.01, 1.0):
+        got = {r.doc_id: r.keep
+               for r in dsir_select(raw, tgt, keep_frac=0.5,
+                                    alpha=alpha).collect()}
+        assert got == {i: i < 5 for i in range(10)}, alpha
+
+    # alpha*B dominance sinks LONG off-target docs harder than short
+    # ones in both regimes (length-proportional evidence, the
+    # paper's form — documented in dsir_weights)
+    raw3 = mk([(1, "x"), (2, " ".join(["z"] * 50))])
+    for alpha in (0.01, 1.0):
+        w = {r.doc_id: r.logw
+             for r in dsir_weights(raw3, tgt, alpha=alpha).collect()}
+        assert w[1] > 0 > w[2], alpha
+
+    raw4 = mk([(1, None), (2, ""), (3, "   "), (4, "x")])
+    rows = {r.doc_id: r for r in
+            dsir_select(raw4, tgt, keep_frac=0.5,
+                        alpha=0.01).collect()}
+    assert rows[1].n_grams == 0 and rows[1].logw == 0.0
+    assert rows[2].n_grams == 1 and rows[3].n_grams == 1
+    assert rows[2].logw == rows[3].logw
+    assert rows[4].keep
+
+    kept = dsir_select(raw, tgt, keep_frac=1.0, alpha=0.01).collect()
+    assert all(r.keep for r in kept)
+
+
+def test_semantic_dedup_trained_on_degenerate_sample(spark):
+    """r06-advice fix pinned: a (near-)identical training sample made
+    farthest-first init pick index 0 repeatedly (all-equal best_sim →
+    argmin ties to 0), silently collapsing every centroid to one
+    point with duplicate `chosen` indices. With the chosen-mask, the
+    TRAINED (centroids=None) path must survive an all-identical
+    corpus: one cluster, pairwise keep-one, no crash, deterministic."""
+    from weakscraper_spark.operators.similarity import semantic_dedup
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(12)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in semantic_dedup(
+        emb, threshold=0.95, n_lists=4, iters=3,
+        max_cluster=None).collect()}
+    assert len(out) == 12
+    assert len({r.cluster_id for r in out.values()}) == 1
+    kept = [i for i, r in out.items() if r.status == "kept"]
+    assert len(kept) == 1    # identical docs: exactly one survives
+
+
+def test_semantic_dedup_trained_keeps_core_outlier(spark):
+    """Trained-quantizer path on a planted redundant CORE + one
+    outlier per cluster (VERDICT r06 #7): the core is ε-redundant and
+    collapses to one survivor; the outlier (below ε to everything) is
+    kept alongside — SemDeDup prunes redundancy, not diversity."""
+    import math
+
+    from weakscraper_spark.operators.similarity import semantic_dedup
+
+    def unit(theta, phi_axis):
+        # 4-dim unit vectors: tight fan around axis phi_axis
+        v = [0.0] * 4
+        v[phi_axis] = math.cos(theta)
+        v[(phi_axis + 1) % 4] = math.sin(theta)
+        return v
+
+    rows = []
+    for c in range(2):                      # two separated clusters
+        for j in range(6):                  # redundant core: ~1° fan
+            rows.append((c * 10 + j, unit(0.002 * j, c)))
+        # outlier ~25° off-axis: same cluster, below ε to the core
+        rows.append((c * 10 + 9, unit(0.45, c)))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in semantic_dedup(
+        emb, threshold=0.97, n_lists=2, iters=8,
+        max_cluster=None).collect()}
+    for c in range(2):
+        core = [out[c * 10 + j] for j in range(6)]
+        assert sum(r.status == "kept" for r in core) == 1, c
+        assert out[c * 10 + 9].status == "kept", c   # outlier kept
+        # core + outlier share the trained cluster
+        assert len({out[c * 10 + j].cluster_id
+                    for j in range(6)} |
+                   {out[c * 10 + 9].cluster_id}) == 1, c

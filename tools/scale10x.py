@@ -150,6 +150,107 @@ def _minhash_phase(base_docs: int, rounds: int) -> dict:
     }
 
 
+def _graph_phase(rounds: int) -> dict:
+    """The two heaviest shuffle-loop walls at 1× and 10× graph size
+    (VERDICT r06 #4) — where a superlinear term would actually live
+    (per-round join cost, lineage truncation, checkpoint behavior):
+
+    - connected_components (minprop): deterministic chain-clusters of
+      8 nodes, so the ROUND COUNT is constant across the 10× step and
+      the measurement isolates per-round join+agg cost vs edge count.
+      200k → 2M nodes (~175k → 1.75M edges).
+    - pagerank (10 fixed power iterations): host graph from the
+      linked-corpus generator with BOTH pages and hosts scaled 10×
+      (12k pages / 50 hosts → 120k / 500), edge extraction
+      precomputed UNTIMED to parquet so the wall is the loop alone.
+
+    Same cache discipline as the minhash phase: clearCache() per
+    round (Spark's CacheManager matches by logical plan — a repeat
+    round would otherwise time a warm read)."""
+    from weakscraper_spark.operators.graph import connected_components
+    from weakscraper_spark.operators.links import (extract_links,
+                                                   host_graph,
+                                                   pagerank)
+    from weakscraper_spark.plans.session import get_spark
+    from weakscraper_spark.sources.synth import synth_linked_pages
+    from pyspark.sql import functions as F
+
+    spark = get_spark("scale10x_graph", master="local[8]")
+    cc_sizes = {"1x": 200_000, "10x": 2_000_000}
+    cc_dfs = {}
+    for tag, n in cc_sizes.items():
+        p = os.path.join(WORKDIR, f"cc_edges_{tag}")
+        (spark.range(n, numPartitions=max(16, n // 100_000))
+         .filter((F.col("id") % 8) != 7)
+         .select(F.col("id").alias("doc_a"),
+                 (F.col("id") + 1).alias("doc_b"))
+         .write.mode("overwrite").parquet(p))
+        cc_dfs[tag] = spark.read.parquet(p)
+
+    pr_sizes = {"1x": (12_000, 50), "10x": (120_000, 500)}
+    pr_dfs = {}
+    for tag, (n_pages, n_hosts) in pr_sizes.items():
+        p = os.path.join(WORKDIR, f"pr_edges_{tag}")
+        (host_graph(extract_links(synth_linked_pages(
+            spark, n_pages, n_hosts=n_hosts,
+            partitions=max(16, n_pages // 1000))))
+         .write.mode("overwrite").parquet(p))
+        pr_dfs[tag] = spark.read.parquet(p)
+    pr_edges = {tag: pr_dfs[tag].count() for tag in pr_sizes}
+
+    # untimed warmup
+    connected_components(cc_dfs["1x"]).write.format("noop") \
+        .mode("overwrite").save()
+    cc_walls: dict[str, list[float]] = {t: [] for t in cc_sizes}
+    pr_walls: dict[str, list[float]] = {t: [] for t in pr_sizes}
+    for _ in range(rounds):
+        bench._wait_for_quiet(120)
+        for tag in cc_sizes:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            connected_components(cc_dfs[tag]).write.format("noop") \
+                .mode("overwrite").save()
+            cc_walls[tag].append(round(time.perf_counter() - t0, 2))
+        for tag in pr_sizes:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            pagerank(pr_dfs[tag], iters=10).write.format("noop") \
+                .mode("overwrite").save()
+            pr_walls[tag].append(round(time.perf_counter() - t0, 2))
+
+    # plan identity: both loops run eagerly, so compare the FINAL
+    # returned plan (checkpoint-truncated result relation) across the
+    # 10× step — a strategy flip with size would show here
+    cc_plans = {t: _plan_nodes(connected_components(cc_dfs[t]))
+                for t in cc_sizes}
+    pr_plans = {t: _plan_nodes(pagerank(pr_dfs[t], iters=10))
+                for t in pr_sizes}
+    bench._stop_hard(spark)
+    return {
+        "cc": {"1x": {"nodes": cc_sizes["1x"],
+                      "wall_s": min(cc_walls["1x"])},
+               "10x": {"nodes": cc_sizes["10x"],
+                       "wall_s": min(cc_walls["10x"])},
+               "all_walls": cc_walls,
+               "wall_growth": round(min(cc_walls["10x"]) /
+                                    min(cc_walls["1x"]), 2),
+               "plan_unchanged": cc_plans["1x"] == cc_plans["10x"]},
+        "pagerank": {"1x": {"pages": pr_sizes["1x"][0],
+                            "edges": pr_edges["1x"],
+                            "wall_s": min(pr_walls["1x"])},
+                     "10x": {"pages": pr_sizes["10x"][0],
+                             "edges": pr_edges["10x"],
+                             "wall_s": min(pr_walls["10x"])},
+                     "all_walls": pr_walls,
+                     "edge_growth": round(pr_edges["10x"] /
+                                          pr_edges["1x"], 1),
+                     "wall_growth": round(min(pr_walls["10x"]) /
+                                          min(pr_walls["1x"]), 2),
+                     "plan_unchanged":
+                         pr_plans["1x"] == pr_plans["10x"]},
+    }
+
+
 def main() -> None:
     os.makedirs(WORKDIR, exist_ok=True)
     base_pages = int(os.environ.get("SCALE10X_BASE_PAGES", "12000"))

@@ -84,11 +84,42 @@ def refresh_templates(pages: DataFrame, templates: DataFrame,
     once for its three consumers, and the induced registry (O(#rotted
     hosts)) is collected to broadcast the new specs.
     """
-    spark = pages.sparkSession
     first = build_extract_plan(pages, templates, specs, langs=langs,
                                fallback=fallback)
+    # pass 1's narrow output is materialized once for its three
+    # consumers (detection, before-rates, serving view)
     first_narrow = _narrow_status(first).localCheckpoint(eager=True)
+    return _refresh_loop(first_narrow, pages, templates, specs,
+                         min_jump, k, langs, fallback)
 
+
+def refresh_from_output(output: DataFrame, pages: DataFrame,
+                        templates: DataFrame, specs: dict[str, str],
+                        min_jump: float = 0.5, k: int = 4,
+                        langs: list[str] | None = None,
+                        fallback: str | None = None) -> dict:
+    """The PRODUCTION entry of the lifecycle loop: pass 1 is the
+    weekly extraction you already ran, so read its SERVING TABLE
+    (``run_pipeline``'s sink — url/warc_ts/status at minimum) instead
+    of re-extracting the corpus (the module docstring's scale note,
+    made callable; at 10^12 rows, re-running pass 1 to detect drift
+    would double the fleet's weekly extract bill). ``output`` must be
+    MATERIALIZED (a table/parquet read — no checkpoint is taken
+    here); ``pages`` is still needed for re-induction/re-extraction
+    of the rotted hosts' post-drift window. Artifacts are identical
+    to ``refresh_templates`` run on the same inputs
+    (tests/test_refresh.py parametrizes the suite over both
+    entries)."""
+    return _refresh_loop(_narrow_status(output), pages, templates,
+                         specs, min_jump, k, langs, fallback)
+
+
+def _refresh_loop(first_narrow: DataFrame, pages: DataFrame,
+                  templates: DataFrame, specs: dict[str, str],
+                  min_jump: float, k: int,
+                  langs: list[str] | None,
+                  fallback: str | None) -> dict:
+    spark = pages.sparkSession
     drift = drift_points(
         first_narrow.select("host", F.col("warc_ts").alias("ts"),
                             "ok"),
