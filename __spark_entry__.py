@@ -2551,6 +2551,102 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "length", "filename"))
     q["warc_cdx"] = warc_cdx
 
+    def warc_write(spark, sf):
+        # DISTRIBUTED archive write (pages_to_warc: applyInPandas,
+        # one archive per group, kernel sorts by url so bytes are a
+        # pure function of the row set), ORACLE-VALUE-CHECKED against
+        # a sequential driver replay of the same byte accounting:
+        # duckdb reads the documents, python groups/sorts/serializes
+        # the identical archives, and the builder-index truth is
+        # staged for the oracle — so grouping, in-kernel ordering,
+        # framing, compression and digesting are all value-checked.
+        import os
+
+        import duckdb
+        from weakscraper_spark.sources.warc import (build_warc,
+                                                    pages_to_warc)
+        con = duckdb.connect()
+        pdf = con.execute(
+            "SELECT doc_id, text FROM read_parquet(?) "
+            "ORDER BY doc_id",
+            [os.path.join(sf, "documents.parquet")]).df()
+        con.close()
+        groups: dict[int, list[tuple[str, bytes]]] = {}
+        for did, text in zip(pdf["doc_id"], pdf["text"]):
+            did = int(did)
+            groups.setdefault(did // 8, []).append(
+                (f"https://w{did % 20}.example.com/d/{did}",
+                 (text or "").encode("utf-8")))
+        truth_rows = []
+        for aid, members in groups.items():
+            members.sort(key=lambda m: m[0])       # the kernel's sort
+            idx: list[dict] = []
+            build_warc([{"type": "response", "url": u,
+                         "date": "2024-05-01T00:00:00Z", "body": b,
+                         "http_status": 200, "mime": "text/html"}
+                        for u, b in members], index=idx)
+            for t in idx:
+                truth_rows.append((f"crawl-{aid:05d}.warc.gz",
+                                   t["url"], t["offset"],
+                                   t["length"], t["digest"]))
+        _stage_truth(
+            spark.createDataFrame(
+                truth_rows,
+                "filename string, url string, offset long, "
+                "length long, digest string"),
+            "warc_write")
+        pages = _t(spark, sf, "documents").select(
+            (F.col("doc_id") / 8).cast("long").alias("archive_id"),
+            F.concat(F.lit("https://w"),
+                     (F.col("doc_id") % 20).cast("string"),
+                     F.lit(".example.com/d/"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            F.to_timestamp(F.lit("2024-05-01 00:00:00"))
+             .alias("warc_ts"),
+            F.encode(F.coalesce("text", F.lit("")), "UTF-8")
+             .alias("html"))
+        return (pages_to_warc(pages)
+                .select("filename", F.explode("cdx").alias("c"))
+                .select("filename", F.col("c.url").alias("url"),
+                        F.col("c.offset").alias("offset"),
+                        F.col("c.length").alias("length"),
+                        F.col("c.digest").alias("digest")))
+    q["warc_write"] = warc_write
+
+    def redirect_map(spark, sf):
+        # redirect-chain resolution (pointer doubling over the 3xx
+        # index rows), ORACLE-VALUE-CHECKED against a closed form:
+        # doc_id blocks of 8 plant a 3-hop chain (offsets 0→1→2→3),
+        # a 2-cycle (6⇄7), a Location-less 301 (offset 4) and a
+        # blank-Location 301 (offset 5) that redirect_edges must
+        # drop; Locations alternate root-relative and absolute to
+        # exercise RFC 9110 resolution. The oracle mirrors chain
+        # endpoints/hops arithmetically (incl. a truncated final
+        # block via max(doc_id)), never the algorithm.
+        from weakscraper_spark.operators.redirects import (
+            redirect_edges, resolve_redirects)
+        d = F.col("doc_id")
+        o = d % 8
+        ds = d.cast("string")
+
+        def u(expr):
+            return F.concat(F.lit("https://r.example.com/p/"),
+                            expr.cast("string"))
+
+        loc = (F.when(o.isin(0, 2) | (o == 6),
+                      F.concat(F.lit("/p/"), (d + 1).cast("string")))
+               .when(o == 1, u(d + 1))
+               .when(o == 7, F.concat(F.lit("/p/"),
+                                      (d - 1).cast("string")))
+               .when(o == 5, F.lit("   ")))
+        status = F.when(o.isin(0, 1, 2, 4, 5, 6, 7), F.lit(301)) \
+            .otherwise(F.lit(200))
+        idx = _t(spark, sf, "documents").select(
+            u(d).alias("url"), loc.alias("location"),
+            status.alias("http_status"))
+        return resolve_redirects(redirect_edges(idx))
+    q["redirect_map"] = redirect_map
+
     # ---- TEMPLATE LIFECYCLE LOOP (plans/refresh.py, r06): planted
     # redesign → drift detection → re-induction → re-extraction →
     # measured recovery. ORACLE-VALUE-CHECKED: the truth twin
@@ -2592,6 +2688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dup/trim_substrings localCheckpoint; ivf_ann_topk init change),
     # (3) rotation of the rest.
     _sample_first = [
+        "warc_cdx", "redirect_map", "warc_write",
         "template_refresh", "semantic_dedup", "dsir_select",
         "robots_noindex", "canonical_groups", "recrawl_plan",
         "unicode_scrub", "script_mix",
@@ -4886,6 +4983,28 @@ def oracle_sql() -> dict[str, str]:
                      WHEN d % 29 = 0 THEN 'error:BadJson'
                      ELSE 'ok' END AS status
             FROM t
+        """,
+        "warc_write": f"""
+            SELECT filename, url, "offset", length, digest
+            FROM read_parquet('{_TRUTH_ROOT}/warc_write/*.parquet')
+        """,
+        "redirect_map": """
+            WITH mm AS (SELECT max(doc_id) AS m FROM documents),
+            dd AS (SELECT doc_id AS d, doc_id % 8 AS o,
+                          doc_id - doc_id % 8 AS s
+                   FROM documents)
+            SELECT 'https://r.example.com/p/' || d AS src_url,
+                   CASE WHEN o <= 2 THEN 'https://r.example.com/p/'
+                             || least(s + 3, m + 1)
+                        WHEN o = 6 AND m = s + 6
+                             THEN 'https://r.example.com/p/' || (s+7)
+                        END AS final_url,
+                   (CASE WHEN o <= 2 THEN least(s + 3, m + 1) - d
+                         WHEN o = 6 AND m = s + 6 THEN 1
+                         END)::BIGINT AS n_hops,
+                   CASE WHEN o <= 2 OR (o = 6 AND m = s + 6)
+                        THEN 'ok' ELSE 'unresolved' END AS status
+            FROM dd, mm WHERE o IN (0, 1, 2, 6, 7)
         """,
         "warc_cdx": f"""
             SELECT urlkey, ts14, url, status_code, digest,

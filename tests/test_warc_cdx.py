@@ -124,3 +124,79 @@ def test_warc_record_index_no_payload_column(spark):
         [("a.warc.gz", build_warc(_records(2)))],
         "path string, content binary")
     assert "html" not in warc_record_index(files).columns
+
+
+def test_pages_to_warc_distributed_roundtrip(spark):
+    """The DISTRIBUTED write side: archives built by applyInPandas
+    round-trip through the byte-level reader, and the emitted cdx
+    column matches what warc_record_index re-derives from the bytes
+    alone."""
+    from pyspark.sql import functions as F
+    from weakscraper_spark.sources.warc import pages_to_warc
+    pages = spark.range(40).select(
+        (F.col("id") / 10).cast("int").alias("archive_id"),
+        F.concat(F.lit("https://w.example/p/"),
+                 F.col("id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2024-05-01 00:00:00")).alias("warc_ts"),
+        F.encode(F.concat(F.lit("<html><body>doc "),
+                          F.col("id").cast("string"),
+                          F.lit("</body></html>")), "UTF-8")
+         .alias("html"))
+    archives = pages_to_warc(pages).cache()
+    assert archives.count() == 4
+    emitted = (archives.select("filename",
+                               F.explode("cdx").alias("c"))
+               .select("filename", "c.url", "c.offset", "c.length",
+                       "c.digest"))
+    derived = warc_record_index(
+        archives.select(F.col("filename").alias("path"), "content"))
+    got = {(r.src, r.url): (r.offset, r.length, r.digest)
+           for r in derived.select(
+               F.col("src"), "url", "offset", "length",
+               "digest").collect()}
+    want = {(r.filename, r.url): (r.offset, r.length, r.digest)
+            for r in emitted.collect()}
+    assert got == want and len(want) == 40
+    archives.unpersist()
+
+
+def test_pages_to_warc_bytes_partition_invariant(spark):
+    """Archive bytes are a pure function of the row SET (kernel
+    sorts by url): repartitioning must not change a single byte."""
+    from pyspark.sql import functions as F
+    from weakscraper_spark.sources.warc import pages_to_warc
+    pages = spark.range(24).select(
+        (F.col("id") % 3).alias("archive_id"),
+        F.concat(F.lit("https://w.example/p/"),
+                 F.col("id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2024-05-01 00:00:00")).alias("warc_ts"),
+        F.encode(F.col("id").cast("string"), "UTF-8").alias("html"))
+    a = {r.filename: bytes(r.content)
+         for r in pages_to_warc(pages.repartition(1)).collect()}
+    b = {r.filename: bytes(r.content)
+         for r in pages_to_warc(pages.repartition(7, "url")).collect()}
+    assert a == b and len(a) == 3
+
+
+def test_pages_to_warc_feeds_format_cdxj(spark):
+    """write → index lines → parse: the one-pass archive+index
+    production a crawl tier ships."""
+    from pyspark.sql import functions as F
+    from weakscraper_spark.sources.warc import pages_to_warc
+    pages = spark.range(6).select(
+        F.lit(0).alias("archive_id"),
+        F.concat(F.lit("https://w.example/p/"),
+                 F.col("id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2024-05-01 12:34:56")).alias("warc_ts"),
+        F.encode(F.col("id").cast("string"), "UTF-8").alias("html"))
+    archives = pages_to_warc(pages)
+    idx = (archives.select(F.col("filename").alias("src"),
+                           F.explode("cdx").alias("c"))
+           .select("src", "c.url", "c.warc_ts", "c.offset",
+                   "c.length", "c.digest",
+                   F.lit("text/html").alias("mime"),
+                   F.lit(200).alias("http_status")))
+    back = parse_cdxj(format_cdxj(idx)).collect()
+    assert len(back) == 6
+    assert all(r.status == "ok" and r.status_code == 200 and
+               r.urlkey.startswith("example,w)/p/") for r in back)

@@ -214,7 +214,10 @@ def _next_frame(buf: bytes, pos: int, final: bool):
     rec = {"status": ("error:TruncatedBody" if truncated else "ok"),
            "record_type": rtype, "url": headers.get("warc-target-uri"),
            "date": headers.get("warc-date"),
-           "http_status": http_status, "mime": mime, "body": body}
+           "http_status": http_status, "mime": mime,
+           # the redirect target of a 3xx response — the index
+           # carries it so chains resolve WITHOUT touching payloads
+           "location": http_headers.get("location"), "body": body}
     return rec, (n if truncated else body_start + length)
 
 
@@ -389,7 +392,8 @@ def iter_warc_index(raw: bytes) -> Iterator[dict]:
 WARC_INDEX_SCHEMA = (
     "src string, record_no int, status string, record_type string, "
     "url string, warc_ts timestamp, http_status int, mime string, "
-    "digest string, offset long, length long, n_bytes int"
+    "location string, digest string, offset long, length long, "
+    "n_bytes int"
 )
 
 
@@ -408,8 +412,8 @@ def warc_record_index(files: DataFrame, path_col: str = "path",
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ("src", "record_no", "status", "record_type", "url",
-                "warc_ts", "http_status", "mime", "digest", "offset",
-                "length", "n_bytes")
+                "warc_ts", "http_status", "mime", "location",
+                "digest", "offset", "length", "n_bytes")
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in cols}
 
@@ -418,8 +422,8 @@ def warc_record_index(files: DataFrame, path_col: str = "path",
                 out["record_no"].append(-1)
                 out["status"].append(status)
                 for k in ("record_type", "url", "warc_ts",
-                          "http_status", "mime", "digest", "offset",
-                          "length"):
+                          "http_status", "mime", "location",
+                          "digest", "offset", "length"):
                     out[k].append(None)
                 out["n_bytes"].append(n_bytes)
 
@@ -439,6 +443,7 @@ def warc_record_index(files: DataFrame, path_col: str = "path",
                     out["warc_ts"].append(_warc_date(rec["date"]))
                     out["http_status"].append(rec["http_status"])
                     out["mime"].append(rec["mime"])
+                    out["location"].append(rec.get("location"))
                     out["digest"].append(
                         payload_digest(body) if body else None)
                     out["offset"].append(rec["offset"])
@@ -451,6 +456,65 @@ def warc_record_index(files: DataFrame, path_col: str = "path",
 
     return (files.select(path_col, content_col)
             .mapInPandas(run, WARC_INDEX_SCHEMA))
+
+
+WARC_ARCHIVE_SCHEMA = (
+    "filename string, content binary, n_records int, "
+    "cdx array<struct<url: string, warc_ts: timestamp, "
+    "offset: bigint, length: bigint, digest: string>>"
+)
+
+
+def pages_to_warc(pages: DataFrame, archive_col: str = "archive_id",
+                  url_col: str = "url", ts_col: str = "warc_ts",
+                  html_col: str = "html",
+                  prefix: str = "crawl") -> DataFrame:
+    """The DISTRIBUTED archive write side: pages rows → one row per
+    archive (filename, content-bytes, n_records, cdx), where ``cdx``
+    carries the builder's own byte accounting (offset/length/digest
+    per record) ready for ``operators.cdx.format_cdxj`` after an
+    explode — so a crawl tier writes its WARCs and its index in ONE
+    pass, the layout Common Crawl ships (one gzip member per record;
+    ``warc_record_index`` round-trips the bytes).
+
+    Determinism contract: the caller assigns ``archive_col`` (a real
+    pipeline already shards by crawl segment); rows are sorted by
+    ``url_col`` INSIDE the kernel, so archive bytes are a pure
+    function of the row set — applyInPandas group arrival order is
+    partition-dependent (the induction lesson, r06) and must never
+    reach the serializer. Scale shape: one task per archive, no
+    shuffle beyond the groupBy; peak memory one archive's records."""
+    import pyarrow  # noqa: F401  (arrow path required)
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (aid,) = key
+        pdf = pdf.sort_values(url_col, kind="mergesort")
+        recs = []
+        stamps = []
+        for url, ts, body in zip(pdf[url_col], pdf[ts_col],
+                                 pdf[html_col]):
+            body = bytes(body) if body is not None else b""
+            ts = None if pd.isna(ts) else ts       # NaT → no date
+            date = (ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+                    if ts is not None else None)
+            stamps.append(ts)
+            recs.append({"type": "response", "url": url,
+                         "date": date, "body": body,
+                         "http_status": 200, "mime": "text/html"})
+        idx: list[dict] = []
+        raw = build_warc(recs, gzip_members=True, index=idx)
+        cdx = [{"url": r["url"], "warc_ts": t,
+                "offset": i["offset"], "length": i["length"],
+                "digest": i["digest"]}
+               for r, i, t in zip(recs, idx, stamps)]
+        return pd.DataFrame(
+            {"filename": [f"{prefix}-{int(aid):05d}.warc.gz"],
+             "content": [raw], "n_records": [len(recs)],
+             "cdx": [cdx]})
+
+    return (pages.select(archive_col, url_col, ts_col, html_col)
+            .groupBy(archive_col).applyInPandas(
+                build, WARC_ARCHIVE_SCHEMA))
 
 
 def build_warc(records: list[dict], gzip_members: bool = True,
@@ -471,11 +535,13 @@ def build_warc(records: list[dict], gzip_members: bool = True,
         if isinstance(body, str):
             body = body.encode("utf-8")
         if r.get("type") == "response":
-            http = (b"HTTP/1.1 %d OK\r\nContent-Type: %s\r\n"
-                    b"Content-Length: %d\r\n\r\n"
-                    % (r.get("http_status", 200),
-                       r.get("mime", "text/html").encode("latin-1"),
-                       len(body)))
+            loc = (b"Location: " + r["location"].encode("latin-1") +
+                   b"\r\n") if r.get("location") else b""
+            http = (b"HTTP/1.1 %d OK\r\nContent-Type: %s\r\n" + loc +
+                    b"Content-Length: %d\r\n\r\n") \
+                % (r.get("http_status", 200),
+                   r.get("mime", "text/html").encode("latin-1"),
+                   len(body))
             payload = http + body
         else:
             payload = body
