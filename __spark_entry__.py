@@ -2551,6 +2551,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "length", "filename"))
     q["warc_cdx"] = warc_cdx
 
+    def temp_mix(spark, sf):
+        # temperature-flattened mixture (shares ∝ tokens^0.5),
+        # ORACLE-VALUE-CHECKED: the twin mirrors tokenization,
+        # totals, sqrt shares (IEEE-exact at τ=0.5), the 9dp
+        # round-before-draw rate and the md5 accept draw, then
+        # rolls up per domain like mix_corpus
+        from weakscraper_spark.operators.corpus import temperature_mix
+        out = temperature_mix(_t(spark, sf, "documents"), "lang",
+                              budget_tokens=16000, tau=0.5)
+        return (out.groupBy("lang")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("n_tokens").cast("long")
+                      .alias("sum_tokens"),
+                     _dec(F.min("rate"), 6).alias("rate")))
+    q["temp_mix"] = temp_mix
+
+    def minhash_incr(spark, sf):
+        # incremental LSH dedup (weekly-batch vs persisted band
+        # store), ORACLE-VALUE-CHECKED: the DuckDB twin re-runs the
+        # FULL minhash pair mirror over the whole corpus and filters
+        # to pairs touching the planted 'new' split (doc_id % 3 = 0)
+        # — so the incremental path is value-checked against full-
+        # recompute semantics, combined bucket cap included.
+        from weakscraper_spark.operators.dedup import (
+            minhash_band_store, minhash_incremental_pairs)
+        docs = _t(spark, sf, "documents")
+        return minhash_incremental_pairs(
+            minhash_band_store(docs.filter("doc_id % 3 = 0")),
+            minhash_band_store(docs.filter("doc_id % 3 != 0")))
+    q["minhash_incr"] = minhash_incr
+
     def warc_write(spark, sf):
         # DISTRIBUTED archive write (pages_to_warc: applyInPandas,
         # one archive per group, kernel sorts by url so bytes are a
@@ -2688,7 +2719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dup/trim_substrings localCheckpoint; ivf_ann_topk init change),
     # (3) rotation of the rest.
     _sample_first = [
-        "warc_cdx", "redirect_map", "warc_write",
+        "warc_cdx", "redirect_map", "warc_write", "minhash_incr",
+        "temp_mix",
         "template_refresh", "semantic_dedup", "dsir_select",
         "robots_noindex", "canonical_groups", "recrawl_plan",
         "unicode_scrub", "script_mix",
@@ -4983,6 +5015,40 @@ def oracle_sql() -> dict[str, str]:
                      WHEN d % 29 = 0 THEN 'error:BadJson'
                      ELSE 'ok' END AS status
             FROM t
+        """,
+        "temp_mix": """
+            WITH d AS (
+                SELECT lang, doc_id,
+                       CAST(len(string_split_regex(trim(lower(text)),
+                                '\\s+')) AS BIGINT) AS n_tokens
+                FROM documents),
+            t AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT)
+                         AS dom_toks
+                  FROM d GROUP BY lang),
+            w AS (SELECT lang, dom_toks,
+                         sqrt(dom_toks::DOUBLE) AS pw FROM t),
+            zz AS (SELECT sum(pw) AS z FROM w),
+            r AS (SELECT d.*,
+                         least(1.0, round(16000.0 * (w.pw / zz.z)
+                                          / w.dom_toks, 9)) AS rate
+                  FROM d JOIN w ON d.lang = w.lang, zz),
+            k AS (SELECT * FROM r
+                  WHERE ('0x' || substr(md5('42:tmix:' || doc_id),
+                                        1, 15))::UBIGINT
+                        / (16.0 ** 15) < rate)
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                   CAST(CAST(round(min(rate), 6) AS DECIMAL(18,6))
+                        AS VARCHAR) AS rate
+            FROM k GROUP BY lang
+        """,
+        "minhash_incr": f"""
+            WITH {_MINHASH_PAIRS_CTES}
+            SELECT doc_a, doc_b, n_bands,
+                   CASE WHEN doc_a % 3 = 0 AND doc_b % 3 = 0
+                        THEN 'new_new' ELSE 'new_old' END AS side
+            FROM mh_pairs
+            WHERE doc_a % 3 = 0 OR doc_b % 3 = 0
         """,
         "warc_write": f"""
             SELECT filename, url, "offset", length, digest

@@ -1581,3 +1581,95 @@ def test_semantic_dedup_trained_keeps_core_outlier(spark):
         assert len({out[c * 10 + j].cluster_id
                     for j in range(6)} |
                    {out[c * 10 + 9].cluster_id}) == 1, c
+
+
+def test_minhash_incremental_equals_full_recompute(spark):
+    """The incremental path's contract: identical candidate set to a
+    full recompute over old ∪ new, restricted to pairs touching the
+    new batch — including the combined bucket cap."""
+    from weakscraper_spark.operators.dedup import (
+        minhash_band_store, minhash_incremental_pairs,
+        minhash_lsh_pairs)
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    new = docs.filter("doc_id % 3 = 0")
+    old = docs.filter("doc_id % 3 != 0")
+    inc = minhash_incremental_pairs(minhash_band_store(new),
+                                    minhash_band_store(old))
+    got = {(r.doc_a, r.doc_b): (r.n_bands, r.side)
+           for r in inc.collect()}
+    full = {(r.doc_a, r.doc_b): r.n_bands
+            for r in minhash_lsh_pairs(docs).collect()
+            if r.doc_a % 3 == 0 or r.doc_b % 3 == 0}
+    assert {k: v[0] for k, v in got.items()} == full
+    for (a, b), (_, side) in got.items():
+        assert side == ("new_new" if a % 3 == 0 and b % 3 == 0
+                        else "new_old"), (a, b)
+
+
+def test_minhash_incremental_combined_cap_no_drift(spark):
+    """A bucket that crosses the cap only when old and new COMBINE
+    must be excluded (exactly as a full recompute would) — capping
+    each side independently would let this week's half of a giant
+    cluster flood the join."""
+    from weakscraper_spark.operators.dedup import (
+        minhash_band_store, minhash_incremental_pairs)
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in
+            range(70)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    new_b = minhash_band_store(docs.filter("doc_id < 35"))
+    old_b = minhash_band_store(docs.filter("doc_id >= 35"))
+    # combined bucket = 70 docs > cap 64 → excluded entirely
+    assert minhash_incremental_pairs(new_b, old_b,
+                                     max_bucket=64).count() == 0
+    # raise the cap and the full bipartite+new-new pair set appears
+    n = minhash_incremental_pairs(new_b, old_b,
+                                  max_bucket=128).count()
+    assert n == 70 * 69 // 2 - 35 * 34 // 2   # all pairs minus old-old
+
+
+def test_minhash_incremental_empty_new_batch(spark):
+    from weakscraper_spark.operators.dedup import (
+        minhash_band_store, minhash_incremental_pairs)
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")],
+        "doc_id long, text string")
+    empty = docs.filter("doc_id < 0")
+    assert minhash_incremental_pairs(
+        minhash_band_store(empty), minhash_band_store(docs)).count() \
+        == 0
+
+
+def test_temperature_mix_limits(spark):
+    """τ = 1 reproduces the natural distribution (every domain gets
+    the SAME acceptance rate budget/Σtokens); τ → 0 approaches
+    uniform token allocation (rate ∝ 1/tokens(d)); a tiny domain is
+    taken whole (rate capped at 1); deterministic across runs."""
+    from weakscraper_spark.operators.corpus import temperature_mix
+    rows = ([(i, "big", "w " * 200) for i in range(40)] +
+            [(100 + i, "mid", "w " * 100) for i in range(15)] +
+            [(200, "tiny", "w w w")])
+    df = spark.createDataFrame(rows, "doc_id long, lang string, "
+                                     "text string")
+    # τ=1: one global rate
+    r1 = {r.lang: r.rate for r in temperature_mix(
+        df, "lang", budget_tokens=3000, tau=1.0).select(
+        "lang", "rate").distinct().collect()}
+    assert len(set(r1.values())) == 1
+    # τ=0: uniform shares → per-domain budget/3 tokens; tiny capped
+    r0 = {r.lang: r.rate for r in temperature_mix(
+        df, "lang", budget_tokens=3000, tau=0.0).select(
+        "lang", "rate").distinct().collect()}
+    assert r0["tiny"] == 1.0
+    assert r0["big"] < r0["mid"] < 1.0
+    # τ=0.5 sits between: big's rate above its τ=0 rate
+    rh = {r.lang: r.rate for r in temperature_mix(
+        df, "lang", budget_tokens=3000, tau=0.5).select(
+        "lang", "rate").distinct().collect()}
+    assert r0["big"] < rh["big"] < r1["big"]
+    # deterministic kept set
+    a = sorted(r.doc_id for r in temperature_mix(
+        df, "lang", budget_tokens=3000).collect())
+    b = sorted(r.doc_id for r in temperature_mix(
+        df, "lang", budget_tokens=3000).collect())
+    assert a == b

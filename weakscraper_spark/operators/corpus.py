@@ -101,6 +101,53 @@ def hash_sample(df: DataFrame, strata_col: str,
     return df.filter(u < frac)
 
 
+def temperature_mix(df: DataFrame, domain_col: str,
+                    budget_tokens: int, tau: float = 0.5,
+                    id_col: str = "doc_id", col: str = "text",
+                    seed: int = 42) -> DataFrame:
+    """Temperature-flattened mixture resampling — ``mix_domains``
+    with the shares DERIVED from the data instead of hand-set (the
+    mT5/XLM-R multilingual practice, public):
+
+        share(d) ∝ tokens(d)^tau,   rate(d) = min(1, budget·share/tokens)
+
+    τ = 1 reproduces the natural distribution, τ → 0 approaches
+    uniform across domains; τ ≈ 0.3–0.7 is the usual band that keeps
+    head domains from drowning the tail without overrepeating tiny
+    ones. Same deterministic md5 accept draw and same scale shape as
+    ``mix_domains`` (one two-phase groupBy(domain) for totals, the
+    O(domains) rate relation broadcast back, corpus never shuffles).
+    ``rate`` is rounded to 9dp before the draw compares against it —
+    the share normalizer is a float sum over domains, and an
+    engine's summation order must not be able to flip an acceptance
+    at the 16th digit (the DSIR round-before-threshold discipline;
+    τ = 0.5 keeps the power itself IEEE-exact via sqrt).
+
+    Returns kept rows + (n_tokens, rate)."""
+    toks = F.size(F.split(F.trim(F.lower(F.col(col))), r"\s+")) \
+        .cast("long")
+    base = df.withColumn("n_tokens", toks)
+    totals = (base.groupBy(domain_col)
+              .agg(F.sum("n_tokens").alias("_dom_toks")))
+    pw = F.pow(F.col("_dom_toks").cast("double"), F.lit(float(tau)))
+    wtab = totals.withColumn("_pw", pw)
+    z = wtab.agg(F.sum("_pw").alias("_z"))
+    rates = (wtab.crossJoin(F.broadcast(z))
+             .select(domain_col,
+                     F.round(F.lit(float(budget_tokens)) *
+                             (F.col("_pw") / F.col("_z")) /
+                             F.col("_dom_toks"), 9).alias("_r"))
+             .withColumn("rate", F.least(F.lit(1.0), F.col("_r")))
+             .drop("_r"))
+    u = (F.conv(F.substring(
+            F.md5(F.encode(F.concat(F.lit(f"{seed}:tmix:"),
+                                    F.col(id_col).cast("string")),
+                           "UTF-8")), 1, 15), 16, 10)
+         .cast("double") / F.lit(float(16 ** 15)))
+    return (base.join(F.broadcast(rates), domain_col)
+            .filter(u < F.col("rate")))
+
+
 def contamination_overlap(train: DataFrame, evalset: DataFrame,
                           id_col: str = "doc_id", col: str = "text",
                           k: int = 3) -> DataFrame:

@@ -209,6 +209,65 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
             .agg(F.count("*").alias("n_bands")))
 
 
+def minhash_band_store(df: DataFrame, id_col: str = "doc_id",
+                       col: str = "text", n_hashes: int = 8,
+                       band_size: int = 2,
+                       shingle_k: int = 3) -> DataFrame:
+    """The PERSISTED near-dup state of a weekly pipeline: the
+    (doc, band, bkey) LSH band table — ~100 B/doc, orders of
+    magnitude under the text it derives from. Write it next to the
+    corpus sink; next week's batch dedups against it via
+    ``minhash_incremental_pairs`` WITHOUT re-shingling a byte of the
+    existing corpus. Exactly the relation ``minhash_lsh_pairs``
+    self-joins internally (same signatures, same band keys), so
+    incremental and full-recompute candidate sets agree."""
+    return _minhash_bands(df, id_col, col, n_hashes, band_size,
+                          shingle_k)
+
+
+def minhash_incremental_pairs(new_bands: DataFrame,
+                              old_bands: DataFrame,
+                              max_bucket: int = 64) -> DataFrame:
+    """Incremental LSH candidate pairs — every pair TOUCHING the new
+    batch: (doc_a, doc_b, n_bands, side ∈ {new_new, new_old}),
+    doc_a < doc_b. Equals ``minhash_lsh_pairs`` re-run over
+    old ∪ new, restricted to pairs with ≥ 1 new member (the bucket
+    cap is applied to the COMBINED bucket sizes, so a bucket that
+    went over cap this week is excluded exactly as a full recompute
+    would exclude it — no cap drift between the two paths).
+
+    Scale shape: the join is NEW-side × bucket-members — work is
+    proportional to the new batch's bucket contacts, never
+    O(old²); the old corpus contributes only its ~100-byte band rows
+    (one scan, no shingling, no text). The combined-cap count is the
+    usual two-phase agg + broadcast anti-join."""
+    new_tag = new_bands.select("doc", "band", "bkey",
+                               F.lit(True).alias("_new"))
+    old_tag = old_bands.select("doc", "band", "bkey",
+                               F.lit(False).alias("_new"))
+    allb = new_tag.unionByName(old_tag)
+    overcap = _overcap_keys(allb, ["band", "bkey"], max_bucket)
+    capped = allb.join(F.broadcast(overcap.select("band", "bkey")),
+                       ["band", "bkey"], "left_anti")
+    n = (capped.filter("_new")
+         .select("band", "bkey", F.col("doc").alias("_dn")))
+    al = capped.select("band", "bkey", F.col("doc").alias("_do"),
+                       F.col("_new").alias("_no"))
+    j = (n.join(al, ["band", "bkey"])
+         .filter(F.col("_dn") != F.col("_do")))
+    # a new-new pair meets twice per shared band (both orientations)
+    # — countDistinct(band) counts shared bands exactly once for
+    # both pair kinds
+    return (j.groupBy(
+                F.least("_dn", "_do").alias("doc_a"),
+                F.greatest("_dn", "_do").alias("doc_b"))
+            .agg(F.countDistinct("band").alias("n_bands"),
+                 F.max("_no").alias("_nn"))
+            .select("doc_a", "doc_b", "n_bands",
+                    F.when(F.col("_nn"), "new_new")
+                     .otherwise("new_old").alias("side")))
+
+
 def minhash_overcap_buckets(df: DataFrame, id_col: str = "doc_id",
                             col: str = "text", n_hashes: int = 8,
                             band_size: int = 2, shingle_k: int = 3,
