@@ -268,10 +268,12 @@ def main() -> None:
             with open(cache, "w") as fh:
                 json.dump(ext, fh)
     mh = _minhash_phase(5000, rounds)
+    gr = _graph_phase(rounds)
+    cc, pr = gr["cc"], gr["pagerank"]
 
     md = os.path.join(REPO, "BENCH", "scale10x.md")
     with open(md, "w") as fh:
-        fh.write(f"""# 10× scale proof (r06)
+        fh.write(f"""# 10× scale proof (r06; graph phase r07)
 
 Flagship extraction + MinHash-LSH dedup at 1× and 10× the bench
 corpus, measured with the bench.py discipline (noise-gated,
@@ -302,14 +304,43 @@ sequence equality from explain("formatted")):
 
 Plan nodes (both sizes): `{' → '.join(mh['plan_nodes'])}`
 
+## Iterative shuffle loops (r07: VERDICT r06 #4), local[8]
+
+The two heaviest walls in the headline set are fixed-iteration graph
+loops — where a superlinear term would actually live (per-round join
+cost, lineage truncation, checkpoint behavior). Both measured at 1×
+and 10× GRAPH size with cold caches per round (CacheManager is
+plan-keyed) and plan-identity asserted across the step.
+
+### connected_components (minprop; chain-clusters of 8 ⇒ constant round count)
+
+| graph | nodes | wall | plan unchanged |
+|---|---|---|---|
+| 1× | {cc['1x']['nodes']} | {cc['1x']['wall_s']} s | — |
+| 10× | {cc['10x']['nodes']} | {cc['10x']['wall_s']} s | {cc['plan_unchanged']} |
+
+Wall growth **{cc['wall_growth']}×** for **10×** nodes/edges.
+
+### pagerank (10 fixed power iterations; pages AND hosts ×10)
+
+| graph | pages | host edges | wall | plan unchanged |
+|---|---|---|---|---|
+| 1× | {pr['1x']['pages']} | {pr['1x']['edges']} | {pr['1x']['wall_s']} s | — |
+| 10× | {pr['10x']['pages']} | {pr['10x']['edges']} | {pr['10x']['wall_s']} s | {pr['plan_unchanged']} |
+
+Wall growth **{pr['wall_growth']}×** for **{pr['edge_growth']}×**
+host edges (edge extraction precomputed untimed — the wall is the
+loop alone).
+
 ## Raw walls
 
 ```json
-{json.dumps({'extract': {k: v for k, v in ext.items() if k in ('1x', '10x', 'noise_probe_per_round')}, 'minhash': mh['all_walls']}, indent=1)}
+{json.dumps({'extract': {k: v for k, v in ext.items() if k in ('1x', '10x', 'noise_probe_per_round')}, 'minhash': mh['all_walls'], 'cc': cc['all_walls'], 'pagerank': pr['all_walls']}, indent=1)}
 ```
 """)
     print(json.dumps({"extract": ext, "minhash": {
-        k: v for k, v in mh.items() if k != "plan_nodes"}}))
+        k: v for k, v in mh.items() if k != "plan_nodes"},
+        "graph": gr}))
     print(f"wrote {md}")
 
 
