@@ -534,3 +534,19 @@ def test_dsir_plan_broadcast_ratios_no_python(spark):
     assert "Window" not in names, nodes
     assert "BatchEvalPython" not in names, nodes
     assert "ArrowEvalPython" not in names, nodes
+
+
+def test_resolve_redirects_plan_is_checkpoint_truncated(spark):
+    """r07 plan-audit regression: the pointer-doubling loop joins
+    cur against ITSELF, so un-truncated lineage re-derives the edge
+    subtree 2^rounds times (first audit: 199 nodes / 17 Exchanges at
+    rounds=4). With per-round eager localCheckpoint the final plan
+    must stay a small checkpoint-backed join."""
+    from weakscraper_spark.operators.redirects import (
+        resolve_redirects)
+    edges = spark.createDataFrame(
+        [(f"u{i}", f"u{i+1}") for i in range(6)],
+        "src_url string, dst_url string")
+    names = [n for _, n in _plan_nodes(resolve_redirects(edges))]
+    assert len(names) <= 20, names
+    assert names.count("Exchange") <= 2, names

@@ -241,11 +241,18 @@ def minhash_incremental_pairs(new_bands: DataFrame,
     O(old²); the old corpus contributes only its ~100-byte band rows
     (one scan, no shingling, no text). The combined-cap count is the
     usual two-phase agg + broadcast anti-join."""
+    from pyspark import StorageLevel
+
     new_tag = new_bands.select("doc", "band", "bkey",
                                F.lit(True).alias("_new"))
     old_tag = old_bands.select("doc", "band", "bkey",
                                F.lit(False).alias("_new"))
-    allb = new_tag.unionByName(old_tag)
+    # pin the combined band relation (~100 B/doc): it feeds the
+    # overcap count AND both join sides — without the persist the
+    # NEW batch is re-shingled and the store re-scanned three times
+    # (r07 plan audit: 137-node plan, 9 scans)
+    allb = new_tag.unionByName(old_tag) \
+        .persist(StorageLevel.DISK_ONLY)
     overcap = _overcap_keys(allb, ["band", "bkey"], max_bucket)
     capped = allb.join(F.broadcast(overcap.select("band", "bkey")),
                        ["band", "bkey"], "left_anti")

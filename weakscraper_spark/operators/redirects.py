@@ -72,6 +72,12 @@ def resolve_redirects(edges: DataFrame, src: str = "src_url",
                        F.col(dst).alias("v"),
                        F.lit(1).alias("hops"))
     rounds = max(1, (max_hops - 1).bit_length())
+    # truncate lineage per round: each doubling joins cur AGAINST
+    # ITSELF, so without a barrier the un-truncated plan re-derives
+    # the edge subtree 2^rounds times (r07 plan audit: 199 nodes /
+    # 17 Exchanges at rounds=4) — the same per-round eager
+    # localCheckpoint discipline as the connected-components loop
+    cur = cur.localCheckpoint(eager=True)
     for _ in range(rounds):
         nxt = cur.select(F.col("u").alias("_ju"),
                          F.col("v").alias("_jv"),
@@ -81,11 +87,15 @@ def resolve_redirects(edges: DataFrame, src: str = "src_url",
                        F.coalesce("_jv", "v").alias("v"),
                        F.least(F.col("hops") +
                                F.coalesce("_jh", F.lit(0)),
-                               F.lit(cap)).alias("hops")))
+                               F.lit(cap)).alias("hops"))
+               .localCheckpoint(eager=True))
     # a landing url that is itself a redirect source means the walk
-    # has not terminated (mid-chain budget exhaustion or a cycle)
-    srcs = edges.select(F.col(src).alias("v"),
-                        F.lit(True).alias("_is_src"))
+    # has not terminated (mid-chain budget exhaustion or a cycle);
+    # derive sources from the CHECKPOINTED round-0 relation, not the
+    # original edges subtree (one less re-derivation of the 3xx scan)
+    # (cur carries exactly one row per source, so no distinct needed)
+    srcs = cur.select(F.col("u").alias("v"),
+                      F.lit(True).alias("_is_src"))
     out = cur.join(srcs, "v", "left")
     resolved = F.col("_is_src").isNull() & (F.col("hops") <= max_hops)
     return out.select(
