@@ -2644,6 +2644,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("c.digest").alias("digest")))
     q["warc_write"] = warc_write
 
+    def warc_fetch(spark, sf):
+        # index READ path (random access by byte span), ORACLE-
+        # VALUE-CHECKED against a closed form: archives built
+        # driver-side 8-docs-per-archive (the warc_cdx corpus), the
+        # builder's own (offset, length) rows drive fetch_by_index,
+        # and the fetched bodies must decode to exactly
+        # '<html><body>' || text || '</body></html>' per url.
+        import os
+
+        import duckdb
+        from weakscraper_spark.sources.warc import (build_warc,
+                                                    fetch_by_index)
+        con = duckdb.connect()
+        pdf = con.execute(
+            "SELECT doc_id, text FROM read_parquet(?) "
+            "ORDER BY doc_id",
+            [os.path.join(sf, "documents.parquet")]).df()
+        con.close()
+        archives: dict[int, list[dict]] = {}
+        for did, text in zip(pdf["doc_id"], pdf["text"]):
+            did = int(did)
+            archives.setdefault(did // 8, []).append({
+                "type": "response",
+                "url": f"https://w{did % 20}.example.com/d/{did}",
+                "date": "2024-05-01T00:00:00Z",
+                "body": f"<html><body>{text}</body></html>",
+                "http_status": 200, "mime": "text/html"})
+        arch_rows, idx_rows = [], []
+        for aid in sorted(archives):
+            idx: list[dict] = []
+            fname = f"crawl-{aid:05d}.warc.gz"
+            arch_rows.append((fname, build_warc(archives[aid],
+                                                index=idx)))
+            idx_rows += [(fname, t["url"], t["offset"], t["length"])
+                         for t in idx]
+        out = fetch_by_index(
+            spark.createDataFrame(arch_rows,
+                                  "filename string, content binary"),
+            spark.createDataFrame(
+                idx_rows, "filename string, url string, "
+                          "offset long, length long"))
+        return out.select(
+            "url", F.decode("html", "UTF-8").alias("html_text"),
+            F.col("n_bytes").cast("long").alias("n_bytes"),
+            "status")
+    q["warc_fetch"] = warc_fetch
+
     def redirect_map(spark, sf):
         # redirect-chain resolution (pointer doubling over the 3xx
         # index rows), ORACLE-VALUE-CHECKED against a closed form:
@@ -2720,7 +2767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (3) rotation of the rest.
     _sample_first = [
         "warc_cdx", "redirect_map", "warc_write", "minhash_incr",
-        "temp_mix",
+        "temp_mix", "warc_fetch",
         "template_refresh", "semantic_dedup", "dsir_select",
         "robots_noindex", "canonical_groups", "recrawl_plan",
         "unicode_scrub", "script_mix",
@@ -5053,6 +5100,16 @@ def oracle_sql() -> dict[str, str]:
         "warc_write": f"""
             SELECT filename, url, "offset", length, digest
             FROM read_parquet('{_TRUTH_ROOT}/warc_write/*.parquet')
+        """,
+        "warc_fetch": """
+            SELECT 'https://w' || (doc_id % 20) || '.example.com/d/'
+                       || doc_id AS url,
+                   '<html><body>' || text || '</body></html>'
+                       AS html_text,
+                   CAST(octet_length(encode('<html><body>' || text ||
+                        '</body></html>')) AS BIGINT) AS n_bytes,
+                   'ok' AS status
+            FROM documents
         """,
         "redirect_map": """
             WITH mm AS (SELECT max(doc_id) AS m FROM documents),

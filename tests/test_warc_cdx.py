@@ -200,3 +200,34 @@ def test_pages_to_warc_feeds_format_cdxj(spark):
     assert len(back) == 6
     assert all(r.status == "ok" and r.status_code == 200 and
                r.urlkey.startswith("example,w)/p/") for r in back)
+
+
+def test_fetch_by_index_random_access(spark):
+    """The index READ path: records come back by (offset, length)
+    slice + single-member inflate — bodies byte-identical to what a
+    full parse yields, corrupt spans degrade to error:BadSpan rows."""
+    from pyspark.sql import functions as F
+    from weakscraper_spark.sources.warc import fetch_by_index
+    truth: list = []
+    raw = build_warc(_records(6), gzip_members=True, index=truth)
+    archives = spark.createDataFrame(
+        [("a.warc.gz", raw)], "filename string, content binary")
+    idx_rows = [("a.warc.gz", t["url"], t["offset"], t["length"])
+                for t in truth[:4]]
+    # plus one corrupt span (offset into the middle of a member)
+    idx_rows.append(("a.warc.gz", "corrupt", truth[0]["offset"] + 3,
+                     truth[0]["length"]))
+    idx = spark.createDataFrame(
+        idx_rows, "filename string, url string, offset long, "
+                  "length long")
+    out = {r.url: r for r in fetch_by_index(archives, idx).collect()}
+    assert len(out) == 5
+    want = {r["url"]: r["body"] for r in _records(6)}
+    for t in truth[:4]:
+        r = out[t["url"]]
+        assert r.status == "ok"
+        body = want[t["url"]]
+        body = body.encode() if isinstance(body, str) else body
+        assert bytes(r.html) == body
+    assert out["corrupt"].status == "error:BadSpan"
+    assert out["corrupt"].html is None

@@ -517,6 +517,79 @@ def pages_to_warc(pages: DataFrame, archive_col: str = "archive_id",
                 build, WARC_ARCHIVE_SCHEMA))
 
 
+FETCH_SCHEMA = (
+    "filename string, url string, status string, record_type string, "
+    "http_status int, mime string, html binary, n_bytes int"
+)
+
+
+def fetch_by_index(archives: DataFrame, index: DataFrame,
+                   filename_col: str = "filename",
+                   content_col: str = "content") -> DataFrame:
+    """The index READ path — random access into archives by
+    (offset, length), the reason the CDX format exists: ``index``
+    rows (filename, url, offset, length — ``parse_cdxj`` output or
+    the ``pages_to_warc`` cdx column) are fetched from ``archives``
+    (filename, content-bytes) by slicing the member span and
+    inflating ONLY it; the rest of the archive is never parsed.
+
+    On object storage this slice is a ranged GET per record; here the
+    archive bytes arrive as one column and the slice happens in the
+    kernel — the join shape (index rows grouped per archive, one
+    task per archive) is the same either way. A span that fails to
+    frame (corrupt offset, truncated slice) yields an
+    ``error:BadSpan`` status row — A13 taxonomy, never a task
+    failure."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("filename", "url", "status", "record_type",
+                "http_status", "mime", "html", "n_bytes")
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for fname, raw, url, off, ln in zip(
+                    pdf["_fn"], pdf["_raw"], pdf["_url"],
+                    pdf["_off"], pdf["_len"]):
+                raw = bytes(raw) if raw is not None else b""
+                span = raw[int(off):int(off) + int(ln)]
+                rec = None
+                try:
+                    member = (zlib.decompress(span, 31)
+                              if span[:2] == b"\x1f\x8b" else span)
+                    for r in iter_warc_records(member + b"\r\n\r\n"):
+                        if not r["status"].startswith("error:"):
+                            rec = r
+                        break
+                except zlib.error:
+                    rec = None
+                out["filename"].append(fname)
+                out["url"].append(url)
+                if rec is None:
+                    out["status"].append("error:BadSpan")
+                    for k in ("record_type", "http_status", "mime",
+                              "html"):
+                        out[k].append(None)
+                    out["n_bytes"].append(0)
+                else:
+                    out["status"].append(rec["status"])
+                    out["record_type"].append(rec["record_type"])
+                    out["http_status"].append(rec["http_status"])
+                    out["mime"].append(rec["mime"])
+                    out["html"].append(rec["body"])
+                    out["n_bytes"].append(len(rec["body"]))
+            yield pd.DataFrame(out)
+
+    from pyspark.sql import functions as F
+    joined = (index.select(
+                  F.col(filename_col).alias("_fn"),
+                  F.col("url").alias("_url"),
+                  F.col("offset").alias("_off"),
+                  F.col("length").alias("_len"))
+              .join(archives.select(
+                  F.col(filename_col).alias("_fn"),
+                  F.col(content_col).alias("_raw")), "_fn"))
+    return joined.mapInPandas(run, FETCH_SCHEMA)
+
+
 def build_warc(records: list[dict], gzip_members: bool = True,
                index: list[dict] | None = None) -> bytes:
     """Fixture construction path (disjoint from the parser): each
