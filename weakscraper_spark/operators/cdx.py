@@ -151,9 +151,16 @@ def format_cdxj(index: DataFrame, url_col: str = "url",
         F.col("length").cast("string").alias("length"),
         F.col("offset").cast("string").alias("offset"),
         F.col(filename_col).alias("filename")))
+    # concat_ws silently SKIPS null columns, so a NULL timestamp
+    # (WARC-Date missing/unparseable — the record itself still
+    # frames 'ok') would render a malformed 2-field line that comes
+    # back from parse_cdxj as error:BadLine (r07 review). The
+    # all-zero ts14 keeps the line well-formed and round-trips as a
+    # visible NULL ts (year 0000 fails try_to_timestamp).
+    ts14 = F.coalesce(F.date_format(ts_col, "yyyyMMddHHmmss"),
+                      F.lit("00000000000000"))
     return index.select(F.concat_ws(
-        " ", surt_key(url_col),
-        F.date_format(ts_col, "yyyyMMddHHmmss"), blob).alias("line"))
+        " ", surt_key(url_col), ts14, blob).alias("line"))
 
 
 def cdx_digest_dedup(records: DataFrame) -> DataFrame:

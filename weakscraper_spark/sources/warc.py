@@ -444,8 +444,18 @@ def warc_record_index(files: DataFrame, path_col: str = "path",
                     out["http_status"].append(rec["http_status"])
                     out["mime"].append(rec["mime"])
                     out["location"].append(rec.get("location"))
+                    # digest EVERY well-framed record, empty bodies
+                    # included (the CC/CDX convention is the sha-1 of
+                    # the empty payload; 3xx/204 records typically
+                    # have one) — `if body` made the index diverge
+                    # from the builder's accounting and, worse, made
+                    # cdx_digest_dedup's countDistinct see 0 digests
+                    # for an all-redirect urlkey (r07 review). Error
+                    # frames keep NULL: a truncated body's digest
+                    # would be a lie.
                     out["digest"].append(
-                        payload_digest(body) if body else None)
+                        payload_digest(body)
+                        if rec["status"] == "ok" else None)
                     out["offset"].append(rec["offset"])
                     out["length"].append(rec["length"])
                     out["n_bytes"].append(len(body))
@@ -488,7 +498,19 @@ def pages_to_warc(pages: DataFrame, archive_col: str = "archive_id",
 
     def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
         (aid,) = key
-        pdf = pdf.sort_values(url_col, kind="mergesort")
+        # TOTAL order, not url alone: two captures of one url in one
+        # archive group (the revisit case) tie under a url sort, and
+        # stable mergesort would then preserve partition-arrival
+        # order — archive bytes/offsets/digests flapping across runs
+        # (r07 review; the r06 'silent hash flap' class). Tie-break
+        # by timestamp then body hash; rows identical in all three
+        # serialize identical bytes in either order.
+        import hashlib
+        pdf = pdf.assign(_tb=[
+            hashlib.md5(bytes(b) if b is not None else b"")
+            .hexdigest() for b in pdf[html_col]])
+        pdf = pdf.sort_values([url_col, ts_col, "_tb"],
+                              kind="mergesort", na_position="last")
         recs = []
         stamps = []
         for url, ts, body in zip(pdf[url_col], pdf[ts_col],
@@ -546,47 +568,63 @@ def fetch_by_index(archives: DataFrame, index: DataFrame,
                 "http_status", "mime", "html", "n_bytes")
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in cols}
-            for fname, raw, url, off, ln in zip(
-                    pdf["_fn"], pdf["_raw"], pdf["_url"],
-                    pdf["_off"], pdf["_len"]):
+            for fname, raw, wants in zip(pdf["_fn"], pdf["_raw"],
+                                         pdf["_wants"]):
                 raw = bytes(raw) if raw is not None else b""
-                span = raw[int(off):int(off) + int(ln)]
-                rec = None
-                try:
-                    member = (zlib.decompress(span, 31)
-                              if span[:2] == b"\x1f\x8b" else span)
-                    for r in iter_warc_records(member + b"\r\n\r\n"):
-                        if not r["status"].startswith("error:"):
-                            rec = r
-                        break
-                except zlib.error:
+                for w in wants:
+                    url, off, ln = (w["url"], w["offset"],
+                                    w["length"])
+                    out["filename"].append(fname)
+                    out["url"].append(url)
                     rec = None
-                out["filename"].append(fname)
-                out["url"].append(url)
-                if rec is None:
-                    out["status"].append("error:BadSpan")
-                    for k in ("record_type", "http_status", "mime",
-                              "html"):
-                        out[k].append(None)
-                    out["n_bytes"].append(0)
-                else:
-                    out["status"].append(rec["status"])
-                    out["record_type"].append(rec["record_type"])
-                    out["http_status"].append(rec["http_status"])
-                    out["mime"].append(rec["mime"])
-                    out["html"].append(rec["body"])
-                    out["n_bytes"].append(len(rec["body"]))
+                    # a NULL span (parse_cdxj's BadLine/BadJson or
+                    # junk-numeric rows are documented input) must
+                    # degrade to BadSpan, never kill the task
+                    if off is not None and ln is not None and \
+                            not pd.isna(off) and not pd.isna(ln):
+                        span = raw[int(off):int(off) + int(ln)]
+                        try:
+                            member = (zlib.decompress(span, 31)
+                                      if span[:2] == b"\x1f\x8b"
+                                      else span)
+                            for r in iter_warc_records(
+                                    member + b"\r\n\r\n"):
+                                if not r["status"].startswith(
+                                        "error:"):
+                                    rec = r
+                                break
+                        except zlib.error:
+                            rec = None
+                    if rec is None:
+                        out["status"].append("error:BadSpan")
+                        for k in ("record_type", "http_status",
+                                  "mime", "html"):
+                            out[k].append(None)
+                        out["n_bytes"].append(0)
+                    else:
+                        out["status"].append(rec["status"])
+                        out["record_type"].append(rec["record_type"])
+                        out["http_status"].append(rec["http_status"])
+                        out["mime"].append(rec["mime"])
+                        out["html"].append(rec["body"])
+                        out["n_bytes"].append(len(rec["body"]))
             yield pd.DataFrame(out)
 
     from pyspark.sql import functions as F
-    joined = (index.select(
-                  F.col(filename_col).alias("_fn"),
-                  F.col("url").alias("_url"),
-                  F.col("offset").alias("_off"),
-                  F.col("length").alias("_len"))
-              .join(archives.select(
-                  F.col(filename_col).alias("_fn"),
-                  F.col(content_col).alias("_raw")), "_fn"))
+    # pack the index rows per archive BEFORE the join: joining the
+    # raw index against the content column replicates the WHOLE
+    # archive's bytes once per fetched record (1 GB archive × 50k
+    # records ≈ 50 TB through the join — r07 review); this shape
+    # moves each archive's bytes exactly once and keeps one task per
+    # archive, the docstring's contract
+    wants = (index.groupBy(F.col(filename_col).alias("_fn"))
+             .agg(F.collect_list(F.struct(
+                 F.col("url").alias("url"),
+                 F.col("offset").alias("offset"),
+                 F.col("length").alias("length"))).alias("_wants")))
+    joined = wants.join(
+        archives.select(F.col(filename_col).alias("_fn"),
+                        F.col(content_col).alias("_raw")), "_fn")
     return joined.mapInPandas(run, FETCH_SCHEMA)
 
 
@@ -608,13 +646,19 @@ def build_warc(records: list[dict], gzip_members: bool = True,
         if isinstance(body, str):
             body = body.encode("utf-8")
         if r.get("type") == "response":
+            # assemble by concatenation, never by %-formatting a
+            # string that embeds header VALUES: a Location like
+            # '/a%2Fb' (percent-encoding is the norm in real 3xx
+            # targets) would crash the format — or, with '%s' in the
+            # value, silently consume the other args and corrupt the
+            # archive bytes (r07 review)
             loc = (b"Location: " + r["location"].encode("latin-1") +
                    b"\r\n") if r.get("location") else b""
-            http = (b"HTTP/1.1 %d OK\r\nContent-Type: %s\r\n" + loc +
-                    b"Content-Length: %d\r\n\r\n") \
-                % (r.get("http_status", 200),
-                   r.get("mime", "text/html").encode("latin-1"),
-                   len(body))
+            http = (b"HTTP/1.1 %d OK\r\n" % r.get("http_status", 200)
+                    + b"Content-Type: "
+                    + r.get("mime", "text/html").encode("latin-1")
+                    + b"\r\n" + loc
+                    + b"Content-Length: %d\r\n\r\n" % len(body))
             payload = http + body
         else:
             payload = body
