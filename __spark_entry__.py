@@ -2644,6 +2644,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("c.digest").alias("digest")))
     q["warc_write"] = warc_write
 
+    def canonical_redirects(spark, sf):
+        # canonical collapse THROUGH the redirect map (the standard
+        # canonicalization order), ORACLE-VALUE-CHECKED closed form:
+        # every doc in a block of 8 declares the block HEAD as its
+        # canonical; the head is a redirect source whose chain lands
+        # 3 hops later — so whole blocks must collapse onto the
+        # landing url, incl. the truncated final block.
+        from weakscraper_spark.operators.metadata import (
+            canonical_dedup_resolved)
+        from weakscraper_spark.operators.redirects import (
+            redirect_edges, resolve_redirects)
+        d = F.col("doc_id")
+        o = d % 8
+        s = d - o
+
+        def u(expr):
+            return F.concat(F.lit("https://r.example.com/p/"),
+                            expr.cast("string"))
+
+        docs = _t(spark, sf, "documents")
+        pages = docs.select(
+            u(d).alias("url"),
+            F.concat(F.lit('<head><link rel="canonical" href="/p/'),
+                     s.cast("string"),
+                     F.lit('"></head><body>x</body>')).alias("html"))
+        loc = (F.when(o.isin(0, 2) | (o == 6),
+                      F.concat(F.lit("/p/"), (d + 1).cast("string")))
+               .when(o == 1, u(d + 1))
+               .when(o == 7, F.concat(F.lit("/p/"),
+                                      (d - 1).cast("string"))))
+        status = F.when(o.isin(0, 1, 2, 6, 7), F.lit(301)) \
+            .otherwise(F.lit(200))
+        idx = docs.select(u(d).alias("url"), loc.alias("location"),
+                          status.alias("http_status"))
+        resolved = resolve_redirects(redirect_edges(idx))
+        return (canonical_dedup_resolved(pages, resolved)
+                .select("canonical_final",
+                        F.col("n_pages").cast("long")
+                         .alias("n_pages"), "first_url"))
+    q["canonical_redirects"] = canonical_redirects
+
     def warc_fetch(spark, sf):
         # index READ path (random access by byte span), ORACLE-
         # VALUE-CHECKED against a closed form: archives built
@@ -2767,7 +2808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (3) rotation of the rest.
     _sample_first = [
         "warc_cdx", "redirect_map", "warc_write", "minhash_incr",
-        "temp_mix", "warc_fetch",
+        "temp_mix", "warc_fetch", "canonical_redirects",
         "template_refresh", "semantic_dedup", "dsir_select",
         "robots_noindex", "canonical_groups", "recrawl_plan",
         "unicode_scrub", "script_mix",
@@ -5100,6 +5141,17 @@ def oracle_sql() -> dict[str, str]:
         "warc_write": f"""
             SELECT filename, url, "offset", length, digest
             FROM read_parquet('{_TRUTH_ROOT}/warc_write/*.parquet')
+        """,
+        "canonical_redirects": """
+            WITH mm AS (SELECT max(doc_id) AS m FROM documents),
+            dd AS (SELECT doc_id AS d, doc_id - doc_id % 8 AS s
+                   FROM documents)
+            SELECT 'https://r.example.com/p/' || least(s + 3, m + 1)
+                       AS canonical_final,
+                   CAST(count(*) AS BIGINT) AS n_pages,
+                   min('https://r.example.com/p/' || d) AS first_url
+            FROM dd, mm
+            GROUP BY s, m
         """,
         "warc_fetch": """
             SELECT 'https://w' || (doc_id % 20) || '.example.com/d/'

@@ -112,3 +112,36 @@ def test_redirects_from_real_warc_bytes(spark):
             out["https://h.example/old"].n_hops) == \
         ("https://n.example/final", 2)
     assert out["https://h.example/mid"].status == "ok"
+
+
+def test_canonical_resolved_through_redirects(spark):
+    """Declared canonical pointing at a MOVED url collapses onto the
+    landing page; a canonical whose chain is a cycle keeps the
+    DECLARED target (never a mid-cycle url)."""
+    from weakscraper_spark.operators.metadata import (
+        canonical_dedup_resolved, canonical_resolved)
+    pages = spark.createDataFrame([
+        ("https://h.example/a1",
+         '<link rel="canonical" href="/old">'),
+        ("https://h.example/a2",
+         '<link rel="canonical" href="/old">'),
+        ("https://h.example/b1",
+         '<link rel="canonical" href="/loop">'),
+        ("https://h.example/c1", "<p>no canonical</p>"),
+    ], "url string, html string")
+    idx = spark.createDataFrame([
+        ("https://h.example/old", 301, "/new"),
+        ("https://h.example/loop", 301, "/loop2"),
+        ("https://h.example/loop2", 301, "/loop"),
+    ], "url string, http_status int, location string")
+    resolved = resolve_redirects(redirect_edges(idx))
+    out = {r.url: r.canonical_final
+           for r in canonical_resolved(pages, resolved).collect()}
+    assert out["https://h.example/a1"] == "https://h.example/new"
+    assert out["https://h.example/a2"] == "https://h.example/new"
+    assert out["https://h.example/b1"] == "https://h.example/loop"
+    assert out["https://h.example/c1"] == "https://h.example/c1"
+    roll = {r.canonical_final: r.n_pages
+            for r in canonical_dedup_resolved(pages,
+                                              resolved).collect()}
+    assert roll["https://h.example/new"] == 2

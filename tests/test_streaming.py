@@ -374,3 +374,61 @@ def test_streaming_extract_feeds_drift_monitor(spark, tmp_path):
         min_jump=0.5).collect()}
     assert det == {f"host{h:02d}.example.com": "2026-01-05"
                    for h in (1, 5, 9, 13)}
+
+
+def test_minhash_bands_narrow_equals_batch(spark):
+    """The row-local band derivation must produce the SAME relation
+    as the explode+groupBy batch path — the streaming variant's
+    correctness rests on this equality."""
+    from weakscraper_spark.operators.dedup import (
+        minhash_band_store, minhash_bands_narrow)
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    a = {tuple(r) for r in minhash_band_store(docs).collect()}
+    b = {tuple(r) for r in minhash_bands_narrow(docs).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_stream_minhash_candidates_batch_twin(spark, tmp_path):
+    """Stream-static candidates == the batch incremental path's
+    new_old pairs (caps disabled on both sides for the comparison;
+    new_new is documented out of stream scope), exactly-once across
+    a checkpointed restart."""
+    from weakscraper_spark.operators.dedup import (
+        minhash_band_store, minhash_incremental_pairs)
+    from weakscraper_spark.streaming.stream import (
+        stream_minhash_candidates)
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    new = docs.filter("doc_id % 3 = 0")
+    old = docs.filter("doc_id % 3 != 0")
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    new.select("doc_id", "text").write.parquet(src)
+    minhash_band_store(old).write.parquet(store)
+
+    q = stream_minhash_candidates(
+        spark, src, "doc_id long, text string", store, out, ckpt)
+    q.awaitTermination(240)
+    got = (spark.read.parquet(out)
+           .groupBy("new_doc", "stored_doc")
+           .agg(F.countDistinct("band").alias("n_bands")))
+    got_set = {(r.new_doc, r.stored_doc, r.n_bands)
+               for r in got.collect()}
+    want = {(r.doc_a if r.doc_a % 3 == 0 else r.doc_b,
+             r.doc_b if r.doc_a % 3 == 0 else r.doc_a,
+             r.n_bands)
+            for r in minhash_incremental_pairs(
+                minhash_band_store(new), minhash_band_store(old),
+                max_bucket=10**9).collect()
+            if r.side == "new_old"}
+    assert got_set == want and len(want) > 0
+
+    # restart on the same checkpoint: no new data → no duplicates
+    q2 = stream_minhash_candidates(
+        spark, src, "doc_id long, text string", store, out, ckpt)
+    q2.awaitTermination(240)
+    assert spark.read.parquet(out).count() == \
+        sum(n for _, _, n in got_set)

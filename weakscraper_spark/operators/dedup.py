@@ -209,6 +209,67 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
             .agg(F.count("*").alias("n_bands")))
 
 
+def minhash_bands_narrow(df: DataFrame, id_col: str = "doc_id",
+                         col: str = "text", n_hashes: int = 8,
+                         band_size: int = 2,
+                         shingle_k: int = 3) -> DataFrame:
+    """The band relation computed ROW-LOCALLY — identical values to
+    ``minhash_band_store`` (same shingles, same md5 min-hashes, same
+    band keys; equality pinned by test) but as pure JVM array
+    expressions with ZERO shuffle: sig_i = array_min over the
+    distinct-shingle array of md5(i ':' shingle). The batch path's
+    explode + groupBy exists for map-side-combine ergonomics on the
+    shared shingle relation; this narrow form is the STREAMING-SAFE
+    shape (no stateful aggregation, so it composes into an append-
+    mode stream with no watermark) and the right choice whenever
+    only the bands are needed."""
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.trim(F.lower(F.col(col))), r"\s+").alias("_t"))
+    tk = F.col("_t")
+    n = F.size(tk)
+    sh = F.when(
+        n >= shingle_k,
+        F.transform(
+            F.sequence(F.lit(1), n - (shingle_k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tk, i + j)
+                       for j in range(shingle_k)])),
+    ).otherwise(F.array().cast("array<string>"))
+    # materialize the distinct-shingle ARRAY as a column first —
+    # Catalyst does not CSE inside transform lambdas (the r03
+    # lesson); referencing `sh` in 8 sig expressions would re-split
+    # and re-shingle the doc 8 times
+    shingled = base.select("doc", F.array_distinct(sh).alias("_sh")) \
+        .filter(F.size("_sh") > 0)
+    def _sig(i: int):
+        # bind i through a factory, NOT a `lambda t, i=i:` default
+        # arg — pyspark's transform() dispatches on lambda ARITY and
+        # passes the array index as the second parameter, silently
+        # shadowing the hash-index binding (found by the
+        # narrow-equals-batch equality test)
+        return F.array_min(F.transform(
+            F.col("_sh"),
+            lambda t: F.md5(F.encode(
+                F.concat(F.lit(f"{i}:"), t), "UTF-8"))))
+
+    sigs = [_sig(i).alias(f"sig{i}") for i in range(n_hashes)]
+    with_sigs = shingled.select("doc", *sigs)
+    n_bands = n_hashes // band_size
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[F.col(f"sig{b * band_size + j}")
+                               for j in range(band_size)])
+            .alias("bkey"))
+        for b in range(n_bands)
+    ]
+    return (with_sigs.select(
+        "doc", F.explode(F.array(*band_structs)).alias("_bs"))
+        .select("doc", F.col("_bs.band").alias("band"),
+                F.col("_bs.bkey").alias("bkey")))
+
+
 def minhash_band_store(df: DataFrame, id_col: str = "doc_id",
                        col: str = "text", n_hashes: int = 8,
                        band_size: int = 2,

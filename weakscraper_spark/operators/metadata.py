@@ -211,6 +211,44 @@ def canonical_target(df: DataFrame, html_col: str = "html",
                                  href)))
 
 
+def canonical_resolved(df: DataFrame, redirects: DataFrame,
+                       html_col: str = "html",
+                       url_col: str = "url") -> DataFrame:
+    """``canonical_target`` composed with the resolved redirect map
+    (``operators.redirects.resolve_redirects`` output): a declared
+    canonical pointing at a MOVED url must collapse onto the landing
+    page, or the same logical page splinters into one group per
+    historical location — the standard canonicalization order
+    (declared canonical first, then redirect rewriting). Appends
+    ``canonical_final``: the redirect landing of the canonical when
+    it resolves, the declared canonical otherwise (an 'unresolved'
+    chain — cycle or over-budget — keeps the declared target rather
+    than inventing a mid-cycle url). One equi-join on the canonical
+    key against the O(#redirect sources) relation."""
+    with_c = canonical_target(df, html_col, url_col)
+    landing = (redirects.filter(F.col("status") == "ok")
+               .select(F.col("src_url").alias("canonical_url"),
+                       F.col("final_url").alias("_landing")))
+    return (with_c.join(landing, "canonical_url", "left")
+            .withColumn("canonical_final",
+                        F.coalesce("_landing",
+                                   F.col("canonical_url")))
+            .drop("_landing"))
+
+
+def canonical_dedup_resolved(df: DataFrame, redirects: DataFrame,
+                             html_col: str = "html",
+                             url_col: str = "url") -> DataFrame:
+    """The redirect-aware canonical rollup: one row per FINAL
+    canonical target, (canonical_final, n_pages, first_url) — the
+    group key downstream content dedup actually wants (the
+    ``canonical_dedup`` shape, post-redirect)."""
+    return (canonical_resolved(df, redirects, html_col, url_col)
+            .groupBy("canonical_final")
+            .agg(F.count("*").alias("n_pages"),
+                 F.min(url_col).alias("first_url")))
+
+
 def canonical_dedup(df: DataFrame, html_col: str = "html",
                     url_col: str = "url") -> DataFrame:
     """Collapse canonical variants BEFORE content dedup: one row per

@@ -217,3 +217,55 @@ def stream_host_error_rates(spark: SparkSession, source_dir: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_minhash_candidates(spark: SparkSession, source_dir: str,
+                              source_schema: str, store_dir: str,
+                              out_dir: str, checkpoint_dir: str,
+                              id_col: str = "doc_id",
+                              col: str = "text",
+                              trigger_available_now: bool = True):
+    """CONTINUOUS incremental near-dup: stream newly crawled docs
+    against the persisted LSH band store (the
+    ``minhash_band_store`` relation a weekly batch pipeline writes),
+    emitting candidate pairs (new_doc, stored_doc, band, bkey)
+    append-only as docs arrive — the streaming half of
+    ``minhash_incremental_pairs``.
+
+    Deliberately STATELESS end-to-end: signatures come from
+    ``minhash_bands_narrow`` (row-local JVM array expressions — the
+    batch path's explode + groupBy would be a stateful streaming
+    aggregation needing a watermark), the band fan-out is a
+    generator, and the store join is a STREAM-STATIC inner join —
+    so append mode needs no watermark and a doc's candidates emit in
+    the same micro-batch it arrives in. Scope (documented): pairs
+    against the STORE only; new×new pairs within the stream belong
+    to the next batch compaction (a stream-stream self-join would
+    need watermarked state for unbounded pairing). The per-band
+    bucket cap is enforced store-side: feed a store with over-cap
+    buckets already removed (``_overcap_keys`` anti-join), exactly
+    as the batch path does.
+
+    Scale shape: the static side reloads per micro-batch from
+    parquet (partition-pruned on the band key's files if the store
+    is written bucketed); per-row work is the narrow sig map; no
+    state store at all."""
+    from ..operators.dedup import minhash_bands_narrow
+
+    stream = (spark.readStream.schema(source_schema)
+              .parquet(source_dir))
+    new_bands = minhash_bands_narrow(stream, id_col, col)
+    store = (spark.read.parquet(store_dir)
+             .select(F.col("doc").alias("stored_doc"),
+                     "band", "bkey"))
+    pairs = (new_bands
+             .join(store, ["band", "bkey"])
+             .filter(F.col("doc") != F.col("stored_doc"))
+             .select(F.col("doc").alias("new_doc"), "stored_doc",
+                     "band", "bkey"))
+    writer = (pairs.writeStream.outputMode("append").format("parquet")
+              .option("path", out_dir)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
