@@ -357,3 +357,22 @@ def test_pages_to_warc_revisit_total_order(spark):
              pages.orderBy(F.desc("warc_ts")).repartition(3))
          .collect()}
     assert a == b
+
+
+def test_assign_archives_deterministic_and_revisit_colocated(spark):
+    from pyspark.sql import functions as F
+    from weakscraper_spark.sources.warc import assign_archives
+    pages = spark.range(200).select(
+        F.concat(F.lit("https://h/p/"),
+                 (F.col("id") % 50).cast("string")).alias("url"))
+    a = {(r.url, r.archive_id) for r in
+         assign_archives(pages.repartition(1), 8).collect()}
+    b = {(r.url, r.archive_id) for r in
+         assign_archives(pages.repartition(7), 8).collect()}
+    assert a == b
+    # one archive per url (revisits co-located)
+    per_url = {}
+    for url, aid in a:
+        per_url.setdefault(url, set()).add(aid)
+    assert all(len(v) == 1 for v in per_url.values())
+    assert 0 <= min(x for _, x in a) and max(x for _, x in a) < 8

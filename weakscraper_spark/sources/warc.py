@@ -468,6 +468,24 @@ def warc_record_index(files: DataFrame, path_col: str = "path",
             .mapInPandas(run, WARC_INDEX_SCHEMA))
 
 
+def assign_archives(df: DataFrame, n_archives: int,
+                    url_col: str = "url", seed: int = 42) -> DataFrame:
+    """Deterministic archive sharding for ``pages_to_warc``: append
+    ``archive_id`` = md5-uniform bucket of the url (the repo's
+    ``hash_sample`` draw — no RNG state, resume-stable, identical
+    across partitionings and engines). Size ``n_archives`` so one
+    archive ≈ 1 GB compressed (the CC convention); url-keyed
+    bucketing keeps a url's revisits in ONE archive, so per-archive
+    CDX slices stay urlkey-contiguous."""
+    from pyspark.sql import functions as F
+    b = (F.conv(F.substring(
+            F.md5(F.encode(F.concat(F.lit(f"{seed}:arc:"),
+                                    F.col(url_col)), "UTF-8")),
+            1, 15), 16, 10)
+         .cast("long") % n_archives)
+    return df.withColumn("archive_id", b)
+
+
 WARC_ARCHIVE_SCHEMA = (
     "filename string, content binary, n_records int, "
     "cdx array<struct<url: string, warc_ts: timestamp, "
