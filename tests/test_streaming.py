@@ -432,3 +432,41 @@ def test_stream_minhash_candidates_batch_twin(spark, tmp_path):
     q2.awaitTermination(240)
     assert spark.read.parquet(out).count() == \
         sum(n for _, _, n in got_set)
+
+
+def test_warc_index_to_cdx_streams_natively(spark, tmp_path):
+    """The crawl tier's index WRITER runs streaming with no wrapper:
+    archives stream in → warc_record_index (stateless mapInPandas) →
+    format_cdxj (narrow JVM) → append sink; lines equal the batch
+    twin exactly."""
+    from weakscraper_spark.operators.cdx import format_cdxj
+    from weakscraper_spark.sources.warc import (build_warc,
+                                                warc_record_index)
+    recs = [{"type": "response", "url": f"https://s.org/p/{i}",
+             "date": "2024-05-01T00:00:00Z", "http_status": 200,
+             "mime": "text/html", "body": f"doc {i}".encode()}
+            for i in range(5)]
+    raw = build_warc(recs)
+    src = str(tmp_path / "warc_src")
+    ckpt = str(tmp_path / "warc_ckpt")
+    batch_df = spark.createDataFrame(
+        [("crawl-0.warc.gz", raw)], "path string, content binary")
+    batch_df.write.parquet(src)
+
+    def to_lines(files_df):
+        idx = warc_record_index(files_df)
+        ok = idx.filter((F.col("status") == "ok") &
+                        (F.col("record_type") == "response"))
+        return format_cdxj(ok, filename_col="src")
+
+    stream = spark.readStream.schema("path string, content binary") \
+        .parquet(src)
+    q = (to_lines(stream).writeStream.outputMode("append")
+         .format("memory").queryName("cdx_lines")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(240)
+    got = {r.line for r in
+           spark.sql("SELECT * FROM cdx_lines").collect()}
+    want = {r.line for r in to_lines(batch_df).collect()}
+    assert got == want and len(got) == 5
