@@ -105,6 +105,17 @@ def _shingles(df: DataFrame, id_col: str, col: str,
     the per-gram ``element_at`` calls re-splits the document for
     every element access — O(grams × k) full tokenizations per doc
     (measured 2.5-4× on the whole shingle stage at sf0.1)."""
+    return (_shingle_array(df, id_col, col, k)
+            .select("doc", F.explode("_sh").alias("tok")))
+
+
+def _shingle_array(df: DataFrame, id_col: str, col: str,
+                   k: int) -> DataFrame:
+    """(doc, _sh): the DISTINCT word-k-shingle ARRAY per doc — the
+    ONE construction both the exploded path (``_shingles``) and the
+    row-local streaming-safe path (``minhash_bands_narrow``) build
+    on, so the two can never drift (r07 review: they were verbatim
+    copies held equal only by a test)."""
     base = df.select(
         F.col(id_col).alias("doc"),
         F.split(F.trim(F.lower(F.col(col))), r"\s+").alias("_t"))
@@ -117,8 +128,22 @@ def _shingles(df: DataFrame, id_col: str, col: str,
             lambda i: F.concat_ws(
                 " ", *[F.element_at(tk, i + j) for j in range(k)])),
     ).otherwise(F.array().cast("array<string>"))
-    return base.select("doc",
-                       F.explode(F.array_distinct(sh)).alias("tok"))
+    return base.select("doc", F.array_distinct(sh).alias("_sh"))
+
+
+def _band_structs(n_hashes: int, band_size: int) -> list:
+    """The LSH band-key structs over sig0..sig{n-1} columns — shared
+    by the batch and narrow band builders (same drift rationale as
+    ``_shingle_array``)."""
+    n_bands = n_hashes // band_size
+    return [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[F.col(f"sig{b * band_size + j}")
+                               for j in range(band_size)])
+            .alias("bkey"))
+        for b in range(n_bands)
+    ]
 
 
 # --------------------------------------------------------------------------
@@ -157,16 +182,10 @@ def _minhash_bands(df: DataFrame, id_col: str, col: str,
     if persist_sigs:
         from pyspark import StorageLevel
         sigs = sigs.persist(StorageLevel.DISK_ONLY)
-    n_bands = n_hashes // band_size
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws("|", *[F.col(f"sig{b * band_size + j}")
-                               for j in range(band_size)]).alias("bkey"))
-        for b in range(n_bands)
-    ]
     return (sigs.select(
-        "doc", F.explode(F.array(*band_structs)).alias("_bs"))
+        "doc",
+        F.explode(F.array(*_band_structs(n_hashes, band_size)))
+         .alias("_bs"))
         .select("doc", F.col("_bs.band").alias("band"),
                 F.col("_bs.bkey").alias("bkey")))
 
@@ -223,24 +242,12 @@ def minhash_bands_narrow(df: DataFrame, id_col: str = "doc_id",
     shape (no stateful aggregation, so it composes into an append-
     mode stream with no watermark) and the right choice whenever
     only the bands are needed."""
-    base = df.select(
-        F.col(id_col).alias("doc"),
-        F.split(F.trim(F.lower(F.col(col))), r"\s+").alias("_t"))
-    tk = F.col("_t")
-    n = F.size(tk)
-    sh = F.when(
-        n >= shingle_k,
-        F.transform(
-            F.sequence(F.lit(1), n - (shingle_k - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(tk, i + j)
-                       for j in range(shingle_k)])),
-    ).otherwise(F.array().cast("array<string>"))
-    # materialize the distinct-shingle ARRAY as a column first —
-    # Catalyst does not CSE inside transform lambdas (the r03
-    # lesson); referencing `sh` in 8 sig expressions would re-split
-    # and re-shingle the doc 8 times
-    shingled = base.select("doc", F.array_distinct(sh).alias("_sh")) \
+    # the distinct-shingle ARRAY is materialized as a column
+    # (_shingle_array) before the sig lambdas — Catalyst does not
+    # CSE inside transform lambdas (the r03 lesson); referencing the
+    # shingle expression in 8 sig expressions would re-split and
+    # re-shingle the doc 8 times
+    shingled = _shingle_array(df, id_col, col, shingle_k) \
         .filter(F.size("_sh") > 0)
     def _sig(i: int):
         # bind i through a factory, NOT a `lambda t, i=i:` default
@@ -255,17 +262,10 @@ def minhash_bands_narrow(df: DataFrame, id_col: str = "doc_id",
 
     sigs = [_sig(i).alias(f"sig{i}") for i in range(n_hashes)]
     with_sigs = shingled.select("doc", *sigs)
-    n_bands = n_hashes // band_size
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws("|", *[F.col(f"sig{b * band_size + j}")
-                               for j in range(band_size)])
-            .alias("bkey"))
-        for b in range(n_bands)
-    ]
     return (with_sigs.select(
-        "doc", F.explode(F.array(*band_structs)).alias("_bs"))
+        "doc",
+        F.explode(F.array(*_band_structs(n_hashes, band_size)))
+         .alias("_bs"))
         .select("doc", F.col("_bs.band").alias("band"),
                 F.col("_bs.bkey").alias("bkey")))
 

@@ -42,13 +42,15 @@ def run_archive_tier(pages: DataFrame, out_dir: str,
         (archives.select("filename", "content", "n_records")
          .write.mode("overwrite")
          .parquet(f"{out_dir}/archives"))
+        # mime/http_status come from the cdx struct itself (written
+        # by the same kernel that serialized the bytes) — the
+        # sidecar can never drift from the archives it describes
         idx = (archives.select(
                    F.col("filename").alias("src"),
                    F.explode("cdx").alias("c"))
                .select("src", "c.url", "c.warc_ts", "c.offset",
-                       "c.length", "c.digest",
-                       F.lit("text/html").alias("mime"),
-                       F.lit(200).alias("http_status")))
+                       "c.length", "c.digest", "c.mime",
+                       "c.http_status"))
         (format_cdxj(idx, filename_col="src")
          .write.mode("overwrite").text(f"{out_dir}/cdx"))
         stats = (archives.agg(

@@ -476,11 +476,15 @@ def assign_archives(df: DataFrame, n_archives: int,
     across partitionings and engines). Size ``n_archives`` so one
     archive ≈ 1 GB compressed (the CC convention); url-keyed
     bucketing keeps a url's revisits in ONE archive, so per-archive
-    CDX slices stay urlkey-contiguous."""
+    CDX slices stay urlkey-contiguous. A NULL url buckets as ''
+    (md5 of NULL is NULL → NULL archive_id → int(NaN) killed the
+    whole pages_to_warc job on one bad row — r07 review; the A13
+    discipline is degrade-visibly, never task failure)."""
     from pyspark.sql import functions as F
     b = (F.conv(F.substring(
             F.md5(F.encode(F.concat(F.lit(f"{seed}:arc:"),
-                                    F.col(url_col)), "UTF-8")),
+                                    F.coalesce(F.col(url_col),
+                                               F.lit(""))), "UTF-8")),
             1, 15), 16, 10)
          .cast("long") % n_archives)
     return df.withColumn("archive_id", b)
@@ -489,7 +493,8 @@ def assign_archives(df: DataFrame, n_archives: int,
 WARC_ARCHIVE_SCHEMA = (
     "filename string, content binary, n_records int, "
     "cdx array<struct<url: string, warc_ts: timestamp, "
-    "offset: bigint, length: bigint, digest: string>>"
+    "offset: bigint, length: bigint, digest: string, "
+    "mime: string, http_status: int>>"
 )
 
 
@@ -543,9 +548,14 @@ def pages_to_warc(pages: DataFrame, archive_col: str = "archive_id",
                          "http_status": 200, "mime": "text/html"})
         idx: list[dict] = []
         raw = build_warc(recs, gzip_members=True, index=idx)
+        # mime/http_status ride the cdx struct from the SAME record
+        # dicts the serializer consumed — one source of truth, so an
+        # index consumer can never assert metadata the archive bytes
+        # don't carry (r07 review)
         cdx = [{"url": r["url"], "warc_ts": t,
                 "offset": i["offset"], "length": i["length"],
-                "digest": i["digest"]}
+                "digest": i["digest"], "mime": r["mime"],
+                "http_status": r["http_status"]}
                for r, i, t in zip(recs, idx, stamps)]
         return pd.DataFrame(
             {"filename": [f"{prefix}-{int(aid):05d}.warc.gz"],

@@ -224,6 +224,8 @@ def stream_minhash_candidates(spark: SparkSession, source_dir: str,
                               out_dir: str, checkpoint_dir: str,
                               id_col: str = "doc_id",
                               col: str = "text",
+                              n_hashes: int = 8, band_size: int = 2,
+                              shingle_k: int = 3,
                               trigger_available_now: bool = True):
     """CONTINUOUS incremental near-dup: stream newly crawled docs
     against the persisted LSH band store (the
@@ -238,13 +240,25 @@ def stream_minhash_candidates(spark: SparkSession, source_dir: str,
     aggregation needing a watermark), the band fan-out is a
     generator, and the store join is a STREAM-STATIC inner join —
     so append mode needs no watermark and a doc's candidates emit in
-    the same micro-batch it arrives in. Scope (documented): pairs
-    against the STORE only; new×new pairs within the stream belong
-    to the next batch compaction (a stream-stream self-join would
-    need watermarked state for unbounded pairing). The per-band
-    bucket cap is enforced store-side: feed a store with over-cap
-    buckets already removed (``_overcap_keys`` anti-join), exactly
-    as the batch path does.
+    the same micro-batch it arrives in. The LSH parameters
+    (n_hashes/band_size/shingle_k) MUST match the ones the store was
+    built with — mismatched band keys join to NOTHING, silently
+    (they are pass-through parameters; defaults mirror
+    ``minhash_band_store``'s).
+
+    Scope (documented, NARROWER than the batch path): pairs against
+    the STORE only — new×new pairs within the stream belong to the
+    next batch compaction (a stream-stream self-join would need
+    watermarked state for unbounded pairing). The bucket cap is
+    STORE-side only: feed a store with over-cap buckets already
+    removed (``_overcap_keys`` anti-join), which bounds each new
+    doc's fan-out by the capped store-bucket size. This is NOT the
+    batch path's combined cap — a store bucket under cap that the
+    stream floods past the cap keeps emitting store pairs where
+    ``minhash_incremental_pairs`` would drop the whole bucket; the
+    periodic compaction that folds the stream into the store re-caps
+    on combined sizes and restores exact batch semantics (the twin
+    test compares with caps disabled for this reason).
 
     Scale shape: the static side reloads per micro-batch from
     parquet (partition-pruned on the band key's files if the store
@@ -254,7 +268,8 @@ def stream_minhash_candidates(spark: SparkSession, source_dir: str,
 
     stream = (spark.readStream.schema(source_schema)
               .parquet(source_dir))
-    new_bands = minhash_bands_narrow(stream, id_col, col)
+    new_bands = minhash_bands_narrow(stream, id_col, col, n_hashes,
+                                     band_size, shingle_k)
     store = (spark.read.parquet(store_dir)
              .select(F.col("doc").alias("stored_doc"),
                      "band", "bkey"))
