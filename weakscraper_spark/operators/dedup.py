@@ -104,31 +104,54 @@ def _shingles(df: DataFrame, id_col: str, col: str,
     ``transform`` lambdas, so referencing ``split(text)`` directly in
     the per-gram ``element_at`` calls re-splits the document for
     every element access — O(grams × k) full tokenizations per doc
-    (measured 2.5-4× on the whole shingle stage at sf0.1)."""
-    return (_shingle_array(df, id_col, col, k)
-            .select("doc", F.explode("_sh").alias("tok")))
+    (measured 2.5-4× on the whole shingle stage at sf0.1).
 
-
-def _shingle_array(df: DataFrame, id_col: str, col: str,
-                   k: int) -> DataFrame:
-    """(doc, _sh): the DISTINCT word-k-shingle ARRAY per doc — the
-    ONE construction both the exploded path (``_shingles``) and the
-    row-local streaming-safe path (``minhash_bands_narrow``) build
-    on, so the two can never drift (r07 review: they were verbatim
-    copies held equal only by a test)."""
+    Deliberately NOT routed through ``_shingle_array`` + a second
+    select: stacking the materialized-array Project under a
+    single-reference consumer lets InferFiltersFromGenerate /
+    predicate pushdown substitute the whole shingle expression into
+    a pre-scan Filter — re-tokenizing every doc a second time (the
+    r07 refactor tried exactly that and the plan guard caught it);
+    the explode must sit in the SAME select as the shingle
+    expression over the materialized token column."""
     base = df.select(
         F.col(id_col).alias("doc"),
         F.split(F.trim(F.lower(F.col(col))), r"\s+").alias("_t"))
-    tk = F.col("_t")
+    return base.select(
+        "doc",
+        F.explode(F.array_distinct(
+            _shingle_expr(F.col("_t"), k))).alias("tok"))
+
+
+def _shingle_expr(tk, k: int):
+    """The word-k-shingle array EXPRESSION over a materialized token
+    array column — the one construction ``_shingles`` and
+    ``_shingle_array`` share (r07 review: they were verbatim copies
+    held equal only by a test). ``tk`` must reference a MATERIALIZED
+    column (the lambda-CSE rule above)."""
     n = F.size(tk)
-    sh = F.when(
+    return F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - (k - 1)),
             lambda i: F.concat_ws(
                 " ", *[F.element_at(tk, i + j) for j in range(k)])),
     ).otherwise(F.array().cast("array<string>"))
-    return base.select("doc", F.array_distinct(sh).alias("_sh"))
+
+
+def _shingle_array(df: DataFrame, id_col: str, col: str,
+                   k: int) -> DataFrame:
+    """(doc, _sh): the DISTINCT word-k-shingle ARRAY per doc — the
+    row-local form ``minhash_bands_narrow`` builds on. Consumers
+    must NOT filter directly above this relation (predicate pushdown
+    substitutes ``_sh`` into a pre-scan Filter that re-shingles the
+    corpus — plan-guard lesson); filter beyond a Generate instead."""
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.trim(F.lower(F.col(col))), r"\s+").alias("_t"))
+    return base.select(
+        "doc",
+        F.array_distinct(_shingle_expr(F.col("_t"), k)).alias("_sh"))
 
 
 def _band_structs(n_hashes: int, band_size: int) -> list:
@@ -246,9 +269,13 @@ def minhash_bands_narrow(df: DataFrame, id_col: str = "doc_id",
     # (_shingle_array) before the sig lambdas — Catalyst does not
     # CSE inside transform lambdas (the r03 lesson); referencing the
     # shingle expression in 8 sig expressions would re-split and
-    # re-shingle the doc 8 times
-    shingled = _shingle_array(df, id_col, col, shingle_k) \
-        .filter(F.size("_sh") > 0)
+    # re-shingle the doc 8 times. NO filter here: a filter above the
+    # _sh Project gets substituted down into a pre-scan Filter that
+    # re-shingles every doc (plan guard); empty-shingle docs are
+    # dropped AFTER the band explode instead (bkey '' ⇔ all-NULL
+    # sigs ⇔ empty _sh — and a filter on a generated column cannot
+    # be pushed below its Generate)
+    shingled = _shingle_array(df, id_col, col, shingle_k)
     def _sig(i: int):
         # bind i through a factory, NOT a `lambda t, i=i:` default
         # arg — pyspark's transform() dispatches on lambda ARITY and
@@ -267,7 +294,8 @@ def minhash_bands_narrow(df: DataFrame, id_col: str = "doc_id",
         F.explode(F.array(*_band_structs(n_hashes, band_size)))
          .alias("_bs"))
         .select("doc", F.col("_bs.band").alias("band"),
-                F.col("_bs.bkey").alias("bkey")))
+                F.col("_bs.bkey").alias("bkey"))
+        .filter(F.col("bkey") != ""))
 
 
 def minhash_band_store(df: DataFrame, id_col: str = "doc_id",
