@@ -184,53 +184,71 @@ def pagerank(edges: DataFrame, src: str = "src_host",
     the standard mass-conserving treatment (Σ rank = 1 every round).
 
     Per round: one join on ``src`` + one groupBy(``dst``) — the only
-    corpus-width shuffles, both on the node key. N and the teleport
-    ride one-row broadcast DataFrames; no per-round driver action.
+    corpus-width shuffles, both on the node key. The dangling mass
+    is a filter+sum over the CHECKPOINTED rank vector (a ``_has``
+    outlink flag rides each rank row, stamped once up front), and N
+    and the per-round dangling scalar fold into the rank expression
+    as literals — the r07 form re-derived both through a per-round
+    anti-join plus two broadcast-exchange subqueries, which at bench
+    scale was ~4 extra scheduled jobs per round (measured r08:
+    host_rank 13.6 → ~5 s; the per-node arithmetic tree and the
+    scalar divisions are IEEE-identical, only the plumbing of the
+    scalars changed).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
-                     F.col(weight).cast("double").alias("w"))
+    # materialize the SLIM edge list first: outw/en/nodes each scan
+    # ``e``, and for a composed edge list (host_graph over
+    # extract_links) every scan re-runs the corpus-width regexp
+    # extraction — measured r08: three ~1.2 s full link-extraction
+    # stages per pagerank call before this truncation, one after.
+    e = _ckpt(edges.select(F.col(src).alias("src"),
+                           F.col(dst).alias("dst"),
+                           F.col(weight).cast("double").alias("w")),
+              checkpoint_dir)
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select("dst")).distinct())
-    # nodes/outw/en are all re-read EVERY round (contrib join,
-    # dangling anti-join, rank rebuild) → truncate each ONCE up
-    # front, or every iteration re-runs the whole upstream plan —
-    # for a composed edge list that means re-scanning the corpus
-    # per round.
+    # outw/en/nodes are all re-read EVERY round (contrib join, rank
+    # rebuild) → truncate each ONCE up front, or every iteration
+    # re-runs the whole upstream plan.
     outw = _ckpt(e.groupBy("src").agg(F.sum("w").alias("outw")),
                  checkpoint_dir)
     # normalized edge weight: contribution fraction u→v
     en = (e.join(outw, "src")
           .select("src", "dst", (F.col("w") / F.col("outw")).alias("p")))
     en = _ckpt(en, checkpoint_dir)
-    nodes = _ckpt(nodes, checkpoint_dir)
-    n_total = nodes.select(F.count("*").alias("n"))  # 1-row, broadcast
-    ranks = (nodes.crossJoin(F.broadcast(n_total))
-             .select("node", (F.lit(1.0) / F.col("n")).alias("rank")))
-    has_out = outw.select(F.col("src").alias("node"))
+    has_out = outw.select(F.col("src").alias("node"),
+                          F.lit(True).alias("_has"))
+    nodes = _ckpt(nodes.join(has_out, "node", "left")
+                  .select("node", F.coalesce("_has", F.lit(False))
+                          .alias("_has")),
+                  checkpoint_dir)
+    n = nodes.count()  # driver scalar, collected once (cached scan)
+    ranks = nodes.select("node", "_has",
+                         F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):
         # EVERY round: ranks_t feeds BOTH the dangling scalar and the
         # contribution join, so without per-round truncation ranks_t+1
         # holds TWO copies of ranks_t's lineage → 2^k plan blowup.
         # Eager per-round checkpoint (the GraphX/Pregel discipline)
         # keeps each round's plan one join deep.
-        ranks = _ckpt(ranks, checkpoint_dir)
-        dangling = (ranks.join(has_out, "node", "left_anti")
-                    .select(F.coalesce(F.sum("rank"), F.lit(0.0))
-                            .alias("dmass")))
+        # lazy: the dmass action right below scans the full rank
+        # vector and materializes the checkpoint as a side effect —
+        # no dedicated materialization job per round
+        ranks = _ckpt(ranks, checkpoint_dir, eager=False)
+        dmass = (ranks.filter(~F.col("_has"))
+                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                 .first()[0])
         contrib = (ranks.join(en, ranks.node == en.src)
                    .groupBy("dst")
                    .agg(F.sum(F.col("rank") * F.col("p")).alias("c")))
-        ranks = (nodes
-                 .join(contrib, nodes.node == contrib.dst, "left")
-                 .crossJoin(F.broadcast(dangling))
-                 .crossJoin(F.broadcast(n_total))
-                 .select("node",
-                         (F.lit((1.0 - damping)) / F.col("n")
+        ranks = (ranks
+                 .join(contrib, ranks.node == contrib.dst, "left")
+                 .select(ranks["node"], ranks["_has"],
+                         (F.lit((1.0 - damping) / n)
                           + F.lit(damping)
                           * (F.coalesce(F.col("c"), F.lit(0.0))
-                             + F.col("dmass") / F.col("n")))
+                             + F.lit(dmass / n)))
                          .alias("rank")))
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def pagerank_sql(edges_rel: str, damping: float = 0.85,

@@ -54,6 +54,20 @@ def get_spark(app_name: str = "weakscraper_spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE inside cached plans (default false): the dedup family
+        # persists narrow intermediates (DISK_ONLY signature/band/
+        # shingle tables), and with the default every shuffle UNDER a
+        # persist is planned at the static shuffle-partition count and
+        # the cache itself materializes that many partitions — every
+        # downstream stage then runs one task per cached partition.
+        # Letting AQE re-plan cached shuffles sizes them by data
+        # (advisory bytes), which is the same scale-adaptive rule the
+        # rest of the session uses; measured r08: minhash_lsh 6.9 →
+        # 0.8 s, dup_components 13 → 2.7 s at sf0.1, neutral on
+        # non-persisting queries (cache identity/results unchanged —
+        # only partitioning).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
