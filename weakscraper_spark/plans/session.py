@@ -68,6 +68,17 @@ def get_spark(app_name: str = "weakscraper_spark",
         # only partitioning).
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
                 "true")
+        # Shuffle writer: below this reduce-partition count Spark uses
+        # the bypass-merge writer — one FILE per reduce partition per
+        # map task. At the session's initial partition count that is
+        # ~128 file create/write/close cycles per map task before AQE
+        # can coalesce anything (maps × reducers files total, §2.2 of
+        # the shuffle-scaling rule). Forcing the serialized sort-based
+        # writer (one data+index file per map task) is scale-neutral —
+        # it is already the only writer above 200 partitions — and
+        # measured r08 it cuts a 96-map-task groupBy's wall 2.6 →
+        # 0.47 s at sf0.1.
+        .config("spark.shuffle.sort.bypassMergeThreshold", "8")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
