@@ -53,6 +53,25 @@ def test_jaccard_scores(docs):
     assert (1, 4) not in out
 
 
+def test_simhash_batch_twin_equals_scalar():
+    """The vectorized batch kernel must be integer-identical to the
+    per-doc reference on every shape: empty text, sub-k docs, heavy
+    repetition, unicode case folding (r08 optimization guard)."""
+    import random
+
+    from weakscraper_spark.operators.dedup import (
+        _simhash64, _simhash64_batch)
+    rng = random.Random(7)
+    texts = ["", "a", "a b", "a b c", "A b C a B c",
+             "\u00dcber stra\u00dfe \u00dcBER STRASSE tok",
+             " ".join(["dup"] * 50)]
+    vocab = [f"tok{i}" for i in range(40)]
+    texts += [" ".join(rng.choice(vocab)
+                       for _ in range(rng.randint(0, 90)))
+              for _ in range(150)]
+    assert _simhash64_batch(texts) == [_simhash64(t) for t in texts]
+
+
 def test_simhash_distances(docs):
     """Pure hash property: near-dup pair is much closer than the
     unrelated pair (measured: 14 vs 29 bits on this corpus)."""

@@ -502,15 +502,58 @@ def _simhash64(text: str, shingle_k: int = 3) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+def _simhash64_batch(texts, shingle_k: int = 3) -> list[int]:
+    """Vectorized batch twin of ``_simhash64`` (identical values —
+    equality pinned by test): md5 per distinct shingle stays a C call,
+    but the per-shingle 64-iteration Python bit loop becomes one
+    numpy bit-matrix + segmented sum over the whole batch (guide §4.2:
+    hand batches to vectorized native code, ~10× on the Python stage
+    measured r08). acc[bit] = Σ(2·b−1) = 2·Σb − n, sign threshold
+    unchanged, so the majority vote is integer-identical."""
+    from hashlib import md5
+
+    import numpy as np
+
+    all_h: list[int] = []
+    offs = [0]
+    for text in texts:
+        words = text.lower().split()
+        if len(words) >= shingle_k:
+            feats = set(" ".join(words[i:i + shingle_k])
+                        for i in range(len(words) - shingle_k + 1))
+            all_h.extend(int.from_bytes(md5(t.encode()).digest()[:8],
+                                        "big") for t in feats)
+        offs.append(len(all_h))
+    if not all_h:
+        return [0] * len(texts)
+    hs = np.array(all_h, dtype=np.uint64)
+    bit_idx = np.arange(64, dtype=np.uint64)
+    bits = ((hs[:, None] >> bit_idx) & np.uint64(1)).astype(np.int32)
+    csum = np.concatenate([np.zeros((1, 64), dtype=np.int64),
+                           bits.cumsum(axis=0, dtype=np.int64)])
+    shifts = np.uint64(1) << bit_idx
+    out: list[int] = []
+    for i in range(len(offs) - 1):
+        s, e = offs[i], offs[i + 1]
+        if s == e:
+            out.append(0)
+            continue
+        acc = (csum[e] - csum[s]) * 2 - (e - s)
+        v = int(shifts[acc > 0].sum(dtype=np.uint64))
+        out.append(v - (1 << 64) if v >= (1 << 63) else v)
+    return out
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id",
             col: str = "text") -> DataFrame:
     """(id, simhash) via mapInPandas — Arrow batch transfer, token-set
-    bit-majority per document inside the batch loop."""
+    bit-majority per document vectorized across the batch
+    (``_simhash64_batch``)."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame({
                 "doc": pdf[id_col],
-                "simhash": [_simhash64(t) for t in pdf[col].astype(str)],
+                "simhash": _simhash64_batch(list(pdf[col].astype(str))),
             })
 
     return df.select(id_col, col).mapInPandas(run, "doc long, simhash long")

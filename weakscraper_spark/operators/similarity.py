@@ -49,13 +49,18 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     small (broadcast side); candidates = full table scan. Returns
     (query_id, neighbor_id, rank) — rank by cosine desc, neighbor id
     asc tie-break (deterministic)."""
-    q = queries.select(F.col(qid_col), F.col(vec_col).alias("_qv"))
+    # norms are computed per SIDE before the join (the join is a
+    # physical barrier, so each row's norm folds once instead of once
+    # per pair — same fold over the same array, value-identical; r08)
+    q = queries.select(F.col(qid_col), F.col(vec_col).alias("_qv"),
+                       _norm(F.col(vec_col)).alias("_qn"))
     cand = emb.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("_cv"))
+                      F.col(vec_col).alias("_cv"),
+                      _norm(F.col(vec_col)).alias("_cn"))
     scored = (cand.crossJoin(F.broadcast(q))
               .filter(F.col("neighbor_id") != F.col(qid_col))
               .withColumn("_sim", _dot(F.col("_qv"), F.col("_cv")) /
-                          (_norm(F.col("_qv")) * _norm(F.col("_cv")))))
+                          (F.col("_qn") * F.col("_cn"))))
     w = Window.partitionBy(qid_col).orderBy(
         F.desc("_sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -100,14 +105,16 @@ def cosine_near_pairs(emb: DataFrame, threshold: float = 0.9,
     the scale path is ``srp_cosine_near_pairs``. Cosine rounded to
     4dp so Spark and the oracle hash identically."""
     a = emb.select(F.col(id_col).alias("id_a"),
-                   F.col(vec_col).alias("_va"))
+                   F.col(vec_col).alias("_va"),
+                   _norm(F.col(vec_col)).alias("_na"))
     b = emb.select(F.col(id_col).alias("id_b"),
-                   F.col(vec_col).alias("_vb"))
+                   F.col(vec_col).alias("_vb"),
+                   _norm(F.col(vec_col)).alias("_nb"))
     return (a.crossJoin(b)
             .filter(F.col("id_a") < F.col("id_b"))
             .withColumn("cosine",
                         F.round(_dot(F.col("_va"), F.col("_vb")) /
-                                (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+                                (F.col("_na") * F.col("_nb")),
                                 4))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
@@ -147,14 +154,16 @@ def srp_cosine_near_pairs(emb: DataFrame, threshold: float = 0.9,
         sig = sig.join(F.broadcast(overcap.select("bucket")),
                        "bucket", "left_anti")
     a = sig.select(F.col(id_col).alias("id_a"),
-                   F.col(vec_col).alias("_va"), "bucket")
+                   F.col(vec_col).alias("_va"),
+                   _norm(F.col(vec_col)).alias("_na"), "bucket")
     b = sig.select(F.col(id_col).alias("id_b"),
-                   F.col(vec_col).alias("_vb"), "bucket")
+                   F.col(vec_col).alias("_vb"),
+                   _norm(F.col(vec_col)).alias("_nb"), "bucket")
     return (a.join(b, "bucket")
             .filter(F.col("id_a") < F.col("id_b"))
             .withColumn("cosine",
                         F.round(_dot(F.col("_va"), F.col("_vb")) /
-                                (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+                                (F.col("_na") * F.col("_nb")),
                                 4))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
@@ -275,15 +284,17 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                            iters)
     e = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
         _best_lists(F.col(vec_col), cents, 1)[0].alias("list_id"))
     q = queries.select(
         F.col(qid_col), F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
         F.explode(_best_lists(F.col(vec_col), cents, n_probe))
         .alias("list_id"))
     scored = (e.join(F.broadcast(q), "list_id")
               .filter(F.col("neighbor_id") != F.col(qid_col))
               .withColumn("_sim", _dot(F.col("_qv"), F.col("_cv")) /
-                          (_norm(F.col("_qv")) * _norm(F.col("_cv")))))
+                          (F.col("_qn") * F.col("_cn"))))
     w = Window.partitionBy(qid_col).orderBy(
         F.desc("_sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -326,20 +337,21 @@ def lsh_cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                    "bucket", "left_anti")
     e = e.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
-        "bucket")
+        _norm(F.col(vec_col)).alias("_cn"), "bucket")
     q = srp_signature(queries, vec_col, n_planes, dim).select(
-        F.col(qid_col), F.col(vec_col).alias("_qv"), "bucket")
+        F.col(qid_col), F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_qn"), "bucket")
     if multi_probe:
         probes = F.array(
             F.col("bucket"),
             *[F.col("bucket").bitwiseXOR(F.lit(1 << i))
               for i in range(min(multi_probe, n_planes))])
-        q = q.select(qid_col, "_qv",
+        q = q.select(qid_col, "_qv", "_qn",
                      F.explode(probes).alias("bucket"))
     scored = (e.join(F.broadcast(q), "bucket")
               .filter(F.col("neighbor_id") != F.col(qid_col))
               .withColumn("_sim", _dot(F.col("_qv"), F.col("_cv")) /
-                          (_norm(F.col("_qv")) * _norm(F.col("_cv")))))
+                          (F.col("_qn") * F.col("_cn"))))
     w = Window.partitionBy(qid_col).orderBy(
         F.desc("_sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -405,21 +417,43 @@ def semantic_dedup(emb: DataFrame,
     if centroids is None:
         centroids = _ivf_centroids(emb, id_col, vec_col, n_lists,
                                    sample_n, iters)
+    # centroid norms are constants — fold them driver-side with the
+    # SAME sequential fold _norm uses (acc + x·x in index order, then
+    # sqrt: IEEE-identical), and materialize the per-row vector norm
+    # ONCE in a lower Project (referenced n_lists times, so
+    # CollapseProject keeps it — the r08 rule: norms per row, not per
+    # (row, centroid))
+    import math
+
+    def _lit_norm(c: list[float]) -> float:
+        acc = 0.0
+        for x in c:
+            acc = acc + float(x) * float(x)
+        return math.sqrt(acc)
+
     v = F.col(vec_col)
+    base = emb.select(F.col(id_col), v.alias("_v"),
+                      _norm(v).alias("_nv"))
     scored = F.array(*[
         F.struct(
-            (_dot(v, F.array([F.lit(x) for x in centroids[i]])) /
-             (_norm(v) *
-              _norm(F.array([F.lit(x) for x in centroids[i]]))))
+            (_dot(F.col("_v"),
+                  F.array([F.lit(x) for x in centroids[i]])) /
+             (F.col("_nv") * F.lit(_lit_norm(centroids[i]))))
             .alias("sim"),
             F.lit(i).alias("idx"))
         for i in range(len(centroids))
     ])
     best = F.reverse(F.array_sort(scored))[0]
-    assigned = emb.select(
-        F.col(id_col), v.alias("_v"),
+    # the assignment relation feeds THREE consumers (overcap count,
+    # both self-join sides, final verdict join) — without a persist
+    # the n_lists×dim assignment map re-runs per consumer (the
+    # minhash persist_sigs discipline; DISK_ONLY, narrow rows)
+    from pyspark import StorageLevel
+    assigned = base.select(
+        F.col(id_col), F.col("_v"), F.col("_nv"),
         best["idx"].alias("cluster_id"),
-        best["sim"].alias("cent_sim"))
+        best["sim"].alias("cent_sim")) \
+        .persist(StorageLevel.DISK_ONLY)
 
     if max_cluster is not None:
         overcap = _overcap_keys(assigned.select("cluster_id"),
@@ -432,13 +466,15 @@ def semantic_dedup(emb: DataFrame,
 
     a = in_cap.select("cluster_id", F.col(id_col).alias("_ida"),
                       F.col("_v").alias("_va"),
+                      F.col("_nv").alias("_na"),
                       F.col("cent_sim").alias("_csa"))
     b = in_cap.select("cluster_id", F.col(id_col).alias("_idb"),
                       F.col("_v").alias("_vb"),
+                      F.col("_nv").alias("_nb"),
                       F.col("cent_sim").alias("_csb"))
     pair_sim = F.round(
         _dot(F.col("_va"), F.col("_vb")) /
-        (_norm(F.col("_va")) * _norm(F.col("_vb"))), 4)
+        (F.col("_na") * F.col("_nb")), 4)
     # each unordered pair once (_ida < _idb — the srp_cosine_near_
     # pairs halving discipline; r06 review: the != form computed
     # every 64-dim cosine twice), then the pair's HIGHER-cent_sim
