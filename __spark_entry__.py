@@ -1232,7 +1232,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     "blob": [render_minimal_pdf(list(p))
                              for p in pdf["pages"]]})
 
-        blobs = docs.mapInPandas(render, "doc_id long, blob binary")
+        # two chained Python stages over a single-split scan would run
+        # on one core end to end (guide §2.5) — fan out first
+        from weakscraper_spark.operators.fanout import fan_out
+        blobs = fan_out(docs).mapInPandas(render,
+                                          "doc_id long, blob binary")
         return (pdf_extract(blobs, blob_col="blob")
                 .select("doc_id",
                         F.col("page_no").cast("long").alias("page_no"),

@@ -114,7 +114,8 @@ def _shingles(df: DataFrame, id_col: str, col: str,
     r07 refactor tried exactly that and the plan guard caught it);
     the explode must sit in the SAME select as the shingle
     expression over the materialized token column."""
-    base = df.select(
+    from .fanout import fan_out
+    base = fan_out(df.select(id_col, col)).select(
         F.col(id_col).alias("doc"),
         F.split(F.trim(F.lower(F.col(col))), r"\s+").alias("_t"))
     return base.select(
@@ -146,7 +147,8 @@ def _shingle_array(df: DataFrame, id_col: str, col: str,
     must NOT filter directly above this relation (predicate pushdown
     substitutes ``_sh`` into a pre-scan Filter that re-shingles the
     corpus — plan-guard lesson); filter beyond a Generate instead."""
-    base = df.select(
+    from .fanout import fan_out
+    base = fan_out(df.select(id_col, col)).select(
         F.col(id_col).alias("doc"),
         F.split(F.trim(F.lower(F.col(col))), r"\s+").alias("_t"))
     return base.select(
@@ -556,7 +558,9 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
                 "simhash": _simhash64_batch(list(pdf[col].astype(str))),
             })
 
-    return df.select(id_col, col).mapInPandas(run, "doc long, simhash long")
+    from .fanout import fan_out
+    return fan_out(df.select(id_col, col)) \
+        .mapInPandas(run, "doc long, simhash long")
 
 
 def simhash_band_pairs(sh: DataFrame, max_hamming: int = 3,
@@ -685,7 +689,8 @@ def _split_units(df: DataFrame, id_col: str, col: str,
     with positions — the shared first half of the line/paragraph
     operators (one definition: the r03 literal-escape fix and any
     future change apply everywhere)."""
-    return df.select(
+    from .fanout import fan_out
+    return fan_out(df.select(id_col, col)).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(col),
                              re.escape(sep))).alias("pos", "par"))

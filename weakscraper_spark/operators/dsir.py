@@ -47,9 +47,11 @@ def _gram_instances(df: DataFrame, id_col: str, col: str,
     Tokens materialized as a column before the gram lambdas (the
     lambda-CSE trap); bigrams via zip_with over two shifted slices
     (equal lengths, no padding)."""
-    tk = (df.select(F.col(id_col).alias("doc"),
-                    F.split(F.trim(F.lower(F.col(col))),
-                            r"\s+").alias("_t"))
+    from .fanout import fan_out
+    tk = (fan_out(df.select(id_col, col))
+          .select(F.col(id_col).alias("doc"),
+                  F.split(F.trim(F.lower(F.col(col))),
+                          r"\s+").alias("_t"))
           .withColumn("_n", F.size("_t")))
     unis = tk.select("doc", F.explode("_t").alias("g"))
     bis = (tk.filter(F.col("_n") >= 2)
@@ -87,7 +89,17 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
     ln((Cr+αB)/(Ct+αB)) constant and long docs sink regardless of
     content. At corpus scale the default is fine; tests/tiny runs
     want alpha ≈ 0.01."""
-    inst_r = _gram_instances(raw, id_col, col, n_buckets, seed)
+    from pyspark import StorageLevel
+
+    # the RAW gram stream feeds TWO consumers (the raw model's bucket
+    # count and the per-doc ratio sum) whose pruned columns differ, so
+    # exchange reuse can't serve both — without a persist the corpus-
+    # width tokenize + explode + md5-bucket map runs twice (measured
+    # r08: the duplicated gram stage was ~40% of dsir_select's wall).
+    # DISK_ONLY, same size class and rationale as the jaccard shingle
+    # persist; the target side has one consumer and stays lazy.
+    inst_r = _gram_instances(raw, id_col, col, n_buckets, seed) \
+        .persist(StorageLevel.DISK_ONLY)
     inst_t = _gram_instances(target, id_col, col, n_buckets, seed)
     cr = _bucket_counts(inst_r)
     ct = _bucket_counts(inst_t)

@@ -42,9 +42,11 @@ def _tokenized(df: DataFrame, id_col: str, col: str) -> DataFrame:
     """(doc, _t, _n) with the repo-wide mirrored tokenization
     (lower, trim, whitespace split), token array materialized as a
     column so downstream lambdas don't re-split per reference."""
-    return (df.select(F.col(id_col).alias("doc"),
-                      F.split(F.trim(F.lower(F.col(col))),
-                              r"\s+").alias("_t"))
+    from .fanout import fan_out
+    return (fan_out(df.select(id_col, col))
+            .select(F.col(id_col).alias("doc"),
+                    F.split(F.trim(F.lower(F.col(col))),
+                            r"\s+").alias("_t"))
             .withColumn("_n", F.size(F.col("_t"))))
 
 

@@ -101,7 +101,8 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
     # token array materialized as a column first — same lambda-CSE
     # trap as dedup._shingles (element_at on the raw split expression
     # re-tokenizes per element; measured 2.5-4× on this stage)
-    base = df.select(
+    from .fanout import fan_out
+    base = fan_out(df.select(id_col, col)).select(
         F.col(id_col).alias("doc"),
         F.split(F.trim(F.lower(F.col(col))), r"\s+").alias("_t"))
     tk = F.col("_t")
@@ -202,9 +203,11 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     combine absorbs within-doc repetition before the shuffle; the
     only windows are partitioned by doc (bounded by doc length,
     never corpus-hot)."""
+    from .fanout import fan_out
     toks = _TOKENS(col)
-    base = (df.select(F.col(id_col), F.length(col).alias("_chars"),
-                      toks.alias("_t"))
+    base = (fan_out(df.select(id_col, col))
+            .select(F.col(id_col), F.length(col).alias("_chars"),
+                    toks.alias("_t"))
             .withColumn("n_words", F.size("_t")))
 
     def grams(n: int):
