@@ -58,8 +58,10 @@ def vocab_counts(df: DataFrame, col: str = "text",
     lowercased — same tokenization family as the dedup ops).
     ``top_k`` keeps the k most frequent with deterministic
     (n desc, word asc) tie-break."""
-    words = (df.select(F.explode(
-        F.split(F.trim(F.lower(F.col(col))), r"\s+")).alias("word"))
+    from .fanout import fan_out
+    words = (fan_out(df.select(col))
+        .select(F.explode(
+            F.split(F.trim(F.lower(F.col(col))), r"\s+")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word").agg(F.count("*").alias("n")))
     if top_k is not None:
@@ -219,11 +221,19 @@ def _merge_pairs(syms: DataFrame,
     Arrow-batched (array look-ahead rewriting has no clean built-in
     form). One Spark map applies the whole batch."""
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    import pyarrow as pa
+
+    def run(batches: "Iterator[pa.RecordBatch]") \
+            -> "Iterator[pa.RecordBatch]":
+        # Arrow-native (not pandas): the merge map runs once per
+        # DRIVER ROUND, so per-invocation constants — the worker's
+        # pandas import and the Arrow↔pandas list-of-lists
+        # conversions — multiply by O(vocab/batch_m) rounds; the
+        # plain-list pyarrow path keeps the identical per-word
+        # rewrite loop (r08)
+        for b in batches:
             out = []
-            for s in pdf["syms"]:
-                s = list(s)
+            for s in b.column("syms").to_pylist():
                 # presence pre-check: a pair whose left or right symbol
                 # does not occur in the word cannot match anywhere, so
                 # the per-pair scan is a guaranteed no-op — skipping it
@@ -252,9 +262,12 @@ def _merge_pairs(syms: DataFrame,
                     if changed:
                         present.add(left + right)
                 out.append(s)
-            yield pd.DataFrame({"n": pdf["n"], "syms": out})
+            yield pa.RecordBatch.from_arrays(
+                [b.column("n"),
+                 pa.array(out, type=pa.list_(pa.string()))],
+                ["n", "syms"])
 
-    return syms.mapInPandas(run, "n long, syms array<string>")
+    return syms.mapInArrow(run, "n long, syms array<string>")
 
 
 def _merge_pair(syms: DataFrame, left: str, right: str) -> DataFrame:
@@ -357,6 +370,7 @@ def encode_bpe(df: DataFrame, merges: list[tuple[str, str]],
 
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = out_cols.replace("_id string", f"_id {id_type}")
-    return (df.select(F.col(id_col).alias("_id"), col)
+    from .fanout import fan_out
+    return (fan_out(df.select(F.col(id_col).alias("_id"), col))
             .mapInPandas(run, out_schema)
             .withColumnRenamed("_id", id_col))
