@@ -88,11 +88,14 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         # shuffle per round, measured ~40% of the per-round wall)
         upd = F.least(F.col("lbl"),
                       F.coalesce(F.col("min_nbr"), F.col("lbl")))
+        # lazy truncation: the convergence count right below scans
+        # the full relation and materializes the checkpoint as a side
+        # effect — no dedicated materialization job per round (r08)
         new = _ckpt(labels.join(nbr_min,
                                 labels["node"] == nbr_min["a"], "left")
                     .select(F.col("node"), upd.alias("new_lbl"),
                             (upd < F.col("lbl")).alias("_changed")),
-                    checkpoint_dir)
+                    checkpoint_dir, eager=False)
         n_changed = new.filter(F.col("_changed")).count()
         labels = new.select("node", F.col("new_lbl").alias("lbl"))
         if n_changed == 0:
@@ -149,7 +152,8 @@ def _connected_components_star(edges: DataFrame, src: str, dst: str,
               checkpoint_dir)
     n_prev = e.count()
     for _ in range(max_iter):
-        e_new = _ckpt(_small_star(_large_star(e)), checkpoint_dir)
+        e_new = _ckpt(_small_star(_large_star(e)), checkpoint_dir,
+                      eager=False)
         n_new = e_new.count()
         if n_new == n_prev and e_new.subtract(e).count() == 0:
             e = e_new

@@ -357,7 +357,8 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
     on the gram key — the same shuffle pattern as the dedup family,
     no windows. Deterministic; mirrored exactly in the DuckDB
     oracle."""
-    base = df.select(
+    from .fanout import fan_out
+    base = fan_out(df.select(id_col, col)).select(
         F.col(id_col).alias("doc"),
         F.split(F.trim(F.lower(F.col(col))), r"\s+").alias("_t"))
     tk = F.col("_t")
@@ -368,7 +369,13 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
             lambda i: F.concat_ws(" ", F.element_at(tk, i),
                                   F.element_at(tk, i + 1))),
     ).otherwise(F.array().cast("array<string>"))
-    doc_bi = base.select("doc", F.explode(bigrams).alias("bi"))
+    from pyspark import StorageLevel
+
+    # the bigram-instance stream feeds TWO consumers (the count model
+    # and the scoring join) — persist so the corpus-width tokenize +
+    # explode runs once (the dsir/jaccard discipline; DISK_ONLY)
+    doc_bi = base.select("doc", F.explode(bigrams).alias("bi")) \
+        .persist(StorageLevel.DISK_ONLY)
     c_bi = doc_bi.groupBy("bi").agg(F.count("*").alias("c2"))
     c_uni = (base.select(F.explode(tk).alias("w"))
              .groupBy("w").agg(F.count("*").alias("c1")))
