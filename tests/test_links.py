@@ -133,6 +133,15 @@ def test_pagerank_two_node_closed_form(spark):
     assert {x.node: x.rank for x in r} == {"a": 0.5, "b": 0.5}
 
 
+def test_pagerank_empty_edges_returns_empty(spark):
+    """An empty edge list must yield an empty (node, rank) relation,
+    not a ZeroDivisionError from the driver-side 1/N scalar (r08
+    optimization guard)."""
+    out = pagerank(_edges(spark, []), iters=3)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0
+
+
 def test_pagerank_dangling_mass_is_conserved(spark):
     """a→b, b dangling: without the dangling term rank leaks each
     round; with it Σrank = 1 exactly (up to fp) and b > a."""

@@ -222,6 +222,11 @@ def pagerank(edges: DataFrame, src: str = "src_host",
                           .alias("_has")),
                   checkpoint_dir)
     n = nodes.count()  # driver scalar, collected once (cached scan)
+    if n == 0:
+        # empty edge list → empty rank vector with the right schema
+        # (the broadcast form divided by a 0-row relation and was
+        # vacuously empty; Python scalars need the explicit guard)
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     ranks = nodes.select("node", "_has",
                          F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):
