@@ -111,6 +111,14 @@ class _BlockSegmenter(HTMLParser):
         lineno, col = self.getpos()
         return self._line_starts[lineno - 1] + col
 
+    def updatepos(self, i: int, j: int) -> int:
+        # line/column tracking only matters in span mode; the plain
+        # path skips the per-token newline counting (the dom.py
+        # _DomBuilder rationale — ~8-10% of parse time)
+        if self._line_starts is None:
+            return j
+        return HTMLParser.updatepos(self, i, j)
+
     def _flush(self, end: int | None = None) -> None:
         if self._frags:
             span = (None if self._line_starts is None

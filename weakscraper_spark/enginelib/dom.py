@@ -116,6 +116,15 @@ class _DomBuilder(HTMLParser):
             self._stack[-1]["children"].append(text_node(data))
             self.n_nodes += 1
 
+    def updatepos(self, i: int, j: int) -> int:
+        # line/column bookkeeping is dead weight here: goahead() calls
+        # this for every token but the non-span builder never reads
+        # getpos() (only _SpanDomBuilder does, and it restores the
+        # real implementation). Returning j mimics the base exactly
+        # minus the newline counting — ~8-10% of per-page parse time
+        # (measured r08, 169k calls per 100 tag-dense pages).
+        return j
+
     # comments, PIs, declarations are dropped (reference behavior: no
     # handle_comment override → HTMLParser discards them).
 
@@ -165,6 +174,10 @@ class _SpanDomBuilder(_DomBuilder):
 
     _src: str = ""
     _line_starts: list[int] = [0]
+
+    #: spans need real line/column tracking — restore the stdlib
+    #: implementation the base builder no-ops out
+    updatepos = HTMLParser.updatepos
 
     def _abs(self) -> int:
         lineno, col = self.getpos()
