@@ -77,29 +77,41 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     labels = (sym.groupBy("a")
               .agg(F.least(F.first("a"), F.min("b")).alias("lbl"))
               .select(F.col("a").alias("node"), "lbl"))
-    for _ in range(max_iter):
-        nbr_min = (sym.join(labels.select(F.col("node").alias("b"),
-                                          F.col("lbl").alias("nlbl")),
-                            "b")
-                   .groupBy("a").agg(F.min("nlbl").alias("min_nbr")))
-        # the changed-flag rides the update row itself — the
-        # convergence check is a filter-count over the checkpointed
-        # result, not a second join against the old labels (one fewer
-        # shuffle per round, measured ~40% of the per-round wall)
-        upd = F.least(F.col("lbl"),
-                      F.coalesce(F.col("min_nbr"), F.col("lbl")))
-        # lazy truncation: the convergence count right below scans
-        # the full relation and materializes the checkpoint as a side
-        # effect — no dedicated materialization job per round (r08)
-        new = _ckpt(labels.join(nbr_min,
-                                labels["node"] == nbr_min["a"], "left")
-                    .select(F.col("node"), upd.alias("new_lbl"),
-                            (upd < F.col("lbl")).alias("_changed")),
-                    checkpoint_dir, eager=False)
-        n_changed = new.filter(F.col("_changed")).count()
-        labels = new.select("node", F.col("new_lbl").alias("lbl"))
-        if n_changed == 0:
-            return labels.select("node", F.col("lbl").alias("component"))
+    # STATIC planning for the round loop (iterstate.static_loop, r08):
+    # under AQE every per-round exchange is its own scheduler job;
+    # statically the convergence count is the round's ONE job and the
+    # lazy checkpoint cascades into it. Partitions = the materialized
+    # edge set's count (data-derived). Labels are integer/string mins
+    # — identical under any partitioning.
+    from .iterstate import static_loop
+    with static_loop(edges.sparkSession, sym.rdd.getNumPartitions()):
+        for _ in range(max_iter):
+            nbr_min = (sym.join(labels.select(F.col("node").alias("b"),
+                                              F.col("lbl").alias("nlbl")),
+                                "b")
+                       .groupBy("a").agg(F.min("nlbl").alias("min_nbr")))
+            # the changed-flag rides the update row itself — the
+            # convergence check is a filter-count over the checkpointed
+            # result, not a second join against the old labels (one
+            # fewer shuffle per round, measured ~40% of the per-round
+            # wall)
+            upd = F.least(F.col("lbl"),
+                          F.coalesce(F.col("min_nbr"), F.col("lbl")))
+            # lazy truncation: the convergence count right below scans
+            # the full relation and materializes the checkpoint as a
+            # side effect — no dedicated materialization job per round
+            # (r08)
+            new = _ckpt(labels.join(nbr_min,
+                                    labels["node"] == nbr_min["a"],
+                                    "left")
+                        .select(F.col("node"), upd.alias("new_lbl"),
+                                (upd < F.col("lbl")).alias("_changed")),
+                        checkpoint_dir, eager=False)
+            n_changed = new.filter(F.col("_changed")).count()
+            labels = new.select("node", F.col("new_lbl").alias("lbl"))
+            if n_changed == 0:
+                return labels.select("node",
+                                     F.col("lbl").alias("component"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds")
 
@@ -151,18 +163,24 @@ def _connected_components_star(edges: DataFrame, src: str, dst: str,
                            F.least("x", "y").alias("b")).distinct(),
               checkpoint_dir)
     n_prev = e.count()
-    for _ in range(max_iter):
-        e_new = _ckpt(_small_star(_large_star(e)), checkpoint_dir,
-                      eager=False)
-        n_new = e_new.count()
-        if n_new == n_prev and e_new.subtract(e).count() == 0:
-            e = e_new
-            break
-        e, n_prev = e_new, n_new
-    else:
-        raise RuntimeError(
-            f"star connected_components did not converge in "
-            f"{max_iter} rounds")
+    # static planning for the alternation loop — same rationale as
+    # the minprop loop above (one job per round instead of one per
+    # exchange); the oriented edge set is a deterministic set, so
+    # partitioning cannot change the fixpoint.
+    from .iterstate import static_loop
+    with static_loop(edges.sparkSession, e.rdd.getNumPartitions()):
+        for _ in range(max_iter):
+            e_new = _ckpt(_small_star(_large_star(e)), checkpoint_dir,
+                          eager=False)
+            n_new = e_new.count()
+            if n_new == n_prev and e_new.subtract(e).count() == 0:
+                e = e_new
+                break
+            e, n_prev = e_new, n_new
+        else:
+            raise RuntimeError(
+                f"star connected_components did not converge in "
+                f"{max_iter} rounds")
     parents = e.groupBy("a").agg(F.min("b").alias("parent"))
     return (nodes.join(parents, nodes["node"] == parents["a"], "left")
             .select("node",

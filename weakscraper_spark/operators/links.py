@@ -41,6 +41,10 @@ from .iterstate import ckpt as _ckpt
 #: schemes/pseudo-links that are never fetchable content
 _REJECT_RE = r"(?i)^(javascript:|mailto:|tel:|data:|#|$)"
 
+#: monotone suffix for pagerank's per-call temp-view names (two
+#: concurrent pagerank builds in one session must not share views)
+_PR_SEQ = 0
+
 #: one <a ...>anchor</a> element — case-insensitive (crawl HTML mixes
 #: <A HREF>), href double-quoted / single-quoted / bare, DOTALL so
 #: anchors spanning newlines survive
@@ -204,55 +208,89 @@ def pagerank(edges: DataFrame, src: str = "src_host",
                            F.col(dst).alias("dst"),
                            F.col(weight).cast("double").alias("w")),
               checkpoint_dir)
-    nodes = (e.select(F.col("src").alias("node"))
-             .union(e.select("dst")).distinct())
-    # outw/en/nodes are all re-read EVERY round (contrib join, rank
-    # rebuild) → truncate each ONCE up front, or every iteration
-    # re-runs the whole upstream plan.
-    outw = _ckpt(e.groupBy("src").agg(F.sum("w").alias("outw")),
-                 checkpoint_dir)
-    # normalized edge weight: contribution fraction u→v
-    en = (e.join(outw, "src")
-          .select("src", "dst", (F.col("w") / F.col("outw")).alias("p")))
-    en = _ckpt(en, checkpoint_dir)
-    has_out = outw.select(F.col("src").alias("node"),
-                          F.lit(True).alias("_has"))
-    nodes = _ckpt(nodes.join(has_out, "node", "left")
-                  .select("node", F.coalesce("_has", F.lit(False))
-                          .alias("_has")),
-                  checkpoint_dir)
-    n = nodes.count()  # driver scalar, collected once (cached scan)
-    if n == 0:
-        # empty edge list → empty rank vector with the right schema
-        # (the broadcast form divided by a 0-row relation and was
-        # vacuously empty; Python scalars need the explicit guard)
-        return nodes.select("node", F.lit(0.0).alias("rank"))
-    ranks = nodes.select("node", "_has",
-                         F.lit(1.0 / n).alias("rank"))
-    for _ in range(iters):
-        # EVERY round: ranks_t feeds BOTH the dangling scalar and the
-        # contribution join, so without per-round truncation ranks_t+1
-        # holds TWO copies of ranks_t's lineage → 2^k plan blowup.
-        # Eager per-round checkpoint (the GraphX/Pregel discipline)
-        # keeps each round's plan one join deep.
-        # lazy: the dmass action right below scans the full rank
-        # vector and materializes the checkpoint as a side effect —
-        # no dedicated materialization job per round
-        ranks = _ckpt(ranks, checkpoint_dir, eager=False)
-        dmass = (ranks.filter(~F.col("_has"))
-                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                 .first()[0])
-        contrib = (ranks.join(en, ranks.node == en.src)
-                   .groupBy("dst")
-                   .agg(F.sum(F.col("rank") * F.col("p")).alias("c")))
-        ranks = (ranks
-                 .join(contrib, ranks.node == contrib.dst, "left")
-                 .select(ranks["node"], ranks["_has"],
-                         (F.lit((1.0 - damping) / n)
-                          + F.lit(damping)
-                          * (F.coalesce(F.col("c"), F.lit(0.0))
-                             + F.lit(dmass / n)))
-                         .alias("rank")))
+    # EVERYTHING downstream of the materialized edge list — the
+    # outw/en/nodes derivations AND the power iterations — plans
+    # STATICALLY (iterstate.static_loop, r08): these are node- and
+    # edge-count-sized relations of fixed shape, and under AQE every
+    # exchange in them materialized as its own scheduler job with a
+    # 20-90 ms driver re-planning gap (~8 jobs per round, plus a
+    # 12-job setup chain). Statically each checkpoint/action is ONE
+    # job and the per-round lazy checkpoint cascades into the round's
+    # dmass read. Partition count comes from the AQE-materialized
+    # edge checkpoint — data-derived, so a 100 TB graph keeps its
+    # hundreds of partitions while sandbox graphs run 1-task rounds.
+    from .iterstate import static_loop
+    spark = edges.sparkSession
+    with static_loop(spark, e.rdd.getNumPartitions()):
+        nodes = (e.select(F.col("src").alias("node"))
+                 .union(e.select("dst")).distinct())
+        # outw/en/nodes are all re-read EVERY round (contrib join,
+        # rank rebuild) → truncate each ONCE up front, or every
+        # iteration re-runs the whole upstream plan.
+        outw = _ckpt(e.groupBy("src").agg(F.sum("w").alias("outw")),
+                     checkpoint_dir)
+        # normalized edge weight: contribution fraction u→v
+        en = (e.join(outw, "src")
+              .select("src", "dst",
+                      (F.col("w") / F.col("outw")).alias("p")))
+        en = _ckpt(en, checkpoint_dir)
+        has_out = outw.select(F.col("src").alias("node"),
+                              F.lit(True).alias("_has"))
+        nodes = _ckpt(nodes.join(has_out, "node", "left")
+                      .select("node", F.coalesce("_has", F.lit(False))
+                              .alias("_has")),
+                      checkpoint_dir)
+        n = nodes.count()  # driver scalar, collected once
+        if n == 0:
+            # empty edge list → empty rank vector with the right
+            # schema (the broadcast form divided by a 0-row relation
+            # and was vacuously empty; Python scalars need the guard)
+            return nodes.select("node", F.lit(0.0).alias("rank"))
+        ranks = nodes.select("node", "_has",
+                             F.lit(1.0 / n).alias("rank"))
+        # round bodies go through TWO spark.sql calls over temp views
+        # instead of ~60 per-Column py4j round trips (measured r08:
+        # plan CONSTRUCTION alone was ~77 ms/round — comparable to
+        # the round's entire job wall; the _lit_doubles lesson
+        # applied to a loop). CAST('<repr>' AS DOUBLE) literals are
+        # value-exact (shortest repr + Java parseDouble), so the
+        # arithmetic tree is the same IEEE expression the Column
+        # form built.
+        global _PR_SEQ
+        _PR_SEQ += 1
+        rv, ev = f"pr_ranks_{_PR_SEQ}", f"pr_en_{_PR_SEQ}"
+        en.createOrReplaceTempView(ev)
+        teleport = f"CAST('{(1.0 - damping) / n!r}' AS DOUBLE)"
+        d_lit = f"CAST('{damping!r}' AS DOUBLE)"
+        for _ in range(iters):
+            # EVERY round: ranks_t feeds BOTH the dangling scalar and
+            # the contribution join, so without per-round truncation
+            # ranks_t+1 holds TWO copies of ranks_t's lineage → 2^k
+            # plan blowup. Per-round checkpoint (the GraphX/Pregel
+            # discipline) keeps each round's plan one join deep.
+            # lazy: the dmass action right below scans the full rank
+            # vector and materializes the checkpoint as a side effect
+            # — no dedicated materialization job per round
+            ranks = _ckpt(ranks, checkpoint_dir, eager=False)
+            ranks.createOrReplaceTempView(rv)
+            dmass = spark.sql(
+                f"SELECT COALESCE(SUM(rank), CAST('0.0' AS DOUBLE)) "
+                f"FROM {rv} WHERE NOT _has").first()[0]
+            ranks = spark.sql(
+                f"SELECT r.node, r._has, "
+                f"{teleport} + {d_lit} * "
+                f"(COALESCE(c.c, CAST('0.0' AS DOUBLE)) + "
+                f"CAST('{dmass / n!r}' AS DOUBLE)) AS rank "
+                f"FROM {rv} r LEFT JOIN ("
+                f"SELECT e.dst AS dst, SUM(r2.rank * e.p) AS c "
+                f"FROM {rv} r2 JOIN {ev} e ON r2.node = e.src "
+                f"GROUP BY e.dst) c ON r.node = c.dst")
+        # materialize the final round inside the static scope too —
+        # otherwise the caller's action re-plans it adaptively and
+        # pays the per-exchange job fan-out one more time
+        ranks = _ckpt(ranks, checkpoint_dir)
+    spark.catalog.dropTempView(rv)
+    spark.catalog.dropTempView(ev)
     return ranks.select("node", "rank")
 
 

@@ -14,10 +14,10 @@ adds as first-class scope.
 Distributed shape (the part a monolithic suffix array cannot give
 you):
 
-1. per doc, a narrow JVM map emits (doc, start, md5(k-gram)) — no
+1. per doc, a narrow JVM map emits (doc, start, hash(k-gram)) — no
    Python, no shuffle; the token array is materialized as a column
    FIRST because Catalyst does not CSE inside ``transform`` lambdas;
-2. one corpus-wide count agg on the 32-hex gram hash (map-side
+2. one corpus-wide count agg on the 128-bit gram hash (map-side
    combinable) keeps only hashes with global count >= 2 — this is
    the only corpus-width shuffle and its key is a uniform hash, so
    no salting is needed;
@@ -56,16 +56,27 @@ def _merged_spans_lazy(base: DataFrame, k: int):
     window/agg shape (the eager wrapper's localCheckpoint truncates
     the visible lineage). Callers of this variant own the
     ``grams.unpersist()``."""
+    # the gram hash is an EQUALITY PROXY only (count >= 2 and the
+    # join-back test hash equality; the hash value itself never
+    # reaches the output — unlike MinHash, where the min over hash
+    # VALUES is semantic and must stay md5). Two seeded xxhash64
+    # longs (128 bits total, same collision envelope as md5 at
+    # 10^12-gram scale) replace the 32-char md5 hex string: ~16 B
+    # instead of ~40 B per gram row through the corpus-width persist
+    # + shuffle (§2.3 narrower types), and no per-gram hex-string
+    # allocation (r08; span output is identical — equal grams hash
+    # equal under any function, and both widths are collision-free
+    # on real corpora).
+    gram_txt = F.concat_ws(" ", F.slice(F.col("_t"),
+                                        F.col("start") + 1, k))
     grams = (base.filter(F.col("_n") >= k)
              .select("doc",
                      F.explode(F.sequence(
                          F.lit(0), F.col("_n") - k)).alias("start"),
                      F.col("_t"))
              .select("doc", "start",
-                     F.md5(F.concat_ws(
-                         " ", F.slice(F.col("_t"),
-                                      F.col("start") + 1,
-                                      k))).alias("h")))
+                     F.xxhash64(gram_txt).alias("h1"),
+                     F.xxhash64(gram_txt, F.lit(1)).alias("h2")))
     # grams feeds TWO consumers (the dup-count agg and the join-back)
     # whose column pruning differs, so exchange reuse won't serve
     # both — without a persist the corpus-wide tokenize + explode +
@@ -74,9 +85,9 @@ def _merged_spans_lazy(base: DataFrame, k: int):
     # at corpus scale)
     from pyspark import StorageLevel
     grams = grams.persist(StorageLevel.DISK_ONLY)
-    dup_h = (grams.groupBy("h").agg(F.count("*").alias("_c"))
-             .filter(F.col("_c") >= 2).select("h"))
-    marks = grams.join(dup_h, "h").select("doc", "start")
+    dup_h = (grams.groupBy("h1", "h2").agg(F.count("*").alias("_c"))
+             .filter(F.col("_c") >= 2).select("h1", "h2"))
+    marks = grams.join(dup_h, ["h1", "h2"]).select("doc", "start")
     # gaps-and-islands merge of [start, start+k) intervals per doc:
     # a gram starts a new island iff it begins strictly after the
     # furthest end seen so far (touching intervals merge — adjacent

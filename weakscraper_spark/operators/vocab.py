@@ -77,6 +77,56 @@ def _syms_df(words: DataFrame) -> DataFrame:
                  F.array(F.lit(EOW))).alias("syms"))
 
 
+def _sym_str_df(words: DataFrame) -> DataFrame:
+    """(word, freq) → (n, s): the symbol sequence as ONE space-joined
+    string ("c h a r s </w>") — the representation ``train_bpe``'s
+    JVM merge path iterates on. Space is a safe delimiter: words are
+    whitespace-split upstream, so no symbol can ever contain one.
+    Derived through the same char-split + EOW append as ``_syms_df``
+    so the two forms cannot drift."""
+    return words.select(
+        "n",
+        F.concat_ws(" ",
+                    F.concat(F.split(F.col("word"), ""),
+                             F.array(F.lit(EOW)))).alias("s"))
+
+
+def _merge_pairs_str(state: DataFrame,
+                     pairs: list[tuple[str, str]]) -> DataFrame:
+    """JVM replacement for the Python merge map over the STRING state
+    (r08): each (left, right) becomes one literal token-anchored
+    ``regexp_replace`` "left right" → "leftright". Java's regex
+    engine replaces non-overlapping matches strictly left to right,
+    which IS the greedy scan of ``_merge_pairs``/``segment_word``:
+    after a match the scan resumes past the consumed pair, so an
+    overlapping occurrence ("a a a" with (a,a)) merges exactly once
+    ("aa a"). The boundary spaces sit in LOOKAROUNDS, not the match,
+    so adjacent occurrences ("a b a b") both merge. Chaining the
+    batch in order replays ``_merge_pairs`` verbatim (a batch's
+    pairs are symbol-disjoint by selection, so no later pattern can
+    involve an earlier replacement's operands or minted symbol).
+    Python-free: the round no longer pays worker fork + Arrow serde
+    of the whole word table (~0.27 s/round at sandbox scale,
+    measured r08 with an identity mapInArrow)."""
+    import re as _re
+
+    def _sql_str(x: str) -> str:
+        # Spark SQL single-quoted literal (backslash-escaping parser)
+        return "'" + x.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    # the whole chain in ONE F.expr call (the _lit_doubles rule): a
+    # per-Column build is ~2 py4j round trips per pair per round,
+    # which at O(vocab/batch_m) rounds is seconds of pure driver time
+    expr = "s"
+    for left, right in pairs:
+        pat = (r"(?:(?<=^)|(?<= ))" + _re.escape(left) + " "
+               + _re.escape(right) + r"(?= |$)")
+        rep = (left + right).replace("\\", "\\\\").replace("$", r"\$")
+        expr = (f"regexp_replace({expr}, {_sql_str(pat)}, "
+                f"{_sql_str(rep)})")
+    return state.select("n", F.expr(expr).alias("s"))
+
+
 def _pair_counts(syms: DataFrame) -> DataFrame:
     """Frequency-weighted adjacent symbol-pair counts over the
     distinct-word table. The symbol array is a materialized column,
@@ -176,35 +226,72 @@ def train_bpe(df: DataFrame, n_merges: int, col: str = "text",
     {rounds, merges_learned, batch_sizes} — the driver-round count is
     THE scale metric for ``exact=False`` (O(vocab/batch_m) rounds is
     the whole point; bench records it)."""
-    state = _ckpt(_syms_df(vocab_counts(df, col)), checkpoint_dir)
+    # the loop state is the STRING form (n, s): the merge map is then
+    # a chain of literal JVM regexp_replace passes (_merge_pairs_str)
+    # instead of a Python stage — no worker fork, no Arrow transfer
+    # of the word table, per round (r08; the Python _merge_pairs is
+    # kept for the narrow single-pair tools/tests surface).
+    state = _ckpt(_sym_str_df(vocab_counts(df, col)), checkpoint_dir)
+    # fan the LOOP STATE out to cluster parallelism (the fanout.py
+    # rationale applied to iterating state): the word table
+    # materializes with byte-sized (AQE advisory) partitions — 2 on
+    # the sandbox corpus — but every round runs the CPU-bound regex
+    # merge chain + pair explode over it, so partition count, not
+    # bytes, sets the round wall. With the Python stage gone this is
+    # pure JVM work with no per-task fixed cost, so spreading it
+    # wins (measured r08 — the same fan-out LOST while the merge map
+    # was a Python stage, because worker fork + pyarrow import per
+    # task set a floor that 32 tasks paid 32 times). One tiny
+    # up-front shuffle; narrow rounds preserve the partitioning. At
+    # scale the table already carries ≥ core-count partitions and
+    # this is a no-op.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if state.rdd.getNumPartitions() < par:
+        state = _ckpt(state.repartition(par), checkpoint_dir)
     merges: list[tuple[str, str]] = []
     rnd = 0
-    while len(merges) < n_merges:
-        top = (_pair_counts(state)
-               .orderBy(F.desc("cnt"), "pair").limit(batch_m).collect())
-        batch = (_select_exact_batch(top, batch_m) if exact
-                 else _select_greedy_batch(top))
-        batch = batch[:n_merges - len(merges)]
-        if not batch:
-            break
-        merges.extend(batch)
-        state = _merge_pairs(state, batch)
-        rnd += 1
-        if stats is not None:
-            stats.setdefault("batch_sizes", []).append(len(batch))
-        if checkpoint_dir is None:
-            # truncate EVERY round, lazily: the next round's pair-count
-            # collect materializes the checkpoint, so each Python merge
-            # pass executes exactly once — the old every-5 cadence
-            # re-ran up to 4 un-truncated merge maps per round (1+2+
-            # 3+4+5 ≈ 3× redundant Python work between checkpoints,
-            # measured r08 on the 4k-merge phase)
-            state = _ckpt(state, None, eager=False)
-        elif rnd % 5 == 0:
-            # reliable checkpoints write to the durable dir — keep the
-            # amortized cadence there (an HDFS write per round would
-            # swamp the loop at scale)
-            state = _ckpt(state, checkpoint_dir)
+    # STATIC planning for the round loop (iterstate.static_loop, r08):
+    # the per-round relations are the fixed-shape distinct-word table
+    # and its pair counts; under AQE every round's exchange
+    # materialized as its own scheduler job (plus re-planning gaps),
+    # multiplying O(vocab/batch_m) driver rounds by several jobs
+    # each. Statically the round is ONE TakeOrdered collect whose
+    # lineage cascades the lazy checkpoint. Partition count = the
+    # materialized word table's (data-derived). Merge selection is
+    # integer counts + a total (cnt desc, pair asc) order, so the
+    # learned list is byte-identical under any partitioning.
+    from .iterstate import static_loop
+    with static_loop(df.sparkSession, state.rdd.getNumPartitions()):
+        while len(merges) < n_merges:
+            top = (_pair_counts(
+                       state.select("n",
+                                    F.split("s", " ").alias("syms")))
+                   .orderBy(F.desc("cnt"), "pair").limit(batch_m)
+                   .collect())
+            batch = (_select_exact_batch(top, batch_m) if exact
+                     else _select_greedy_batch(top))
+            batch = batch[:n_merges - len(merges)]
+            if not batch:
+                break
+            merges.extend(batch)
+            state = _merge_pairs_str(state, batch)
+            rnd += 1
+            if stats is not None:
+                stats.setdefault("batch_sizes", []).append(len(batch))
+            if checkpoint_dir is None:
+                # truncate EVERY round, lazily: the next round's
+                # pair-count collect materializes the checkpoint, so
+                # each Python merge pass executes exactly once — the
+                # old every-5 cadence re-ran up to 4 un-truncated
+                # merge maps per round (1+2+3+4+5 ≈ 3× redundant
+                # Python work between checkpoints, measured r08 on
+                # the 4k-merge phase)
+                state = _ckpt(state, None, eager=False)
+            elif rnd % 5 == 0:
+                # reliable checkpoints write to the durable dir —
+                # keep the amortized cadence there (an HDFS write per
+                # round would swamp the loop at scale)
+                state = _ckpt(state, checkpoint_dir)
     if stats is not None:
         stats["rounds"] = rnd
         stats["merges_learned"] = len(merges)
