@@ -127,20 +127,33 @@ def _merge_pairs_str(state: DataFrame,
     return state.select("n", F.expr(expr).alias("s"))
 
 
+#: the adjacent-pair expression over a ``syms`` column, cached PER
+#: SESSION: Column trees are immutable py4j handles, and rebuilding
+#: this one costs ~20 driver↔JVM round trips per train_bpe ROUND
+#: (O(vocab/batch_m) rounds — the _lit_doubles lesson applied to a
+#: hot builder). Keyed on the owning session, not process-global: a
+#: gateway shutdown between bench phases (bench._stop_hard) kills
+#: cross-session handles with a NullPointerException on reuse.
+_PAIR_CACHE: tuple | None = None
+
+
 def _pair_counts(syms: DataFrame) -> DataFrame:
     """Frequency-weighted adjacent symbol-pair counts over the
     distinct-word table. The symbol array is a materialized column,
     so the pair lambda indexes it without re-evaluation (the
     lambda-CSE rule from dedup._shingles)."""
-    pairs = F.when(
-        F.size("syms") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("syms") - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at("syms", i),
-                F.element_at("syms", i + 1))),
-    ).otherwise(F.array().cast("array<string>"))
-    return (syms.select("n", F.explode(pairs).alias("pair"))
+    global _PAIR_CACHE
+    sess = syms.sparkSession
+    if _PAIR_CACHE is None or _PAIR_CACHE[0] is not sess:
+        _PAIR_CACHE = (sess, F.when(
+            F.size("syms") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("syms", i),
+                    F.element_at("syms", i + 1))),
+        ).otherwise(F.array().cast("array<string>")))
+    return (syms.select("n", F.explode(_PAIR_CACHE[1]).alias("pair"))
             .groupBy("pair").agg(F.sum("n").alias("cnt")))
 
 
