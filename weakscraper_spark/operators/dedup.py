@@ -115,29 +115,57 @@ def _shingles(df: DataFrame, id_col: str, col: str,
     the explode must sit in the SAME select as the shingle
     expression over the materialized token column."""
     from .fanout import fan_out
-    base = fan_out(df.select(id_col, col)).select(
-        F.col(id_col).alias("doc"),
-        F.split(F.trim(F.lower(F.col(col))), r"\s+").alias("_t"))
-    return base.select(
-        "doc",
-        F.explode(F.array_distinct(
-            _shingle_expr(F.col("_t"), k))).alias("tok"))
+    base = fan_out(df.select(id_col, col))
+    return _one_sql(base, f"""
+        SELECT doc, explode(array_distinct({_shingle_sql('_t', k)}))
+               AS tok
+        FROM (SELECT `{id_col}` AS doc,
+                     split(trim(lower(`{col}`)), '\\\\s+') AS _t
+              FROM {{v}})""")
 
 
-def _shingle_expr(tk, k: int):
-    """The word-k-shingle array EXPRESSION over a materialized token
-    array column — the one construction ``_shingles`` and
-    ``_shingle_array`` share (r07 review: they were verbatim copies
-    held equal only by a test). ``tk`` must reference a MATERIALIZED
-    column (the lambda-CSE rule above)."""
-    n = F.size(tk)
-    return F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(tk, i + j) for j in range(k)])),
-    ).otherwise(F.array().cast("array<string>"))
+def _one_sql(src: DataFrame, query: str) -> DataFrame:
+    """Run ``query`` (with ``{v}`` standing for ``src``) as ONE
+    spark.sql statement. Every DataFrame method materializes a new
+    Dataset and re-analyzes its whole tree eagerly (~10 ms per
+    operator on this host, growing with tree depth), so an
+    N-operator builder pays O(N²) analysis node-visits; a single SQL
+    statement analyzes the finished tree once. Measured r08:
+    minhash_lsh_pairs' pure plan CONSTRUCTION was 447 ms — the same
+    class of driver-side cost as G3's per-element literals. The view
+    is resolved eagerly by spark.sql and deliberately NOT dropped:
+    ``dropTempView`` also UNCACHES any cached query matching the
+    view's plan, which silently unpersisted the DISK_ONLY signature
+    table the moment its band view was cleaned up (caught by the
+    two-InMemoryTableScan plan test). Names are unique per call, so
+    the leak is one catalog metadata entry, nothing more."""
+    global _SQL_SEQ
+    _SQL_SEQ += 1
+    v = f"dedup_sql_{_SQL_SEQ}"
+    src.createOrReplaceTempView(v)
+    return src.sparkSession.sql(query.format(v=v))
+
+
+#: monotone suffix for ``_one_sql`` temp-view names
+_SQL_SEQ = 0
+
+
+def _shingle_sql(tk: str, k: int) -> str:
+    """The word-k-shingle array expression (SQL text) over a
+    materialized token-array column ``tk`` — the one construction
+    ``_shingles`` and ``_shingle_array`` share (r07 review: they
+    were verbatim copies held equal only by a test). ``tk`` must
+    name a MATERIALIZED column (the lambda-CSE rule above)."""
+    els = ", ".join(f"element_at({tk}, i + {j})" for j in range(k))
+    return (f"CASE WHEN size({tk}) >= {k} "
+            f"THEN transform(sequence(1, size({tk}) - {k - 1}), "
+            f"i -> concat_ws(' ', {els})) "
+            f"ELSE CAST(array() AS array<string>) END")
+
+
+def _shingle_expr(tk_name: str, k: int):
+    """Column form of ``_shingle_sql`` for Column-API call sites."""
+    return F.expr(_shingle_sql(tk_name, k))
 
 
 def _shingle_array(df: DataFrame, id_col: str, col: str,
@@ -148,27 +176,31 @@ def _shingle_array(df: DataFrame, id_col: str, col: str,
     substitutes ``_sh`` into a pre-scan Filter that re-shingles the
     corpus — plan-guard lesson); filter beyond a Generate instead."""
     from .fanout import fan_out
-    base = fan_out(df.select(id_col, col)).select(
-        F.col(id_col).alias("doc"),
-        F.split(F.trim(F.lower(F.col(col))), r"\s+").alias("_t"))
-    return base.select(
-        "doc",
-        F.array_distinct(_shingle_expr(F.col("_t"), k)).alias("_sh"))
+    base = fan_out(df.select(id_col, col))
+    return _one_sql(base, f"""
+        SELECT doc, array_distinct({_shingle_sql('_t', k)}) AS _sh
+        FROM (SELECT `{id_col}` AS doc,
+                     split(trim(lower(`{col}`)), '\\\\s+') AS _t
+              FROM {{v}})""")
 
 
-def _band_structs(n_hashes: int, band_size: int) -> list:
-    """The LSH band-key structs over sig0..sig{n-1} columns — shared
-    by the batch and narrow band builders (same drift rationale as
-    ``_shingle_array``)."""
+def _band_structs_sql(n_hashes: int, band_size: int) -> str:
+    """The LSH band-key struct array (SQL text) over sig0..sig{n-1}
+    columns — shared by the batch and narrow band builders (same
+    drift rationale as ``_shingle_sql``)."""
     n_bands = n_hashes // band_size
-    return [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws("|", *[F.col(f"sig{b * band_size + j}")
-                               for j in range(band_size)])
-            .alias("bkey"))
-        for b in range(n_bands)
-    ]
+    structs = ", ".join(
+        "struct({b} AS band, concat_ws('|', {cols}) AS bkey)".format(
+            b=b,
+            cols=", ".join(f"sig{b * band_size + j}"
+                           for j in range(band_size)))
+        for b in range(n_bands))
+    return f"array({structs})"
+
+
+def _band_structs_expr(n_hashes: int, band_size: int):
+    """Column form of ``_band_structs_sql``."""
+    return F.expr(_band_structs_sql(n_hashes, band_size))
 
 
 # --------------------------------------------------------------------------
@@ -182,12 +214,10 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     shingles of md5(i || ':' || shingle). One explode + one groupBy
     (map-side combine); k is a column fan-out, not a data fan-out."""
     toks = _shingles(df, id_col, col, shingle_k)
-    aggs = [
-        F.min(F.md5(F.encode(F.concat(F.lit(f"{i}:"), F.col("tok")),
-                             "UTF-8"))).alias(f"sig{i}")
-        for i in range(n_hashes)
-    ]
-    return toks.groupBy("doc").agg(*aggs)
+    aggs = ", ".join(
+        f"min(md5(encode(concat('{i}:', tok), 'UTF-8'))) AS sig{i}"
+        for i in range(n_hashes))
+    return _one_sql(toks, f"SELECT doc, {aggs} FROM {{v}} GROUP BY doc")
 
 
 def _minhash_bands(df: DataFrame, id_col: str, col: str,
@@ -207,12 +237,12 @@ def _minhash_bands(df: DataFrame, id_col: str, col: str,
     if persist_sigs:
         from pyspark import StorageLevel
         sigs = sigs.persist(StorageLevel.DISK_ONLY)
-    return (sigs.select(
-        "doc",
-        F.explode(F.array(*_band_structs(n_hashes, band_size)))
-         .alias("_bs"))
-        .select("doc", F.col("_bs.band").alias("band"),
-                F.col("_bs.bkey").alias("bkey")))
+    return _one_sql(sigs, f"""
+        SELECT doc, _bs.band AS band, _bs.bkey AS bkey
+        FROM (SELECT doc,
+                     explode({_band_structs_sql(n_hashes, band_size)})
+                     AS _bs
+              FROM {{v}})""")
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -293,7 +323,7 @@ def minhash_bands_narrow(df: DataFrame, id_col: str = "doc_id",
     with_sigs = shingled.select("doc", *sigs)
     return (with_sigs.select(
         "doc",
-        F.explode(F.array(*_band_structs(n_hashes, band_size)))
+        F.explode(_band_structs_expr(n_hashes, band_size))
          .alias("_bs"))
         .select("doc", F.col("_bs.band").alias("band"),
                 F.col("_bs.bkey").alias("bkey"))
