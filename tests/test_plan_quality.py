@@ -550,3 +550,48 @@ def test_resolve_redirects_plan_is_checkpoint_truncated(spark):
     names = [n for _, n in _plan_nodes(resolve_redirects(edges))]
     assert len(names) <= 20, names
     assert names.count("Exchange") <= 2, names
+
+
+def test_fan_out_guard_shapes(spark, tmp_path):
+    """fan_out fires on scan-shaped plans — INCLUDING Projects whose
+    pretty-printed expression text wraps across treeString lines (the
+    r08 regression: the line-based whitelist parser read a wrapped
+    transform() chunker's continuation lines as unknown nodes and
+    silently declined, so para_dedup's split stage ran one task) —
+    and still declines composed (join) and streaming plans."""
+    from pyspark.sql import functions as F
+
+    from weakscraper_spark.operators.fanout import fan_out
+
+    p = str(tmp_path / "fo_pages")
+    spark.range(200).selectExpr(
+        "id AS doc_id",
+        "concat('w', repeat(' w', 30)) AS text") \
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+
+    def fanned(d) -> bool:
+        return "Repartition" in \
+            d._jdf.queryExecution().analyzed().treeString()
+
+    # simple scan-shaped projection
+    assert fanned(fan_out(df.select("doc_id", "text")))
+    # projection whose expression text wraps over multiple tree lines
+    tk = df.select("doc_id", F.split(F.trim(F.lower("text")),
+                                     r"\s+").alias("_t"))
+    n_chunks = F.ceil(F.size("_t") / 8).cast("int")
+    chunked = tk.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), n_chunks - 1),
+                        lambda i: F.array_join(
+                            F.slice(F.col("_t"), i * 8 + 1, 8), " ")),
+            "\n").alias("text"))
+    assert fanned(fan_out(chunked))
+    # composed plan (join) passes through untouched
+    j = (df.alias("a").join(df.alias("b"), "doc_id")
+         .select(F.col("a.text").alias("text")))
+    assert not fanned(fan_out(j))
+    # values unchanged by the fan-out (partitioning only)
+    got = sorted(r.doc_id for r in fan_out(chunked).collect())
+    assert got == list(range(200))

@@ -37,8 +37,28 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-_SCAN_NODES = ("Project", "Filter", "Relation", "SubqueryAlias",
-               "View")
+#: whitelisted logical nodeName()s — note the tree WALK sees
+#: "LogicalRelation" where treeString's simpleString prints
+#: "Relation"
+_SCAN_NODES = ("Project", "Filter", "Relation", "LogicalRelation",
+               "SubqueryAlias", "View")
+
+
+def _scan_shaped(node) -> bool:
+    """True iff every node in the analyzed tree is whitelisted.
+    Walks the JVM tree via nodeName()/children() — the earlier
+    treeString() line parser broke on multi-line pretty-printed
+    expressions (a Project whose expression text wraps — e.g. a
+    transform() chunker — emitted continuation lines that failed the
+    prefix check and silently disabled the fan-out; caught r08 when
+    para_dedup's split stage ran one task)."""
+    if not node.nodeName().startswith(_SCAN_NODES):
+        return False
+    children = node.children()
+    for i in range(children.size()):
+        if not _scan_shaped(children.apply(i)):
+            return False
+    return True
 
 
 def fan_out(df: DataFrame) -> DataFrame:
@@ -47,13 +67,10 @@ def fan_out(df: DataFrame) -> DataFrame:
     sc = df.sparkSession.sparkContext
     p = sc.defaultParallelism
     try:
-        tree = df._jdf.queryExecution().analyzed().treeString()
+        if not _scan_shaped(df._jdf.queryExecution().analyzed()):
+            return df
     except Exception:  # pragma: no cover - connect/other backends
         return df
-    for raw in tree.splitlines():
-        node = raw.lstrip(" :+-")
-        if node and not node.startswith(_SCAN_NODES):
-            return df
     files = df.inputFiles()
     if files and len(files) < p:
         return df.repartition(p)
