@@ -80,6 +80,8 @@ def parse_feeds(df: DataFrame, xml_col: str = "xml",
 
     Entries with neither link nor entry_id are dropped — they identify
     nothing fetchable."""
+    from .fanout import fan_out
+    df = fan_out(df.select(url_col, xml_col))
     xml = F.col(xml_col)
     if dict(df.dtypes)[xml_col] == "binary":
         xml = xml.cast("string")
@@ -159,8 +161,10 @@ def discover_feeds(df: DataFrame, html_col: str = "html",
     (pages must escape & in attributes). Tags without an href, or
     without the feed MIME type, contribute nothing; rel=alternate is
     required (a rel="self" stylesheet link must not leak through)."""
+    from .fanout import fan_out
     from .links import attr_value, page_base, resolve_href
 
+    df = fan_out(df.select(url_col, html_col))
     html = F.col(html_col)
     if dict(df.dtypes)[html_col] == "binary":
         html = html.cast("string")
